@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol: one shared SparkSession (session startup is excluded — it is
+fixed overhead amortized across any real workload); each query is
+executed once untimed (JIT/codegen warmup) and twice timed, reporting
+the minimum — steady-state per-query latency, matching how the DuckDB
+baseline numbers in BASELINE.md were taken.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stellarsql_spark.registry import all_specs
+from stellarsql_spark.session import get_spark
+
+HEADLINE = (
+    "b_agg_groupby",      # TPC-H Q1 pricing summary (BASELINE row 1)
+    "b_join_inner",       # 4-table join + agg (BASELINE row 2)
+    "b_topk_per_group",   # window top-3 per customer (BASELINE row 3)
+    "b_stream_tumbling",  # hourly event agg, batch form (BASELINE row 4)
+    "b_llm_cosine_topk",  # cosine top-10 (BASELINE row 5)
+    "b_llm_dedup_exact",  # exact dedup over documents
+    "b_win_running_sum",  # running-frame window
+    "b_join_asof",        # as-of join (union-timeline construction)
+)
+
+
+def run_once(spec, spark, sf_dir: str) -> int:
+    df = spec.builder(spark, sf_dir)
+    return df.count()  # full materialization without driver collect
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+    specs = all_specs()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        run_once(spec, spark, sf_dir)  # warmup: plan + codegen + page cache
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once(spec, spark, sf_dir)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_latency_sum",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Catalog: typed parquet tables → DataFrames / temp views.
+
+Reference parity: StellarSQL keeps a database→table→field catalog with
+fixed declared schemas (``src/component/{database,table,field}.rs``
+[pub, unverified]); here the catalog is the Spark session catalog and
+the fixed schemas are the parquet footers of the driver corpus
+(FIXTURES.md). Explicit expected schemas are declared below so loads
+fail loudly on drift instead of silently inferring.
+
+Scale notes: dimension tables (region, nation, supplier, customer at
+small SF) are broadcast-join candidates; fact tables (lineitem,
+orders, events) are the shuffle-bearing sides. ``load_tables`` does a
+plain ``spark.read.parquet`` — column pruning and predicate pushdown
+then happen per-query via Catalyst, which is the idiomatic scan path
+(no custom reader needed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough to broadcast at any realistic SF (dimension side).
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a DataFrame (schema from parquet footer).
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]); it is
+    read as raw nanosecond longs (legacy conf) and truncated to
+    microsecond TimestampType — the same ns→µs truncation DuckDB
+    applies, so oracle comparisons agree.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each corpus table as a temp view (for the SQL entry point)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,212 @@
+"""Scalar function families (SURVEY.md §2 B34–B38).
+
+Each query exercises one family end-to-end with the DuckDB oracle
+mirroring Spark semantics explicitly (1-indexed substring, half-up
+vs half-even rounding avoided by never rounding exact-boundary
+values, transcendentals rounded to 6 dp so libm last-ulp differences
+can't flip the hash, timestamps kept in UTC).
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side,
+inside whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_B34_ORACLE = """
+SELECT c_custkey,
+       UPPER(c_name) AS name_up,
+       LOWER(c_mktsegment) AS seg_low,
+       LENGTH(c_name) AS name_len,
+       SUBSTRING(c_name, 1, 8) AS name_pfx,
+       CONCAT(c_mktsegment, ':', CAST(c_custkey AS VARCHAR)) AS seg_key,
+       TRIM('  pad  ') AS trimmed,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+       REGEXP_EXTRACT(c_name, '[0-9]+') AS name_digits,
+       REGEXP_REPLACE(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_novowel,
+       STR_SPLIT(c_name, '#')[1] AS name_head
+FROM customer
+WHERE c_custkey < 500
+"""
+
+
+@register("b_fn_string", oracle=_B34_ORACLE, tags=("function", "string"))
+def b_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, trim, pad,
+    regex extract/replace, split."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_low"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("name_digits"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_novowel"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+    )
+
+
+_B35_ORACLE = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mo,
+       CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+       CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_ts,
+       CAST(DATEDIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_day
+FROM orders
+WHERE o_orderkey < 1000
+"""
+
+
+@register("b_fn_datetime", oracle=_B35_ORACLE, tags=("function", "datetime"))
+def b_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract parts, trunc, interval arithmetic,
+    datediff, epoch seconds, formatting (UTC session)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+_B36_ORACLE = """
+SELECT s_suppkey,
+       ABS(s_acctbal) AS bal_abs,
+       CAST(CEIL(s_acctbal) AS DOUBLE) AS bal_ceil,
+       CAST(FLOOR(s_acctbal) AS DOUBLE) AS bal_floor,
+       ROUND(s_acctbal / 7, 2) AS bal_div7,
+       ROUND(SQRT(ABS(s_acctbal)), 6) AS bal_sqrt,
+       ROUND(LN(ABS(s_acctbal) + 1), 6) AS bal_ln,
+       ROUND(LOG10(ABS(s_acctbal) + 1), 6) AS bal_log10,
+       ROUND(POW(s_suppkey, 2), 1) AS key_sq,
+       CAST(s_suppkey % 7 AS BIGINT) AS key_mod,
+       SIGN(s_acctbal) AS bal_sign
+FROM supplier
+"""
+
+
+@register("b_fn_math", oracle=_B36_ORACLE, tags=("function", "math"))
+def b_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (transcendentals rounded to 6 dp for cross-libm
+    stability; integer pmod exact)."""
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).cast("double").alias("bal_ceil"),
+        F.floor(bal).cast("double").alias("bal_floor"),
+        F.round(bal / 7, 2).alias("bal_div7"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.log10(F.abs(bal) + 1), 6).alias("bal_log10"),
+        F.round(F.pow("s_suppkey", F.lit(2)), 1).alias("key_sq"),
+        (F.col("s_suppkey") % 7).cast("bigint").alias("key_mod"),
+        F.signum(bal).alias("bal_sign"),
+    )
+
+
+_B37_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS first_two,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       CAST(list_max(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DOUBLE) AS head_max,
+       array_to_string(list_transform(embedding[1:3],
+                                      x -> CAST(ROUND(CAST(x AS DOUBLE), 3) + 0 AS VARCHAR)), ';') AS head_str
+FROM embeddings
+"""
+
+
+@register("b_fn_array", oracle=_B37_ORACLE, tags=("function", "array"))
+def b_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/filter on the 64-d
+    embedding column (float→double casts are exact)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        (
+            F.element_at(emb, 1).cast("double") + F.element_at(emb, 2).cast("double")
+        ).alias("first_two"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.array_max(F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double"))).alias(
+            "head_max"
+        ),
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 3),
+                lambda x: (F.round(x.cast("double"), 3) + F.lit(0.0)).cast("string"),
+            ),
+            ";",
+        ).alias("head_str"),
+    )
+
+
+_B38_EXPLODE_ORACLE = """
+SELECT e.event_id, t.pos, t.word
+FROM (SELECT event_id, STR_SPLIT(event_type, '') AS chars FROM events WHERE event_id < 100) e,
+     UNNEST(e.chars) WITH ORDINALITY AS t(word, pos)
+"""
+
+
+_B38_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_valid(props) AS BOOLEAN) AS is_json
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@register("b_fn_json", oracle=_B38_ORACLE, tags=("function", "json"))
+def b_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: typed from_json, string-path extraction, validity."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$").isNotNull().alias("is_json"),
+    )
+
+
+_B37X_ORACLE = """
+SELECT vec_id,
+       CAST(unnest(range(0, len(embedding))) AS INT) AS pos0,
+       unnest(embedding) AS val
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+@register("b_fn_explode", oracle=_B37X_ORACLE, tags=("function", "array", "explode"))
+def b_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — table-generating array expansion (0-based positions;
+    oracle uses WITH ORDINALITY − 1)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))

@@ -1,0 +1,138 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B46–B49).
+
+UDFs are the deliberate slow path: row-at-a-time Python UDF (B46) is
+included for surface parity, the Arrow-vectorized pandas UDF (B47) is
+the form actually recommended at scale (10-100× less serde), the
+grouped applyInPandas (B48) is the UDAF story, and the Python UDTF
+(B49, Spark 4) is the table-function story. All payload math is kept
+integer/string-exact so the oracle hash cannot drift.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table, register_views
+from stellarsql_spark.registry import register
+
+_B46_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'ok'
+            ELSE 'rich' END AS wealth
+FROM customer
+"""
+
+
+def _wealth_band_py(bal: float) -> str:
+    if bal < 0:
+        return "debt"
+    if bal < 5000:
+        return "ok"
+    return "rich"
+
+
+@register("b_udf_scalar", oracle=_B46_ORACLE, tags=("udf",))
+def b_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (surface parity; the pandas UDF
+    below is the production form)."""
+    wealth_band = F.udf(_wealth_band_py, "string")
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", wealth_band("c_acctbal").alias("wealth"))
+
+
+_B47_ORACLE = """
+SELECT event_id, value,
+       value * 2 AS value_x2,
+       CAST(LENGTH(event_type) + 1 AS BIGINT) AS type_len1
+FROM events
+"""
+
+
+@register("b_udf_pandas", oracle=_B47_ORACLE, tags=("udf", "pandas"))
+def b_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDFs (Arrow batches across the Python
+    boundary — the scalable Python-compute path)."""
+
+    @F.pandas_udf("double")
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2  # exact: doubling a double is a power-of-two scale
+
+    @F.pandas_udf("long")
+    def len_plus_one(s: pd.Series) -> pd.Series:
+        return (s.str.len() + 1).astype("int64")
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "value",
+        double_it("value").alias("value_x2"),
+        len_plus_one("event_type").alias("type_len1"),
+    )
+
+
+_B48_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(MAX(l_linenumber) AS INT) AS max_line
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    # integer-exact math only (float sums would be order-sensitive)
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+            "n_rows": [len(pdf)],
+            "total_qty": [int(pdf["l_quantity"].astype("int64").sum())],
+            "max_line": [int(pdf["l_linenumber"].max())],
+        }
+    )
+
+
+@register("b_udaf_grouped", oracle=_B48_ORACLE, tags=("udf", "udaf"))
+def b_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDAF: whole group in, one aggregate row out.
+    Shuffles once on the group key; each group materializes as one
+    Arrow batch in the Python worker (groups must fit in worker RAM —
+    true here: 6 groups, and at 100 TB you'd pre-aggregate first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        _group_stats,
+        schema="l_returnflag string, l_linestatus string, n_rows long, total_qty long, max_line int",
+    )
+
+
+_B49_ORACLE = """
+SELECT doc_id,
+       CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents WHERE doc_id < 10
+"""
+
+
+@register("b_udtf", oracle=_B49_ORACLE, tags=("udf", "udtf"))
+def b_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → many output rows, used
+    via LATERAL join in SQL (oracle: UNNEST WITH ORDINALITY)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" "), start=1):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.word "
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id < 10) d, "
+        "LATERAL split_words(d.text) t"
+    )

@@ -1,0 +1,212 @@
+"""Aggregations (SURVEY.md §2 B16–B22).
+
+Spark's hash aggregate already does map-side partial aggregation +
+final merge after the shuffle — the canonical 100 TB-safe plan: only
+one shuffle keyed on the (low-cardinality) group columns, with
+per-partition combines shrinking it to |groups|×|partitions| rows.
+Money sums use the exact-decimal convention from
+``stellarsql_spark.functions.exact`` so results are order-independent
+and hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.functions.exact import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    charge,
+    davg,
+    dec2,
+    disc_price,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from stellarsql_spark.registry import register
+
+# B16 — TPC-H Q1-style pricing summary: the flagship query.
+PRICING_SUMMARY_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice")} AS sum_base_price,
+  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice")} AS avg_price,
+  {sql_davg("l_discount")} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("b_agg_groupby", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "flagship"))
+def b_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash group-by aggregate (sum/avg/count), TPC-H Q1 shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_B17_ORACLE = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT o_custkey) AS n_custs,
+  {sql_dsum("o_totalprice")} AS total_revenue,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+  MIN(o_orderdate) AS first_order,
+  MAX(o_orderdate) AS last_order
+FROM orders
+"""
+
+
+@register("b_agg_global", oracle=_B17_ORACLE, tags=("agg",))
+def b_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-grouping) aggregate — single final reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        dsum("o_totalprice").alias("total_revenue"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+_B18_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("b_agg_distinct", oracle=_B18_ORACLE, tags=("agg",))
+def b_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand + two-phase)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("b_agg_approx_cd", oracle=None, tags=("agg", "approx"))
+def b_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch-mergeable, the
+    100 TB path for distinct counts; rows-only check (approximate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+_B20_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_dsum("o_totalprice")} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+HAVING COUNT(*) > 100 AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+"""
+
+
+@register("b_agg_having", oracle=_B20_ORACLE, tags=("agg",))
+def b_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation filter on aggregate expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.sum(dec2("o_totalprice")).alias("_rev_dec"),
+        )
+        .where((F.col("n_orders") > 100) & (F.col("_rev_dec") > 1000000))
+        .drop("_rev_dec")
+    )
+
+
+_B21R_ORACLE = f"""
+SELECT n_name, c_mktsegment, COUNT(*) AS n_rows, {sql_dsum("c_acctbal")} AS bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+@register("b_agg_rollup", oracle=_B21R_ORACLE, tags=("agg", "rollup"))
+def b_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (nation → nation×segment → grand)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_rows"), dsum("c_acctbal").alias("bal"))
+    )
+
+
+_B21C_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows, {sql_dsum("o_totalprice")} AS rev
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("b_agg_cube", oracle=_B21C_ORACLE, tags=("agg", "cube"))
+def b_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"), dsum("o_totalprice").alias("rev")
+    )
+
+
+_B22_ORACLE = """
+SELECT r_name,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("b_agg_collect", oracle=_B22_ORACLE, tags=("agg", "collect"))
+def b_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation, sorted for determinism, joined to a
+    string so the value-hash is representation-stable cross-engine."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"))
+    )

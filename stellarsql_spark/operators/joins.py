@@ -1,0 +1,254 @@
+"""Joins (SURVEY.md §2 B8–B15).
+
+Strategy notes for 100 TB:
+- Equi-joins on fact tables shuffle on the join key; Catalyst + AQE
+  pick sort-merge vs shuffled-hash and split skewed partitions.
+- Dimension joins (nation, region, bands) are explicitly
+  ``F.broadcast`` so no shuffle of the fact side happens at all.
+- The interval join anchors on an equi-key (user_id) so it is a
+  shuffle-equi-join with a range residual — NOT a nested-loop.
+- The as-of join is the union-timeline construction: one sort per
+  user partition, no pairwise blowup (O(n log n) instead of the
+  O(n·m) join+filter form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.functions.exact import dsum, sql_dsum
+from stellarsql_spark.registry import register
+
+_B8_ORACLE = f"""
+SELECT r_name, n_name, COUNT(*) AS n_orders, {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+GROUP BY r_name, n_name
+"""
+
+
+@register("b_join_inner", oracle=_B8_ORACLE, tags=("join",))
+def b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table inner equi-join chain; small dims broadcast explicitly."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+_B9_ORACLE = f"""
+WITH stats AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum("o_totalprice")} AS spend
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+),
+segment AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT c_custkey, c_name, o_custkey, COALESCE(n_orders, 0) AS n_orders, spend
+FROM segment FULL OUTER JOIN stats ON c_custkey = o_custkey
+"""
+
+
+@register("b_join_outer", oracle=_B9_ORACLE, tags=("join", "outer"))
+def b_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join producing nulls on both sides (left/right are the
+    degenerate one-sided cases of the same exchange+merge plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stats = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_raw"), dsum("o_totalprice").alias("spend"))
+    )
+    segment = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    return segment.join(stats, segment.c_custkey == stats.o_custkey, "full_outer").select(
+        "c_custkey",
+        "c_name",
+        "o_custkey",
+        F.coalesce(F.col("n_orders_raw"), F.lit(0)).alias("n_orders"),
+        "spend",
+    )
+
+
+_B10_ORACLE = """
+SELECT c_custkey, 'has_urgent' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'no_orders' AS tag FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("b_join_semi_anti", oracle=_B10_ORACLE, tags=("join", "semi"))
+def b_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("has_urgent"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti)
+
+
+_B11_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@register("b_join_cross", oracle=_B11_ORACLE, tags=("join", "cross"))
+def b_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (bounded: 5 × 25 rows)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+_B12_ORACLE = f"""
+SELECT p_brand, COUNT(*) AS n_items, {sql_dsum("l_extendedprice")} AS gross
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type LIKE 'PROMO%'
+GROUP BY p_brand
+"""
+
+
+@register("b_join_broadcast", oracle=_B12_ORACLE, tags=("join", "broadcast"))
+def b_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: fact side never shuffles — the
+    canonical dimension-join plan at any scale where part fits in RAM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type").like("PROMO%"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("gross"))
+    )
+
+
+# Value bands for the theta/range join — a literal dimension table.
+_BANDS = [
+    ("tiny", 0.0, 2.0),
+    ("small", 2.0, 5.0),
+    ("mid", 5.0, 10.0),
+    ("large", 10.0, 15.0),
+    ("huge", 15.0, 1e9),
+]
+
+_B13_ORACLE = """
+SELECT b.band, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN (VALUES ('tiny',0.0,2.0),('small',2.0,5.0),('mid',5.0,10.0),
+             ('large',10.0,15.0),('huge',15.0,1e9)) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+@register("b_join_range", oracle=_B13_ORACLE, tags=("join", "theta"))
+def b_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join against a broadcast band table →
+    BroadcastNestedLoopJoin, which is the right plan: the streamed fact
+    side scans once, bands live on every executor."""
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+    cond = (e.value >= bands.lo) & (e.value < bands.hi)
+    return (
+        e.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_B14_ORACLE = """
+SELECT e.user_id, COUNT(*) AS n_nearby
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND e.event_id <> p.event_id
+ AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+GROUP BY e.user_id
+"""
+
+
+@register("b_join_interval", oracle=_B14_ORACLE, tags=("join", "interval"))
+def b_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal overlap join anchored on an equi-key: shuffles on
+    user_id (equi) and applies the ±1h interval as a residual range
+    predicate — no nested loop over the full fact table."""
+    e = load_table(spark, sf_dir, "events").alias("e")
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .alias("p")
+    )
+    cond = (
+        (F.col("e.user_id") == F.col("p.user_id"))
+        & (F.col("e.event_id") != F.col("p.event_id"))
+        & (F.col("e.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e.ts") <= F.col("p.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return e.join(p, cond).groupBy(F.col("e.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_nearby")
+    )
+
+
+_B15_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("b_join_asof", oracle=_B15_ORACLE, tags=("join", "asof"))
+def b_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it
+    by the same user (inner: purchases with no prior click drop out).
+
+    Implementation is the union-timeline construction, the scalable
+    form Spark lacks natively: tag both sides, union, and run
+    ``last(click_ts, ignorenulls)`` over a per-user ordered window.
+    One shuffle + one sort per user partition — O(n log n), no
+    pairwise O(n·m) blowup, matching DuckDB ASOF JOIN semantics
+    (ties: p.ts >= c.ts, so an equal-timestamp click matches — the
+    side ordering puts clicks before purchases at the same ts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    timeline = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        timeline.withColumn("click_ts", click_ts)
+        .where((F.col("side") == 1) & F.col("click_ts").isNotNull())
+        .select("event_id", "user_id", "ts", "click_ts")
+    )

@@ -1,0 +1,72 @@
+"""Set operations (SURVEY.md §2 B31–B33)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_B31_ORACLE = """
+SELECT nationkey, src FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier WHERE s_acctbal > 9000
+) u
+UNION
+SELECT n_nationkey AS nationkey, 'nation' AS src FROM nation WHERE n_nationkey < 5
+"""
+
+
+@register("b_set_union", oracle=_B31_ORACLE, tags=("setop",))
+def b_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (no shuffle) + UNION DISTINCT (hash-dedup shuffle)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 5)
+    all_part = c.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    ).unionByName(
+        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src"))
+    )
+    nat = n.select(F.col("n_nationkey").alias("nationkey"), F.lit("nation").alias("src"))
+    return all_part.unionByName(nat).distinct()
+
+
+_B32_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("b_set_intersect", oracle=_B32_ORACLE, tags=("setop",))
+def b_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+_B33_ORACLE = """
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT ALL
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("b_set_except", oracle=_B33_ORACLE, tags=("setop",))
+def b_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — nations with no supplier (bag semantics)."""
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return n.exceptAll(s)

@@ -1,0 +1,154 @@
+"""Window functions (SURVEY.md §2 B23–B27).
+
+Each window shuffles once on its partition key then sorts within the
+partition — at scale the partition key choice (user_id, custkey,
+nation) is what bounds memory; all keys here are high-cardinality
+relative to data volume so partitions stay small. Ties are always
+broken by a unique key so results are deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_B23_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROW_NUMBER()  OVER w AS rn,
+       RANK()        OVER w AS rnk,
+       DENSE_RANK()  OVER w AS drnk,
+       NTILE(4)      OVER w AS quartile
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("b_win_rank", oracle=_B23_ORACLE, tags=("window", "rank"))
+def b_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions with a unique tie-break key."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_B24_ORACLE = """
+SELECT event_id, user_id, ts, event_type,
+       LAG(ts)  OVER w AS prev_ts,
+       LEAD(ts) OVER w AS next_ts,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+       FIRST_VALUE(event_type) OVER w AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("b_win_laglead", oracle=_B24_ORACLE, tags=("window", "analytic"))
+def b_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first per-user event deltas."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_micros("ts") - F.unix_micros(prev_ts)).alias("gap_us"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+_B25_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM orders
+WHERE o_custkey < 300
+"""
+
+
+@register("b_win_running_sum", oracle=_B25_ORACLE, tags=("window", "frame"))
+def b_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame (exact decimal)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+_B26_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+FROM events
+"""
+
+
+@register("b_win_moving_avg", oracle=_B26_ORACLE, tags=("window", "frame"))
+def b_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate with a RANGE frame over event-time seconds
+    (trailing 1 hour per user)."""
+    e = load_table(spark, sf_dir, "events").withColumn("epoch_usec", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("epoch_usec").rangeBetween(-3_600_000_000, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("hour_sum"),
+        F.count("*").over(w).alias("hour_n"),
+    )
+
+
+_B27_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+"""
+
+
+@register("b_win_dist", oracle=_B27_ORACLE, tags=("window", "dist"))
+def b_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — distribution functions (exact: both
+    engines compute integer-rank ratios in double)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -1,0 +1,205 @@
+"""Deduplication operators (SURVEY.md §2 B50–B51 + SimHash/Jaccard).
+
+Scale design:
+- exact dedup: hash → groupBy → keep-min. One shuffle on the 128-bit
+  text hash; at 100 TB the hash column (16 B) is what shuffles, not
+  the documents.
+- n-gram Jaccard: inverted-index self-join on shingle (candidate pairs
+  share ≥1 shingle) — never the O(n²) cross join. Skew guard: drop
+  ubiquitous shingles (document frequency cap) before the join, the
+  standard trick for power-law shingle distributions.
+- SimHash: 60-bit fingerprint via md5-derived token hashes —
+  bit-identical in Spark and DuckDB, so it carries a full hash oracle.
+- MinHash-LSH: `pyspark.ml` MinHashLSH over shingle count-vectors —
+  the approximate scale path (banding → bucket join), rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_B50_ORACLE = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("b_llm_dedup_exact", oracle=_B50_ORACLE, tags=("pipeline", "dedup"))
+def b_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-text hash, keep lowest doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+JACCARD_THRESHOLD = 0.2
+
+_B51J_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shin AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM words
+  WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shin GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shin a JOIN shin b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, n_common,
+       CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+FROM pairs
+JOIN counts ca ON doc1 = ca.doc_id
+JOIN counts cb ON doc2 = cb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def shingles(col, k: int = 3):
+    """Distinct k-word shingles of a space-tokenized text column."""
+    words = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+
+
+@register("b_llm_jaccard", oracle=_B51J_ORACLE, tags=("pipeline", "dedup", "jaccard"))
+def b_llm_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join
+    (candidates must share a shingle; integer-ratio jaccard is exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    shin = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    counts = shin.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shin.alias("a"), shin.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        pairs.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select("doc1", "doc2", "n_common", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# SimHash: 60-bit fingerprint. Token hash = first 15 hex chars of
+# md5(token) parsed as an integer — reproducible in any engine with
+# md5, which is what makes this variant hash-oracle-checkable.
+_SIMHASH_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+hashed AS (
+  SELECT doc_id, cnt,
+         CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+  FROM tokens
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM hashed, unnest(range(0, 60)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+@register("b_llm_simhash", oracle=_SIMHASH_ORACLE, tags=("pipeline", "dedup", "simhash"))
+def b_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (60-bit, md5-token-hash based).
+
+    Two shuffles, both on doc-bounded keys: (doc, word) token counts,
+    then (doc, bit) majority vote — no pairwise work; near-dup lookup
+    is then a hamming-ball probe on the fingerprint.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hashed = tokens.withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+    )
+    bits = (
+        hashed.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(h >> b) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+@register("b_llm_dedup_near", oracle=None, tags=("pipeline", "dedup", "lsh", "approx"))
+def b_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH approximate near-dup pairs (the banding scale path:
+    shingle → sparse count vector → minhash bands → bucket join).
+    Approximate → rows-only driver check; seeded for determinism."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    shin = d.select("doc_id", shingles(F.col("text")).alias("sh")).where(F.size("sh") > 0)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True, minDF=1.0)
+    model = cv.fit(shin)
+    vecs = model.transform(shin)
+    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)
+    lsh_model = lsh.fit(vecs)
+    pairs = lsh_model.approxSimilarityJoin(vecs, vecs, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc1"),
+            F.col("datasetB.doc_id").alias("doc2"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_approx"),
+        )
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embeddings (SURVEY.md §2 B52).
+
+Two tiers, as a real vector pipeline would ship them:
+- brute-force cosine top-k (exact baseline): broadcast the (small)
+  query set against the full corpus — the fact side streams, no
+  shuffle of the corpus; per-row work is a 64-wide fused JVM
+  expression (`zip_with` + `aggregate`), no Python.
+- random-hyperplane LSH bucketing (approximate scale path): corpus is
+  pre-bucketed by sign-bit signature; a query probes only its bucket,
+  turning O(N) scans into O(N/2^bits) — the 100 TB design where the
+  bucketed corpus is also *stored* partitioned by signature for
+  partition pruning.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+
+
+def dot(a, b):
+    """Sequential (index-ordered) double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+_B52_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(qe, ce), 6) AS sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@register("b_llm_cosine_topk", oracle=_B52_ORACLE, tags=("pipeline", "similarity"))
+def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries × corpus scan.
+    Similarity rounded to 6 dp so last-ulp summation-order differences
+    cannot flip the hash or the ranking tie-break."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+N_PLANES = 6  # 64 buckets
+
+
+def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
+    rng = random.Random(42)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def signature(emb_col, planes: list[list[float]]):
+    """Sign-bit LSH signature: bit i = (emb · plane_i) >= 0."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        bit = (dot(emb_col, plane_arr) >= 0).cast("int")
+        sig = sig + bit * (1 << i)
+    return sig
+
+
+@register("b_llm_ann_lsh", oracle=None, tags=("pipeline", "similarity", "approx"))
+def b_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: query probes only its
+    own signature bucket (fixed seed → deterministic buckets; recall
+    is approximate → rows-only check). At scale the corpus would be
+    written partitioned by `bucket` so the probe prunes partitions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    bucketed = e.select(
+        F.col("vec_id"), F.col("embedding"), signature(F.col("embedding"), planes).alias("bucket")
+    )
+    queries = (
+        bucketed.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cands = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+COSINE_NEARDUP_THRESHOLD = 0.8
+
+_EMBDUP_ORACLE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+@register("b_llm_embed_neardup", oracle=_EMBDUP_ORACLE, tags=("pipeline", "dedup", "embedding"))
+def b_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact threshold scan).
+    Brute-force at test scale; the LSH bucket join above is the same
+    operator's 100 TB candidate-generation path."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    sim = F.round(dot(F.col("e1"), F.col("e2")) / (norm(F.col("e1")) * norm(F.col("e2"))), 6)
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("sim"))
+        .where(F.col("sim") >= COSINE_NEARDUP_THRESHOLD)
+    )

@@ -1,0 +1,205 @@
+"""Text analysis operators (SURVEY.md §2 B53–B54 + langid / quality /
+token counting / fingerprinting).
+
+All scoring is integer-ratio or md5-derived arithmetic so every query
+carries a full DuckDB hash oracle. Everything is built-in-function
+JVM code — at 100 TB these are embarrassingly parallel scans with one
+small aggregation shuffle at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_B53_ORACLE = """
+SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+@register("b_llm_wordcount", oracle=_B53_ORACLE, tags=("pipeline", "text"))
+def b_llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → count: global top-20 words (ties broken
+    alphabetically). The explode is map-side; only (word, partial
+    counts) shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+_B54_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+@register("b_llm_textstats", oracle=_B54_ORACLE, tags=("pipeline", "text"))
+def b_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document stats with an exact median (linear
+    interpolation over ints is exact in double in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).cast("double").alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.expr("percentile(n_chars, 0.5)").cast("double").alias("median_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+
+
+# Language ID: n-gram/stopword heuristic. The corpus vocabulary is
+# English query-engine words, so English function words are the signal.
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> list_contains({_SW_SQL}, w))) AS sw_hits,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, sw_hits, n_tokens,
+       CAST(sw_hits AS DOUBLE) / n_tokens AS sw_ratio,
+       CASE WHEN CAST(sw_hits AS DOUBLE) / n_tokens >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+@register("b_llm_langid", oracle=_LANGID_ORACLE, tags=("pipeline", "text", "langid"))
+def b_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio thresholding (exact
+    integer ratio; a real system would extend to char-n-gram profiles
+    per language — same plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    ratio = hits.cast("double") / F.size(words)
+    return d.select(
+        "doc_id",
+        "lang",
+        hits.alias("sw_hits"),
+        F.size(words).alias("n_tokens"),
+        ratio.alias("sw_ratio"),
+        F.when(ratio >= 0.02, "en").otherwise("und").alias("lang_pred"),
+    )
+
+
+_QUALITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(replace(text, ' ', '')) AS n_nonspace,
+         len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_unique,
+       CAST(n_nonspace AS DOUBLE) / n_tokens AS mean_word_len,
+       CAST(n_unique AS DOUBLE) / n_tokens AS ttr,
+       CASE WHEN n_tokens >= 30 AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3
+            THEN 'keep' ELSE 'drop' END AS quality
+FROM m
+"""
+
+
+@register("b_llm_quality", oracle=_QUALITY_ORACLE, tags=("pipeline", "text", "quality"))
+def b_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, type-token ratio →
+    keep/drop gate (the standard pre-training corpus filter shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_unique = F.size(F.array_distinct(words))
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    ttr = n_unique.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        mean_wl.alias("mean_word_len"),
+        ttr.alias("ttr"),
+        F.when((n_tokens >= 30) & (ttr >= 0.3), "keep").otherwise("drop").alias("quality"),
+    )
+
+
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_llm_tokens
+FROM documents
+"""
+
+
+@register("b_llm_tokens", oracle=_TOKENS_ORACLE, tags=("pipeline", "text", "tokens"))
+def b_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, BPE-ish regex pieces, and the
+    chars/4 LLM estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_llm_tokens"),
+    )
+
+
+# Rolling-hash fingerprint: min/max of md5-derived 60-bit shingle
+# hashes — a 2-value winnowing-style sketch, cross-engine exact.
+_FP_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shin AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM words WHERE len(w) >= 3
+)
+SELECT doc_id,
+       MIN(CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)) AS fp_min,
+       MAX(CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)) AS fp_max,
+       COUNT(DISTINCT sh) AS n_shingles
+FROM shin
+GROUP BY doc_id
+"""
+
+
+@register("b_llm_fingerprint", oracle=_FP_ORACLE, tags=("pipeline", "text", "fingerprint"))
+def b_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: extrema of rolling 3-gram shingle hashes
+    (md5-based 60-bit values → identical in any engine)."""
+    from stellarsql_spark.pipeline.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    return sh.groupBy("doc_id").agg(
+        F.min(h).alias("fp_min"),
+        F.max(h).alias("fp_max"),
+        F.countDistinct("sh").alias("n_shingles"),
+    )

@@ -1,0 +1,86 @@
+"""Read/write connectors (SURVEY.md §2 B2–B3).
+
+The reference persists rows through its own disk interface
+(fixed-width encoded records + JSON metadata, ``src/storage/
+{diskinterface,file,bytescoder}.rs`` [pub, unverified]). The
+Spark-native equivalents are the built-in columnar/row sources with
+explicit schemas (never inferSchema in the engine path). Scratch
+output lives under the repo so nothing outside it is touched.
+
+Scale notes: partitioned parquet writes (`partitionBy`) create the
+directory layout that later enables static partition pruning;
+`maxRecordsPerFile`/AQE coalescing control file sizing at real scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=SCRATCH_ROOT)
+
+
+NATION_DDL = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+_B2_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey, 'csv' AS fmt FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'json' AS fmt FROM nation
+"""
+
+
+@register("b_read_csv_json", oracle=_B2_ORACLE, tags=("source", "csv", "json"))
+def b_read_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON round-trip with explicit schemas (no inference)."""
+    n = load_table(spark, sf_dir, "nation")
+    base = _scratch("csv_json")
+    csv_path, json_path = f"{base}/nation_csv", f"{base}/nation_json"
+    n.write.mode("overwrite").option("header", True).csv(csv_path)
+    n.write.mode("overwrite").json(json_path)
+    csv_back = (
+        spark.read.schema(NATION_DDL)
+        .option("header", True)
+        .csv(csv_path)
+        .withColumn("fmt", F.lit("csv"))
+    )
+    json_back = spark.read.schema(NATION_DDL).json(json_path).withColumn("fmt", F.lit("json"))
+    return csv_back.unionByName(json_back)
+
+
+_B3_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+"""
+
+
+@register("b_write_roundtrip", oracle=_B3_ORACLE, tags=("sink", "parquet", "partitioned"))
+def b_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + partition-pruned read-back.
+
+    The read-back filter on the partition column prunes directories
+    (visible as PartitionFilters in the scan node) — the mechanism
+    that turns a 100 TB scan into a per-partition one.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    out = _scratch("part_write")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_orderstatus").isin("F", "O"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

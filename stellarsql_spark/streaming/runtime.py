@@ -1,0 +1,108 @@
+"""Streaming runtime (SURVEY.md §2 B39–B45): run the shared logical
+plans as real Structured Streaming queries.
+
+Pattern: parquet file source → transform → memory sink →
+``processAllAvailable()`` (synchronous drain), which exercises the
+incremental micro-batch engine, state stores, and watermark tracking
+without an external bus. At production scale the same code points at
+Kafka and a real sink; nothing in the transforms changes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table, table_path
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a file-based streaming source (schema-explicit)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .load(table_path(sf_dir, "events"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame synchronously into a memory sink and
+    return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_with_watermark(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """B39+B42: tumbling agg with a watermark bounding window state."""
+    from stellarsql_spark.streaming.windows import tumbling_hourly
+
+    return tumbling_hourly(events_stream(spark, sf_dir).withWatermark("ts", watermark))
+
+
+def stateful_dedup(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """B43: dropDuplicatesWithinWatermark on (user_id, event_type) —
+    state is purged once the watermark passes, so memory is bounded."""
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: stream ⋈ static dimension (no state needed on the static
+    side; at scale the static side is broadcast per micro-batch)."""
+    stream = events_stream(spark, sf_dir)
+    users = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        stream.join(F.broadcast(users), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: arbitrary stateful op via applyInPandasWithState — a
+    per-user running event counter with explicit GroupState."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

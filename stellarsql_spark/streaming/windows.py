@@ -1,0 +1,114 @@
+"""Event-time windowed aggregations (SURVEY.md §2 B39–B41).
+
+Each operator is expressed once over the `events` table and is valid
+in BOTH execution modes: the registry entry runs it in batch mode
+(deterministic → full DuckDB hash oracle), and
+``stellarsql_spark.streaming.runtime`` runs the same logical plan as
+an incremental micro-batch stream with watermarks (exercised in unit
+tests; see SURVEY.md §5.2.5). That one-plan-two-modes property is the
+core Structured Streaming design and what makes these operators
+100 TB-stream-safe: state is keyed by (window, group) and bounded by
+the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_B39_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window × event_type aggregate (mode-agnostic)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register("b_stream_tumbling", oracle=_B39_ORACLE, tags=("streaming", "window"))
+def b_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+# Sliding windows: every event belongs to size/slide = 4 windows whose
+# starts are the four 15-min marks in (ts-1h, ts]. The oracle expands
+# them explicitly with a 0..3 offset cross join.
+_B40_ORACLE = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+"""
+
+
+def sliding_15m(events: DataFrame) -> DataFrame:
+    """1-hour window sliding every 15 minutes (mode-agnostic)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register("b_stream_sliding", oracle=_B40_ORACLE, tags=("streaming", "window"))
+def b_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_15m(load_table(spark, sf_dir, "events"))
+
+
+# Session windows: gap-based (30 min). Oracle is the classic
+# gaps-and-islands construction.
+_B41_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def session_30m(events: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user (mode-agnostic)."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value")
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+@register("b_stream_session", oracle=_B41_ORACLE, tags=("streaming", "window"))
+def b_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_30m(load_table(spark, sf_dir, "events"))
