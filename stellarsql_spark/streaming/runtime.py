@@ -10,6 +10,7 @@ Kafka and a real sink; nothing in the transforms changes.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,19 +18,33 @@ from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table, table_path
 
+# ts declared BIGINT: the corpus stores TIMESTAMP(NANOS) which Spark's
+# reader only accepts as raw longs (same handling as catalog.load_table).
 EVENTS_DDL = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
 
+def _stream_dir(sf_dir: str) -> str:
+    """FileStreamSource wants a directory; expose events.parquet through
+    a per-SF symlink directory under the repo scratch area."""
+    from stellarsql_spark.sources.io import SCRATCH_ROOT
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    d = os.path.join(SCRATCH_ROOT, f"stream_events{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a file-based streaming source (schema-explicit)."""
-    return (
-        spark.readStream.schema(EVENTS_DDL)
-        .format("parquet")
-        .load(table_path(sf_dir, "events"))
-    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_DDL).format("parquet").load(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -1,0 +1,114 @@
+"""Operator edge-case unit tests the oracle matrix under-covers
+(SURVEY.md §5.2.3): nulls in join keys, empty groups, rank ties,
+as-of tie semantics, timestamp precision."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+
+
+def test_join_null_keys_dropped(spark):
+    """SQL semantics: null join keys never match (not even null=null)."""
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k int, w string")
+    out = left.join(right, "k").collect()
+    assert len(out) == 1 and out[0]["k"] == 1
+
+
+def test_outer_join_preserves_null_key_rows(spark):
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = left.join(right, ["k"], "left").orderBy(F.col("v")).collect()
+    assert len(out) == 2
+    assert out[1]["w"] is None
+
+
+def test_empty_group_aggregate(spark):
+    df = spark.createDataFrame([], "g string, x double")
+    # global agg over empty input: count=0, sum=null
+    row = df.agg(F.count("*").alias("n"), F.sum("x").alias("s")).collect()[0]
+    assert row["n"] == 0 and row["s"] is None
+    # grouped agg over empty input: no rows
+    assert df.groupBy("g").agg(F.sum("x")).count() == 0
+
+
+def test_rank_tie_semantics(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 1), ("c", 2)], "k string, v int")
+    w = Window.orderBy("v", "k")
+    wv = Window.orderBy("v")
+    out = {
+        r["k"]: (r["rn"], r["rk"], r["dr"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wv).alias("rk"),
+            F.dense_rank().over(wv).alias("dr"),
+        ).collect()
+    }
+    assert out["a"] == (1, 1, 1)
+    assert out["b"] == (2, 1, 1)  # tie: same rank, unique row_number
+    assert out["c"] == (3, 3, 2)  # rank skips, dense_rank doesn't
+
+
+def test_asof_equal_timestamp_click_matches(spark):
+    """DuckDB ASOF `p.ts >= c.ts`: a click at exactly the purchase ts
+    must match (our union-timeline orders side=click first on ties)."""
+    from stellarsql_spark.operators.joins import b_join_asof
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, ts, 7, "click", 0.0, "{}"),
+        (2, ts, 7, "purchase", 1.0, "{}"),  # same instant as the click
+        (3, ts - datetime.timedelta(hours=1), 8, "purchase", 1.0, "{}"),  # no prior click
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    import os
+    import tempfile
+
+    events = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as d:
+        path = os.path.join(d, "events.parquet")
+        events.coalesce(1).write.parquet(path)
+        out = b_join_asof(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 2 and out[0]["click_ts"] == ts
+
+
+def test_events_ts_microsecond_truncation(spark, sf_dir):
+    """events.ts is ns in parquet; the catalog must expose µs values
+    identical to DuckDB's truncation."""
+    import duckdb
+
+    e = load_table(spark, sf_dir, "events").orderBy("event_id").limit(5).collect()
+    duck = duckdb.sql(
+        f"SELECT ts FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 5"
+    ).fetchall()
+    for spark_row, duck_row in zip(e, duck):
+        assert spark_row["ts"] == duck_row[0]
+
+
+def test_collect_set_sorted_deterministic(spark, sf_dir):
+    from stellarsql_spark.operators.aggregates import b_agg_collect
+
+    a = {r["r_name"]: r["nations"] for r in b_agg_collect(spark, sf_dir).collect()}
+    b = {r["r_name"]: r["nations"] for r in b_agg_collect(spark, sf_dir).collect()}
+    assert a == b
+    assert all("," in v for v in a.values())
+
+
+def test_decimal_sum_order_independence(spark, sf_dir):
+    """The exact-decimal convention: same result under different
+    partitionings (a shuffled double sum would drift in last bits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = li.coalesce(1).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    many = li.repartition(16).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    assert one == many

@@ -1,0 +1,67 @@
+"""Structured Streaming runtime tests (SURVEY.md §2 B39–B45): the
+shared logical plans executed as real incremental streams via memory
+sink + processAllAvailable, cross-checked against their batch form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.streaming import runtime
+from stellarsql_spark.streaming.windows import tumbling_hourly
+
+
+def _as_sorted_tuples(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    """One logical plan, two engines: incremental micro-batch result
+    must equal the batch result exactly."""
+    stream_out = runtime.run_to_memory(
+        runtime.tumbling_with_watermark(spark, sf_dir), output_mode="complete"
+    )
+    batch_out = tumbling_hourly(load_table(spark, sf_dir, "events"))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch_out, cols)
+
+
+def test_streaming_watermark_metadata(spark, sf_dir):
+    """B42: the watermark is attached to the streaming plan (late-data
+    drop policy is engine-enforced from this node)."""
+    df = runtime.tumbling_with_watermark(spark, sf_dir, watermark="1 hour")
+    assert df.isStreaming
+    out = runtime.run_to_memory(df, output_mode="append")
+    # append mode only emits windows the watermark has closed
+    assert out.count() > 0
+
+
+def test_streaming_stateful_dedup(spark, sf_dir):
+    """B43: dropDuplicatesWithinWatermark keeps one row per key."""
+    out = runtime.run_to_memory(runtime.stateful_dedup(spark, sf_dir), "append")
+    dupes = out.groupBy("user_id", "event_type").count().where(F.col("count") > 1).count()
+    assert dupes == 0
+    assert out.count() > 0
+
+
+def test_stream_static_join(spark, sf_dir):
+    """B44: stream ⋈ static dimension, aggregated per segment."""
+    out = runtime.run_to_memory(runtime.stream_static_join(spark, sf_dir), "complete")
+    rows = {r["c_mktsegment"]: r["n_events"] for r in out.collect()}
+    assert len(rows) >= 1 and all(v > 0 for v in rows.values())
+
+
+def test_arbitrary_stateful_running_count(spark, sf_dir):
+    """B45: applyInPandasWithState per-user counter; final counts must
+    equal the batch group-by counts."""
+    out = runtime.run_to_memory(runtime.stateful_running_count(spark, sf_dir), "update")
+    # update mode may emit several versions per key; last one wins
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    a = {r["user_id"]: r["n_events"] for r in final.collect()}
+    b = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert a == b
