@@ -1,0 +1,134 @@
+"""Pivot / unpivot / grouping sets / sampling (SURVEY.md §2 B21
+extension + common OLAP reshaping).
+
+Pivot compiles to a single aggregate with one conditional-agg column
+per pivot value (values enumerated up front, so the plan is static —
+the 100 TB-safe form; never pivot on unbounded cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table, register_views
+from stellarsql_spark.functions.exact import sql_dsum
+from stellarsql_spark.registry import register
+
+_PIVOT_ORACLE = f"""
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("b_pivot", oracle=_PIVOT_ORACLE, tags=("reshape", "pivot"))
+def b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per segment × order status (explicit value list
+    → static plan; oracle is the equivalent conditional aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT s_suppkey, 'acctbal' AS measure, s_acctbal AS val FROM supplier
+UNION ALL
+SELECT s_suppkey, 'nationkey' AS measure, CAST(s_nationkey AS DOUBLE) AS val FROM supplier
+"""
+
+
+@register("b_unpivot", oracle=_UNPIVOT_ORACLE, tags=("reshape", "unpivot"))
+def b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns → (measure, value) rows."""
+    s = load_table(spark, sf_dir, "supplier").withColumn(
+        "nat_d", F.col("s_nationkey").cast("double")
+    )
+    return s.unpivot(
+        ids=["s_suppkey"],
+        values=["s_acctbal", "nat_d"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "s_acctbal", "acctbal").otherwise("nationkey"),
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {sql_dsum("o_totalprice")} AS rev
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("b_agg_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg", "grouping_sets"))
+def b_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GSETS_ORACLE)
+
+
+@register("b_sample_seeded", oracle=None, tags=("sample", "approx"))
+def b_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + stratified sampleBy — reproducible
+    within Spark (fixed seed) but engine-specific RNG → rows-only.
+    The deterministic cross-engine alternative is b_llm_split below."""
+    o = load_table(spark, sf_dir, "orders")
+    plain = o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_orderstatus")
+    strat = o.sampleBy(
+        "o_orderstatus", fractions={"F": 0.05, "O": 0.05, "P": 0.5}, seed=42
+    ).select("o_orderkey", "o_orderstatus")
+    return plain.withColumn("method", F.lit("bernoulli")).unionByName(
+        strat.withColumn("method", F.lit("stratified"))
+    )
+
+
+# Deterministic hash split: the reproducible, engine-independent way to
+# partition a corpus into train/val/test (md5 is identical everywhere).
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM assigned
+GROUP BY 1
+"""
+
+
+@register("b_llm_split", oracle=_SPLIT_ORACLE, tags=("pipeline", "split"))
+def b_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
+    stable under reshuffling, engine-independent, join-free."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Subqueries & CTEs through the SQL entry point (SURVEY.md §3.2-1).
+
+These exercise Catalyst's subquery machinery: scalar-subquery
+rewrite, IN→left-semi conversion, and correlated-subquery
+decorrelation (`RewriteCorrelatedScalarSubquery`) — all free once the
+query is declared in SQL. The same ANSI text runs on DuckDB as the
+oracle, so parser + rewrite semantics are pinned end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stellarsql_spark.catalog import register_views
+from stellarsql_spark.registry import register
+
+_CTE_ORACLE = """
+WITH seg_stats AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS seg_bal,
+         COUNT(*) AS seg_n
+  FROM customer GROUP BY c_mktsegment
+),
+big AS (
+  SELECT * FROM seg_stats WHERE seg_n > 10
+)
+SELECT c_mktsegment, seg_bal, seg_n,
+       CAST(seg_bal / seg_n AS DOUBLE) AS avg_bal
+FROM big
+"""
+
+
+@register("b_sql_cte", oracle=_CTE_ORACLE, tags=("sql", "cte"))
+def b_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs (WITH ... , ...) through Spark's SQL parser."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_CTE_ORACLE)
+
+
+_SCALAR_SUBQ_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(AVG(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 1.5
+                   FROM supplier)
+"""
+
+
+@register("b_sql_scalar_subquery", oracle=_SCALAR_SUBQ_ORACLE, tags=("sql", "subquery"))
+def b_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate."""
+    register_views(spark, sf_dir, ("customer", "supplier"))
+    return spark.sql(_SCALAR_SUBQ_ORACLE)
+
+
+_IN_SUBQ_ORACLE = """
+SELECT p_partkey, p_brand, p_size
+FROM part
+WHERE p_partkey IN (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+)
+AND p_size < 10
+"""
+
+
+@register("b_sql_in_subquery", oracle=_IN_SUBQ_ORACLE, tags=("sql", "subquery"))
+def b_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → left-semi join after rewrite."""
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(_IN_SUBQ_ORACLE)
+
+
+_CORR_SUBQ_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("b_sql_corr_subquery", oracle=_CORR_SUBQ_ORACLE, tags=("sql", "subquery"))
+def b_sql_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer average) — Catalyst
+    decorrelates to an aggregate + join; DuckDB does the same rewrite,
+    and the decimal-exact AVG keeps both sides bit-identical."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CORR_SUBQ_ORACLE)

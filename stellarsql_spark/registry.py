@@ -30,6 +30,9 @@ Builder = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.tier_a",
     "stellarsql_spark.operators.filters",
+    "stellarsql_spark.operators.tpch",
+    "stellarsql_spark.operators.reshape",
+    "stellarsql_spark.operators.subqueries",
     "stellarsql_spark.operators.aggregates",
     "stellarsql_spark.operators.joins",
     "stellarsql_spark.operators.windows",
@@ -40,6 +43,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.functions.udfs",
     "stellarsql_spark.streaming.windows",
     "stellarsql_spark.pipeline.dedup",
+    "stellarsql_spark.pipeline.groups",
     "stellarsql_spark.pipeline.similarity",
     "stellarsql_spark.pipeline.textstats",
     "stellarsql_spark.pipeline.multimodal",
