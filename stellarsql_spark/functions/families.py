@@ -196,6 +196,40 @@ def b_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MISC_ORACLE = """
+SELECT c_custkey,
+       GREATEST(c_acctbal, 1000.0) AS bal_floor1k,
+       LEAST(c_acctbal, 5000.0) AS bal_cap5k,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_nvl,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_lev,
+       CAST(c_custkey & 255 AS BIGINT) AS key_and,
+       CAST(c_custkey | 1 AS BIGINT) AS key_or,
+       CAST(xor(c_custkey, 42) AS BIGINT) AS key_xor,
+       CAST(c_custkey << 2 AS BIGINT) AS key_shl
+FROM customer
+WHERE c_custkey < 300
+"""
+
+
+@register("b_fn_misc", oracle=_MISC_ORACLE, tags=("function", "misc"))
+def b_fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least, null-default, edit distance, bitwise ops."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.greatest("c_acctbal", F.lit(1000.0)).alias("bal_floor1k"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_nvl"
+        ),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_lev"),
+        F.expr("c_custkey & 255").cast("bigint").alias("key_and"),
+        F.expr("c_custkey | 1").cast("bigint").alias("key_or"),
+        F.expr("c_custkey ^ 42").cast("bigint").alias("key_xor"),
+        F.expr("shiftleft(c_custkey, 2)").cast("bigint").alias("key_shl"),
+    )
+
+
 _B37X_ORACLE = """
 SELECT vec_id,
        CAST(unnest(range(0, len(embedding))) AS INT) AS pos0,

@@ -87,28 +87,48 @@ def shingles(col, k: int = 3):
 
 
 @register("b_llm_jaccard", oracle=_B51J_ORACLE, tags=("pipeline", "dedup", "jaccard"))
-def b_llm_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b_llm_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None = None) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join
-    (candidates must share a shingle; integer-ratio jaccard is exact)."""
+    (candidates must share a shingle; integer-ratio jaccard is exact).
+
+    ``df_cap``: optional document-frequency cap — drop shingles that
+    appear in more than df_cap docs before the self-join. This is the
+    100 TB skew guard (hot shingles create quadratic bucket blowup);
+    it makes candidate recall approximate, so the oracle-checked
+    registry entry runs uncapped and the capped form is exercised in
+    tests (tests/test_operators.py::test_jaccard_df_cap).
+    """
     d = load_table(spark, sf_dir, "documents")
-    shin = (
+    docs = (
         d.where(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", shingles(F.col("text")).alias("sh_arr"))
     )
-    counts = shin.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shin = docs.select("doc_id", F.explode("sh_arr").alias("sh"))
+    if df_cap is not None:
+        # skew guard: hot shingles (df > cap) leave the candidate index;
+        # scoring below still uses the FULL shingle sets, so capping
+        # loses recall only — surviving pairs keep their exact score.
+        rare = (
+            shin.groupBy("sh")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("sh")
+        )
+        shin = shin.join(rare, "sh")
     a, b = shin.alias("a"), shin.alias("b")
-    pairs = (
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    jac = F.col("n_common").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    da = docs.select(F.col("doc_id").alias("doc1"), F.col("sh_arr").alias("sh1"))
+    db = docs.select(F.col("doc_id").alias("doc2"), F.col("sh_arr").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = n_common.cast("double") / (F.size("sh1") + F.size("sh2") - n_common)
     return (
-        pairs.join(ca, F.col("doc1") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
-        .select("doc1", "doc2", "n_common", jac.alias("jaccard"))
+        cand.join(da, "doc1")
+        .join(db, "doc2")
+        .select("doc1", "doc2", n_common.alias("n_common"), jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

@@ -33,6 +33,9 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.tpch",
     "stellarsql_spark.operators.reshape",
     "stellarsql_spark.operators.subqueries",
+    "stellarsql_spark.operators.timeseries",
+    "stellarsql_spark.operators.merge",
+    "stellarsql_spark.sources.bucketed",
     "stellarsql_spark.operators.aggregates",
     "stellarsql_spark.operators.joins",
     "stellarsql_spark.operators.windows",

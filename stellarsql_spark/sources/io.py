@@ -59,6 +59,29 @@ def b_read_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_back.unionByName(json_back)
 
 
+_ORC_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       array_to_string(list_sort(list(n_name)), ',') AS names
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("b_write_orc", oracle=_ORC_ORACLE, tags=("sink", "orc"))
+def b_write_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (second columnar format, built into Spark):
+    write nation as ORC, read back, aggregate — oracle runs the same
+    aggregate on the original table."""
+    n = load_table(spark, sf_dir, "nation")
+    out = _scratch("orc")
+    n.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+    )
+
+
 _B3_ORACLE = """
 SELECT o_orderstatus, COUNT(*) AS n_rows,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -101,6 +101,22 @@ def test_collect_set_sorted_deterministic(spark, sf_dir):
     assert all("," in v for v in a.values())
 
 
+def test_jaccard_df_cap_is_subset(spark, sf_dir):
+    """The skew-guard cap may only DROP candidate pairs (recall loss),
+    never invent or rescore them."""
+    from stellarsql_spark.pipeline.dedup import b_llm_jaccard
+
+    full = {
+        (r["doc1"], r["doc2"]): r["jaccard"] for r in b_llm_jaccard(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in b_llm_jaccard(spark, sf_dir, df_cap=50).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(full[k] == v for k, v in capped.items())
+
+
 def test_decimal_sum_order_independence(spark, sf_dir):
     """The exact-decimal convention: same result under different
     partitionings (a shuffled double sum would drift in last bits)."""

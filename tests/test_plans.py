@@ -74,6 +74,22 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The whole point of bucketed storage: orders⋈lineitem without
+    shuffling either side."""
+    from stellarsql_spark.sources.bucketed import bucketed_join
+
+    df = bucketed_join(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    # the only Exchange allowed is the post-join aggregation shuffle;
+    # nothing between the scans and the join may shuffle
+    tree = plan.split("(1) ")[0]
+    join_inputs = tree.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_inputs, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     from stellarsql_spark.operators.aggregates import b_agg_groupby
 
