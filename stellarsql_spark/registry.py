@@ -31,6 +31,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.tier_a",
     "stellarsql_spark.operators.filters",
     "stellarsql_spark.operators.tpch",
+    "stellarsql_spark.operators.tpch2",
     "stellarsql_spark.operators.reshape",
     "stellarsql_spark.operators.subqueries",
     "stellarsql_spark.operators.timeseries",
