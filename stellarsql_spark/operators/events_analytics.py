@@ -1,0 +1,98 @@
+"""Product-analytics operators over the event stream (SURVEY.md §2
+B-9 adjacency): funnel conversion and cohort retention — the classic
+event-log rollups a warehouse engine is asked for daily.
+
+Scale shape: both operators are one groupBy over events (shuffle keyed
+by user_id) followed by aggregation of a per-user row that is tiny and
+bounded — 100 TB of raw events collapses to |users| rows after the
+first partial aggregate. No window over the full log, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_FUNNEL_ORACLE = """
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS n_signup,
+       COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS n_click_after_signup,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                  THEN 1 END) AS n_full_funnel
+FROM stage
+"""
+
+
+@register("b_ev_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel", "agg"))
+def b_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: first-touch timestamp
+    per stage per user (conditional MIN), then one global count of
+    users whose stages happened in order."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_touch(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_touch("signup").alias("t_signup"),
+        first_touch("click").alias("t_click"),
+        first_touch("purchase").alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias("n_click_after_signup"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week FROM events
+)
+SELECT cohort_week,
+       CAST(FLOOR(DATE_DIFF('day', cohort_week, active_week) / 7.0) AS INT) AS week_offset,
+       COUNT(*) AS n_active
+FROM cohorts JOIN activity USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("b_ev_retention", oracle=_RETENTION_ORACLE, tags=("events", "retention", "agg"))
+def b_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted once per (cohort, weeks-since-cohort) they were
+    active in. The cohort table is |users|-sized and joins back on the
+    already-shuffled user_id key."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    week_offset = F.floor(
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7.0
+    ).cast("int")
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy("cohort_week", week_offset.alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -1,0 +1,121 @@
+"""Vector aggregation + IVF-style ANN (SURVEY.md §2 B52 scale path).
+
+- ``b_llm_centroids``: per-class mean vector via posexplode → groupBy
+  (label, position) — the distributed way to average vectors: the
+  shuffle carries |labels|×dim partial sums, never the vectors
+  themselves, so it is constant-size regardless of corpus size.
+- ``b_llm_ann_ivf``: inverted-file ANN. The centroids act as a coarse
+  quantizer (deterministic — no iterative k-means needed for the
+  operator's plan shape); every corpus vector is assigned to its
+  nearest centroid cell, and a query scans ONLY its own cell —
+  O(N/cells) instead of O(N) per query. At 100 TB the corpus is
+  stored partitioned by cell id so a probe is a partition-pruned scan.
+  Recall is approximate → rows-only check (the exact baseline is
+  ``b_llm_cosine_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.pipeline.similarity import N_QUERIES, TOP_K, dot, norm
+from stellarsql_spark.registry import register
+
+_CENTROID_ORACLE = """
+SELECT label, CAST(pos AS INT) AS pos,
+       ROUND(AVG(v), 6) AS centroid_val
+FROM (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+) exploded
+GROUP BY label, pos
+"""
+
+
+@register("b_llm_centroids", oracle=_CENTROID_ORACLE, tags=("pipeline", "vectors", "agg"))
+def b_llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, exploded to (label, pos, value) rows.
+    Rounded to 6 dp so float summation order cannot flip the hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+def _centroid_vectors(e: DataFrame) -> DataFrame:
+    """label → dense centroid array (ordered by position)."""
+    exploded = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    return exploded.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+
+
+NPROBE = 3
+
+
+@register("b_llm_ann_ivf", oracle=None, tags=("pipeline", "similarity", "approx"))
+def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign corpus vectors to their nearest centroid cell
+    (broadcast the tiny centroid table, pick argmin via row_number),
+    then each query probes its NPROBE nearest cells for cosine top-k —
+    scanning NPROBE/cells of the corpus instead of all of it."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cents = _centroid_vectors(e).select(F.col("label").alias("cell"), "cvec")
+
+    cell_sim = F.round(
+        dot(F.col("embedding"), F.col("cvec"))
+        / (norm(F.col("embedding")) * norm(F.col("cvec"))),
+        6,
+    )
+    pick = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
+    assigned = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    # queries probe their NPROBE nearest cells (recall knob, like
+    # faiss's nprobe): reuse the ranked cell similarities from `pick`
+    probe = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
+    queries = (
+        e.select("vec_id", "embedding")
+        .where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(probe))
+        .where(F.col("rn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qe"), F.col("embedding"))
+                / (norm(F.col("qe")) * norm(F.col("embedding"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)

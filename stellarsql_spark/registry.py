@@ -35,6 +35,8 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.reshape",
     "stellarsql_spark.operators.subqueries",
     "stellarsql_spark.operators.timeseries",
+    "stellarsql_spark.operators.events_analytics",
+    "stellarsql_spark.operators.skew",
     "stellarsql_spark.operators.merge",
     "stellarsql_spark.sources.bucketed",
     "stellarsql_spark.operators.aggregates",
@@ -49,6 +51,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.pipeline.dedup",
     "stellarsql_spark.pipeline.groups",
     "stellarsql_spark.pipeline.similarity",
+    "stellarsql_spark.pipeline.vectors",
     "stellarsql_spark.pipeline.textstats",
     "stellarsql_spark.pipeline.multimodal",
 )

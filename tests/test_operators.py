@@ -128,3 +128,36 @@ def test_decimal_sum_order_independence(spark, sf_dir):
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
     ).collect()[0][0]
     assert one == many
+
+
+def test_ivf_ann_recall_floor(spark, sf_dir):
+    """IVF with nprobe=3 of 10 cells must recover a meaningful share
+    of the exact top-k (loose floor — recall is data-dependent), and
+    scores must agree exactly with brute force for shared pairs."""
+    from stellarsql_spark.pipeline.similarity import b_llm_cosine_topk
+    from stellarsql_spark.pipeline.vectors import b_llm_ann_ivf
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in b_llm_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in b_llm_ann_ivf(spark, sf_dir).collect()
+    }
+    shared = set(exact) & set(ivf)
+    assert len(shared) / len(exact) >= 0.2
+    assert all(exact[k] == ivf[k] for k in shared)
+
+
+def test_salted_join_lane_uniformity(spark, sf_dir):
+    """Each original (order, lineitem) pair must land in exactly one
+    salt lane: salted row count == plain join row count."""
+    from stellarsql_spark.catalog import load_table as lt
+    from stellarsql_spark.operators.skew import b_join_salted
+
+    o = lt(spark, sf_dir, "orders")
+    li = lt(spark, sf_dir, "lineitem")
+    plain = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    salted_total = b_join_salted(spark, sf_dir).agg(F.sum("n_items")).collect()[0][0]
+    assert salted_total == plain
