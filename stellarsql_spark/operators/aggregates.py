@@ -210,3 +210,52 @@ def b_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"))
     )
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_POP(l_quantity, l_discount), 6) AS qty_disc_covar,
+       ROUND(STDDEV_POP(l_quantity), 6) AS qty_stddev,
+       ROUND(VAR_POP(l_discount), 6) AS disc_var
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("b_agg_stats", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+def b_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (corr/covar/stddev/variance). Rounded
+    to 6 dp: both engines use single-pass covariance updates whose
+    last-ulp order sensitivity rounding absorbs at these magnitudes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_pop("l_discount"), 6).alias("disc_var"),
+    )
+
+
+_HIST_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY bucket
+"""
+
+
+@register("b_agg_histogram", oracle=_HIST_ORACLE, tags=("agg", "histogram"))
+def b_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by explicit floor arithmetic (identical
+    IEEE ops in both engines, so bucket edges match bit-for-bit).
+    The scale shape is one partial+final hash agg keyed by bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

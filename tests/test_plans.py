@@ -98,3 +98,47 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" node prefix == inside a WholeStageCodegen stage
     assert "*(" in final and "isFinalPlan=true" in final, final
+
+
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    """Q6 is scan+filter+agg only: no join, no shuffle beyond the
+    single global-agg exchange, and the date/discount/quantity
+    predicates reach the parquet reader."""
+    from stellarsql_spark.operators.tpch2 import b_tpch_q6
+
+    df = b_tpch_q6(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+
+
+def test_tpch_q8_broadcasts_all_dims(spark, sf_dir):
+    """The 8-table Q8 join tree: part/nation/region/supplier sides
+    broadcast (no shuffle of the fact side per dim), and no cartesian
+    product sneaks in."""
+    from stellarsql_spark.operators.tpch2 import b_tpch_q8
+
+    plan = physical_plan(b_tpch_q8(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_semi_join(spark, sf_dir):
+    """The IN-subquery compiles to a semi join against the
+    pre-aggregated order keys, not a distinct + inner join."""
+    from stellarsql_spark.operators.tpch2 import b_tpch_q18
+
+    plan = physical_plan(b_tpch_q18(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted join must shuffle on the composite (key, salt) —
+    visible as hashpartitioning on both columns."""
+    from stellarsql_spark.operators.skew import b_join_salted
+
+    plan = physical_plan(b_join_salted(spark, sf_dir))
+    assert "salt" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -65,3 +65,37 @@ def test_arbitrary_stateful_running_count(spark, sf_dir):
     a = {r["user_id"]: r["n_events"] for r in final.collect()}
     b = {r["user_id"]: r["n_events"] for r in batch.collect()}
     assert a == b
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The stream-stream join must produce exactly the rows the same
+    join yields in batch mode over the full log."""
+    from stellarsql_spark.catalog import load_table
+    from stellarsql_spark.streaming.runtime import run_to_memory, stream_stream_join
+
+    got = {
+        (r["c_user"], r["click_id"], r["purchase_id"])
+        for r in run_to_memory(stream_stream_join(spark, sf_dir), "append").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["c_user"], r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
