@@ -34,6 +34,8 @@ HEADLINE = (
     "b_llm_dedup_exact",  # exact dedup over documents
     "b_win_running_sum",  # running-frame window
     "b_join_asof",        # as-of join (union-timeline construction)
+    "b_tpch_q3",          # shipping-priority join tree + top-10
+    "b_ev_funnel",        # event-log funnel rollup
 )
 
 

@@ -50,3 +50,39 @@ def b_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     batch = spark.createDataFrame(_BATCH, schema=region.schema)
     return merge_upsert(region, batch, "r_regionkey")
+
+
+_SCD2_ORACLE = """
+WITH versions AS (
+  SELECT user_id, ts AS valid_from, value,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM events
+  WHERE event_type = 'signup'
+)
+SELECT user_id, version, valid_from, valid_to,
+       CAST(valid_to IS NULL AS BOOLEAN) AS is_current,
+       CAST(value AS DOUBLE) AS value
+FROM versions
+"""
+
+
+@register("b_merge_scd2", oracle=_SCD2_ORACLE, tags=("merge", "scd2", "window"))
+def b_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user's signup events become
+    versioned rows with [valid_from, valid_to) ranges — valid_to is
+    the next version's start (LEAD), NULL marks the current row. One
+    window per user partition; at scale this is the standard way to
+    turn a change log into a dimension history without self-joins."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.col("value").cast("double").alias("value"),
+    )

@@ -108,3 +108,38 @@ def b_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_crc bigint"
+FRAME_STRIDE = 4
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'video frame sampling': emit every FRAME_STRIDE-th
+    frame index. Frame decode is stubbed (deterministic frame count and
+    checksum derived from payload bytes); a real implementation swaps
+    the two marked lines for a container demuxer, keeping the
+    one-row-in → many-rows-out batch shape that makes this a flatMap,
+    not a map."""
+    import zlib
+
+    for pdf in batches:
+        out_ids, out_idx, out_crc = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = 8 + payload[2] % 56  # stub: demuxer frame count
+            for i in range(0, n_frames, FRAME_STRIDE):
+                out_ids.append(doc_id)
+                out_idx.append(i)
+                out_crc.append(zlib.crc32(payload + i.to_bytes(4, "big")))  # stub: frame bytes
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "frame_idx": out_idx, "frame_crc": out_crc}
+        )
+
+
+@register("b_mm_frame_sample", oracle=None, tags=("pipeline", "multimodal", "stub"))
+def b_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-Nth-frame sampling over binary 'video' payloads via
+    mapInPandas (stubbed demuxer, real flatMap plumbing; rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
