@@ -1,0 +1,127 @@
+"""SQL-surface parity extensions: LATERAL joins, value-window
+functions, error-safe try_* arithmetic, and a second string-function
+family (SURVEY.md §2 B-8/B-2 widening).
+
+All pure JVM expressions inside whole-stage codegen — nothing here
+adds a Python boundary or an extra shuffle beyond the window's own
+partition exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table, register_views
+from stellarsql_spark.registry import register
+
+_LATERAL_SQL = """
+SELECT c_custkey, c_mktsegment, t.n_orders, t.max_price
+FROM customer,
+LATERAL (
+  SELECT COUNT(*) AS n_orders,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+  FROM orders WHERE o_custkey = c_custkey
+) t
+WHERE c_custkey < 300
+"""
+
+
+@register("b_sql_lateral", oracle=_LATERAL_SQL, tags=("sql", "lateral", "subquery"))
+def b_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: per-customer aggregate in the
+    FROM clause. Catalyst decorrelates to an aggregate + left outer
+    join — one pass over orders, no per-row re-execution."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+_NTH_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       LAST_VALUE(o_totalprice)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_price
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("b_win_nth", oracle=_NTH_ORACLE, tags=("window", "nth_value"))
+def b_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window functions: first/nth with the default growing frame
+    (nth is NULL until row n arrives — same in both engines) and last
+    over the full-partition frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w_full).alias("final_price"),
+    )
+
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderstatus AS INT) AS status_int,
+       CAST(o_totalprice / NULLIF(o_orderkey - 7, 0) AS DOUBLE) AS price_ratio,
+       string_split(o_orderpriority, '-')[5] AS missing_part
+FROM orders
+WHERE o_orderkey < 300
+"""
+
+
+@register("b_fn_try", oracle=_TRY_ORACLE, tags=("function", "try", "errors"))
+def b_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: TRY_CAST of a non-numeric string,
+    try_divide (NULL on zero divisor, like x / NULLIF(y,0)), and
+    out-of-bounds array access returning NULL instead of raising."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("status_int"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") - 7)
+        .cast("double")
+        .alias("price_ratio"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("missing_part"),
+    )
+
+
+_STR2_ORACLE = """
+SELECT p_partkey,
+       regexp_extract_all(p_name, '[a-z]+') AS words,
+       translate(p_brand, '#123456789', '-bcdefghij') AS brand_coded,
+       reverse(p_type) AS type_rev,
+       repeat(p_brand, 2) AS brand_twice,
+       strpos(p_name, 'o') AS first_o,
+       left(p_name, 3) AS name_l3,
+       right(p_name, 3) AS name_r3,
+       ascii(p_type) AS type_ascii
+FROM part
+WHERE p_partkey < 400
+"""
+
+
+@register("b_fn_string2", oracle=_STR2_ORACLE, tags=("function", "string"))
+def b_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: regex extract-all, translate, reverse,
+    repeat, position, left/right, ascii."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit("([a-z]+)")).alias("words"),
+        F.translate("p_brand", "#123456789", "-bcdefghij").alias("brand_coded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_name", "o").alias("first_o"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.ascii("p_type").alias("type_ascii"),
+    )

@@ -155,3 +155,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+def checkpointed_file_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Parquet sink + checkpoint: the exactly-once pattern. The
+    checkpoint records which source files each batch consumed and the
+    sink's file-commit log makes replays idempotent — restarting the
+    query against the same checkpoint re-writes nothing. Returns rows
+    visible in the sink after draining."""
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).count()
+
+
+def foreach_batch_agg(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str) -> None:
+    """foreachBatch: run arbitrary batch logic (here: overwrite a
+    per-event-type rollup) once per micro-batch — the bridge to sinks
+    without native streaming support (JDBC, MERGE targets). batch_id
+    makes the write idempotent under replay."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    stream = events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

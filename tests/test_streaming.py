@@ -99,3 +99,37 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed sink over an unchanged source must not
+    duplicate rows — the file-commit log + source offsets make the
+    drain idempotent."""
+    from stellarsql_spark.streaming.runtime import checkpointed_file_sink
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    n_src = load_table(spark, sf_dir, "events").count()
+    first = checkpointed_file_sink(spark, sf_dir, out, ckpt)
+    second = checkpointed_file_sink(spark, sf_dir, out, ckpt)
+    assert first == n_src
+    assert second == n_src
+
+
+def test_foreach_batch_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch rollup over one drain equals the batch-mode
+    aggregate of the whole source."""
+    from stellarsql_spark.streaming.runtime import foreach_batch_agg
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    foreach_batch_agg(spark, sf_dir, out, ckpt)
+    got = {
+        (r["event_type"], r["n_events"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
