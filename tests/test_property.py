@@ -51,3 +51,98 @@ def test_groupby_agg_parity(spark, rows):
         for _, r in df[key].iterrows()
     )
     assert norm(spark_out) == norm(duck_out)
+
+
+pair_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+_JOIN_SQL = """
+SELECT a.k AS k, a.v AS av, b.v AS bv
+FROM ta a LEFT JOIN tb b ON a.k = b.k
+"""
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=pair_strategy, right=pair_strategy)
+def test_left_join_null_key_parity(spark, left, right):
+    """NULL join keys must never match, and unmatched left rows keep a
+    NULL right side — identical in both engines on random inputs."""
+    lp = pd.DataFrame(left, columns=["k", "v"]).astype({"k": "object", "v": "int64"})
+    rp = pd.DataFrame(right, columns=["k", "v"]).astype({"k": "object", "v": "int64"})
+    spark.createDataFrame(lp, schema="k long, v long").createOrReplaceTempView("ta")
+    spark.createDataFrame(rp, schema="k long, v long").createOrReplaceTempView("tb")
+    spark_out = spark.sql(_JOIN_SQL).toPandas()
+    con = duckdb.connect()
+    con.register("ta", lp)
+    con.register("tb", rp)
+    duck_out = con.execute(_JOIN_SQL).df()
+    norm = lambda df: sorted(
+        (
+            -999 if pd.isna(r["k"]) else int(r["k"]),
+            int(r["av"]),
+            -999 if pd.isna(r["bv"]) else int(r["bv"]),
+        )
+        for _, r in df.iterrows()
+    )
+    assert norm(spark_out) == norm(duck_out)
+
+
+_WIN_SQL = """
+SELECT k, v,
+       ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, rid) AS rn,
+       RANK() OVER (PARTITION BY k ORDER BY v) AS rk,
+       DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS drk
+FROM t
+"""
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=pair_strategy)
+def test_window_rank_parity(spark, rows):
+    """Ranking with ties (rank vs dense_rank) and a unique tiebreak for
+    row_number must agree across engines on random inputs."""
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).astype({"k": "object", "v": "int64"})
+    pdf["k"] = pdf["k"].map(lambda x: -1 if pd.isna(x) else int(x))
+    pdf["rid"] = range(len(pdf))
+    pdf = pdf.astype({"k": "int64", "rid": "int64"})
+    spark.createDataFrame(pdf, schema="k long, v long, rid long").createOrReplaceTempView("t")
+    spark_out = spark.sql(_WIN_SQL).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_out = con.execute(_WIN_SQL).df()
+    norm = lambda df: sorted(
+        (int(r["k"]), int(r["v"]), int(r["rn"]), int(r["rk"]), int(r["drk"]))
+        for _, r in df.iterrows()
+    )
+    assert norm(spark_out) == norm(duck_out)
+
+
+_SETOP_SQL = """
+SELECT v FROM ta EXCEPT ALL SELECT v FROM tb
+"""
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.integers(min_value=0, max_value=5), max_size=15),
+    right=st.lists(st.integers(min_value=0, max_value=5), max_size=15),
+)
+def test_except_all_multiset_parity(spark, left, right):
+    """EXCEPT ALL is multiset difference — occurrence counts matter.
+    Random multisets must agree across engines."""
+    lp = pd.DataFrame({"v": pd.Series(left, dtype="int64")})
+    rp = pd.DataFrame({"v": pd.Series(right, dtype="int64")})
+    spark.createDataFrame(lp, schema="v long").createOrReplaceTempView("ta")
+    spark.createDataFrame(rp, schema="v long").createOrReplaceTempView("tb")
+    spark_out = sorted(int(r["v"]) for r in spark.sql(_SETOP_SQL).collect())
+    con = duckdb.connect()
+    con.register("ta", lp)
+    con.register("tb", rp)
+    duck_out = sorted(int(r[0]) for r in con.execute(_SETOP_SQL).fetchall())
+    assert spark_out == duck_out

@@ -98,12 +98,30 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="replicate the driver: plain SparkSession (no engine confs) "
+        "+ the __spark_entry__.queries() wrappers",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
     specs = all_specs()
     keys = args.keys or sorted(specs)
-    spark = get_spark("oracle_check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        import __spark_entry__ as entry_mod
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle_vanilla").getOrCreate()
+        wrapped = entry_mod.queries()
+        specs = {
+            k: type(s)(name=s.name, builder=wrapped[k], oracle=s.oracle, tags=s.tags, doc=s.doc)
+            for k, s in specs.items()
+        }
+    else:
+        spark = get_spark("oracle_check")
     con = duck_connection(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
