@@ -54,19 +54,25 @@ def b_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _B33_ORACLE = """
-SELECT n_nationkey AS nationkey FROM nation
+SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 200
 EXCEPT ALL
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
 @register("b_set_except", oracle=_B33_ORACLE, tags=("setop",))
 def b_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL — nations with no supplier (bag semantics)."""
-    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = (
-        load_table(spark, sf_dir, "supplier")
-        .select(F.col("s_nationkey").alias("nationkey"))
-        .distinct()
+    """EXCEPT ALL with real multiset semantics: each supplier in a
+    nation cancels ONE customer occurrence of that nation, the rest
+    survive — both sides carry duplicates, so the occurrence-count
+    arithmetic (not just membership) is what the oracle checks.
+    (The previous form — nation keys minus supplier nations — was
+    empty at sf≥0.01 where every nation has a supplier, making the
+    check vacuous.)"""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 200)
+        .select(F.col("c_nationkey").alias("nationkey"))
     )
-    return n.exceptAll(s)
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

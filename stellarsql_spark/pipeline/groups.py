@@ -26,14 +26,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Components are labeled by their minimum member id. Iterates until
     no label changes (checked via count of improved labels).
     """
+    # Materialize the edge list ONCE: every iteration joins against it,
+    # and without this the full upstream pipeline (e.g. the Jaccard
+    # candidate join) would re-execute per iteration.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     labels = nodes.withColumn("comp", F.col("node"))
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # best neighbor label per node

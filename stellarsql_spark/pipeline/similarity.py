@@ -144,7 +144,11 @@ def b_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
 
 
-COSINE_NEARDUP_THRESHOLD = 0.8
+# 0.4 sits in the corpus's actual similarity tail: ~60 pairs at
+# sf0.01 and ~900 at sf0.1 (a 0.8 threshold matches NOTHING in this
+# synthetic corpus — max pairwise sim is ~0.6 — which would make the
+# operator's oracle pass vacuously on an empty result).
+COSINE_NEARDUP_THRESHOLD = 0.4
 
 _EMBDUP_ORACLE = f"""
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
