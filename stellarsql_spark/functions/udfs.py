@@ -120,8 +120,12 @@ FROM documents WHERE doc_id < 10
 @register("b_udtf", oracle=_B49_ORACLE, tags=("udf", "udtf"))
 def b_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4): one input row → many output rows, used
-    via LATERAL join in SQL (oracle: UNNEST WITH ORDINALITY)."""
+    via LATERAL join in SQL (oracle: UNNEST WITH ORDINALITY).
+    Arrow-optimized (batched transfer instead of per-row pickling —
+    the plan shows ArrowEvalPythonUDTF, not BatchEvalPythonUDTF)."""
     from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     @udtf(returnType="pos int, word string")
     class SplitWords:

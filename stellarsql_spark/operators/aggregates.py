@@ -259,3 +259,33 @@ def b_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+_PCT_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+       ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+       ROUND(quantile_cont(c_acctbal, 0.99), 6) AS p99_bal,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("b_agg_percentiles", oracle=_PCT_ORACLE, tags=("agg", "percentile"))
+def b_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per group. Both
+    engines use the same continuous-quantile definition (linear
+    interpolation at rank p*(n-1)); rounding absorbs last-ulp
+    interpolation arithmetic. Exact percentile requires a per-group
+    sort — at extreme group sizes switch to approx_percentile's
+    mergeable sketches (same API shape, rows-only oracle)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 6).alias("p99_bal"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
