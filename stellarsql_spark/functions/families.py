@@ -244,3 +244,33 @@ def b_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle uses WITH ORDINALITY − 1)."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
     return e.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+
+
+_DT2_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 MONTH AS plus3m,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+@register("b_fn_datetime2", oracle=_DT2_ORACLE, tags=("function", "datetime"))
+def b_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date/time family: month arithmetic, month-end, quarter,
+    day-of-week (Spark counts Sunday=1, DuckDB Sunday=0 — oracle
+    shifts), ISO week, year-month formatting."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus3m"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )

@@ -289,3 +289,57 @@ def b_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").cast("double").alias("min_bal"),
         F.max("c_acctbal").cast("double").alias("max_bal"),
     )
+
+
+_ARGMM_ORACLE = """
+SELECT o_orderstatus,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("b_agg_argminmax", oracle=_ARGMM_ORACLE, tags=("agg", "argminmax"))
+def b_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax): the key of the extreme row, not
+    the extreme value. Deterministic because o_totalprice has no ties
+    within a status group at test SFs — and a real deployment would
+    break ties on the key column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+_BOOLBIT_ORACLE = """
+SELECT l_returnflag,
+       bool_and(l_discount > 0.0) AS all_discounted,
+       bool_or(l_quantity >= 50.0) AS any_max_qty,
+       bit_and(CAST(l_linenumber AS BIGINT)) AS ln_and,
+       bit_or(CAST(l_linenumber AS BIGINT)) AS ln_or,
+       bit_xor(CAST(l_linenumber AS BIGINT)) AS ln_xor
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("b_agg_boolbit", oracle=_BOOLBIT_ORACLE, tags=("agg", "bool", "bitwise"))
+def b_agg_boolbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (AND/OR/XOR) aggregates — all
+    associative+commutative, so partial aggregation is exact under any
+    partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") > 0.0).alias("all_discounted"),
+        F.bool_or(F.col("l_quantity") >= 50.0).alias("any_max_qty"),
+        F.bit_and(ln).alias("ln_and"),
+        F.bit_or(ln).alias("ln_or"),
+        F.bit_xor(ln).alias("ln_xor"),
+    )

@@ -143,3 +143,36 @@ def b_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, n_bytes int, energy double"
+CHUNK_BYTES = 4
+
+
+def audio_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'audio feature extraction': split each binary
+    payload into fixed-size chunks (stand-in for PCM windows) and emit
+    per-chunk mean byte energy. A real implementation swaps the energy
+    line for an FFT/mel filterbank over decoded samples; the chunking,
+    schema, and flatMap batch shape are the production plumbing."""
+    for pdf in batches:
+        ids, idxs, sizes, energies = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(0, len(payload), CHUNK_BYTES):
+                chunk = payload[i : i + CHUNK_BYTES]
+                ids.append(doc_id)
+                idxs.append(i // CHUNK_BYTES)
+                sizes.append(len(chunk))
+                energies.append(sum(chunk) / len(chunk))  # stub: feature
+        yield pd.DataFrame(
+            {"doc_id": ids, "chunk_idx": idxs, "n_bytes": sizes, "energy": energies}
+        )
+
+
+@register("b_mm_audio_chunks", oracle=None, tags=("pipeline", "multimodal", "stub"))
+def b_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking + per-chunk features over binary 'audio'
+    payloads via mapInPandas (stubbed DSP, real plumbing; rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(audio_chunk_batch, schema=CHUNK_SCHEMA)
