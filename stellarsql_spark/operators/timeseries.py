@@ -80,3 +80,37 @@ def b_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.max("value").cast("double").alias("peak_value"))
         .select("user_id", F.col("w.start").alias("bucket"), "n_events", "peak_value")
     )
+
+
+_ROLLUP_REUSE_ORACLE = """
+SELECT DATE_TRUNC('day', ts) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY day, event_type
+"""
+
+
+@register("b_ts_rollup_reuse", oracle=_ROLLUP_REUSE_ORACLE, tags=("timeseries", "rollup"))
+def b_ts_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: answer a
+    day-grain query by RE-AGGREGATING an hour-grain rollup instead of
+    the raw events. Count and decimal-sum are mergeable, so the result
+    is exactly the direct day aggregate (the oracle IS the direct
+    form). At 100 TB the hourly rollup is a materialized table ~1000×
+    smaller than the log; every coarser query reads it, not the raw
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v_sum"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("v_sum").cast("double").alias("total_value"),
+        )
+    )

@@ -203,3 +203,90 @@ def b_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(h).alias("fp_max"),
         F.countDistinct("sh").alias("n_shingles"),
     )
+
+
+_INVIDX_ORACLE = """
+SELECT word,
+       COUNT(DISTINCT doc_id) AS df,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+HAVING COUNT(DISTINCT doc_id) >= 5
+"""
+
+
+@register("b_llm_inverted_index", oracle=_INVIDX_ORACLE, tags=("pipeline", "text", "index"))
+def b_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: word → sorted postings list + document
+    frequency (df ≥ 5 keeps the hapax tail out). One shuffle keyed by
+    word; postings are collect_set + array_sort for determinism. The
+    100 TB form writes postings partitioned by hash(word) — this IS
+    the candidate-index structure the Jaccard dedup joins on."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.array_join(F.array_sort(F.collect_set("doc_id")), ",").alias("postings"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tfidf, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= 3
+"""
+
+
+@register("b_llm_tfidf", oracle=_TFIDF_ORACLE, tags=("pipeline", "text", "tfidf"))
+def b_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smoothed idf, sklearn-style
+    ln((N+1)/(df+1))+1). The df table is tiny (vocabulary-sized) and
+    broadcasts; tf shuffles once on (doc, word); ranking is one window
+    per doc partition. Rounded to 6 dp so ln() last-ulp differences
+    can't flip the hash — ties break on the word."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar: one number, not a collect of data rows
+    tfidf = F.round(
+        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select("doc_id", "word", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )
