@@ -132,3 +132,44 @@ def a_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace the reference's lexer/parser/worker pipeline wholesale."""
     register_views(spark, sf_dir, ("customer", "nation"))
     return spark.sql(_A6_SQL)
+
+
+@register("a_ddl_lifecycle", oracle=None, tags=("tier_a", "ddl"))
+def a_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DDL lifecycle through Spark SQL — the reference's core
+    surface (CREATE DATABASE / CREATE TABLE with NOT NULL + DEFAULT /
+    INSERT / ALTER ADD COLUMN / DROP; StellarSQL src/sql/parser.rs,
+    src/component/{database,table,field}.rs [pub, unverified]).
+    Runs against the in-memory session catalog, returns the final
+    table contents (deterministic; catalog output shapes differ per
+    engine → rows-only check)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stellar_ddl")
+    spark.sql("DROP TABLE IF EXISTS stellar_ddl.accounts")
+    # a fresh session's in-memory catalog doesn't know a table a prior
+    # session wrote, so the DROP above can no-op while the warehouse
+    # directory survives — remove it or CREATE fails on the location
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(warehouse, "stellar_ddl.db", "accounts")
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+    spark.sql(
+        "CREATE TABLE stellar_ddl.accounts ("
+        "  id INT NOT NULL,"
+        "  name STRING NOT NULL,"
+        "  balance DOUBLE DEFAULT 0.0"
+        ") USING PARQUET"
+    )
+    spark.sql("INSERT INTO stellar_ddl.accounts VALUES (1, 'alice', 10.5), (2, 'bob', DEFAULT)")
+    spark.sql("ALTER TABLE stellar_ddl.accounts ADD COLUMN status STRING")
+    spark.sql("INSERT INTO stellar_ddl.accounts VALUES (3, 'carol', 7.25, 'active')")
+    out = spark.sql(
+        "SELECT id, name, balance, COALESCE(status, 'unknown') AS status "
+        "FROM stellar_ddl.accounts ORDER BY id"
+    )
+    rows = out.collect()  # materialize before dropping the table
+    spark.sql("DROP TABLE stellar_ddl.accounts")
+    return spark.createDataFrame(rows, schema=out.schema)
