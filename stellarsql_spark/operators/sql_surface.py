@@ -125,3 +125,72 @@ def b_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(p_name, 3)").alias("name_r3"),
         F.ascii("p_type").alias("type_ascii"),
     )
+
+
+_MAP_ORACLE = """
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND doc_id < 50
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+       COUNT(*) AS n_keys,
+       array_to_string(list_sort(list(word)), ',') AS keys_sorted,
+       CAST(MAX(CASE WHEN word = 'join' THEN cnt END) AS BIGINT) AS join_cnt
+FROM wc
+GROUP BY doc_id
+"""
+
+
+@register("b_fn_map", oracle=_MAP_ORACLE, tags=("function", "map"))
+def b_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build word→count maps per doc
+    (map_from_entries), then interrogate them with map_keys /
+    element_at. The oracle computes the same facts map-free, checking
+    that the map round-trip loses nothing."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mapped = wc.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "cnt"))).alias("m")
+    )
+    return mapped.select(
+        "doc_id",
+        F.size("m").cast("bigint").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.element_at("m", "join").alias("join_cnt"),
+    )
+
+
+_HINTS_SQL = """
+SELECT /*+ BROADCAST(n), MERGE(o) */
+       n_name, COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o_custkey = c_custkey
+JOIN nation n   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_HINTS_ORACLE = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o_custkey = c_custkey
+JOIN nation n   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("b_sql_hints", oracle=_HINTS_ORACLE, tags=("sql", "hints", "join"))
+def b_sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints through SQL comments: BROADCAST pins the
+    nation dim to a broadcast-hash join, MERGE requests sort-merge for
+    the fact side — the escape hatch when the optimizer's stats-based
+    choice is wrong. Hints change the physical plan only; the oracle
+    is the unhinted query."""
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_HINTS_SQL)

@@ -142,3 +142,14 @@ def test_salted_join_spreads_key(spark, sf_dir):
     plan = physical_plan(b_join_salted(spark, sf_dir))
     assert "salt" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_hints_bind_join_strategies(spark, sf_dir):
+    """The BROADCAST hint must produce a BroadcastHashJoin for the
+    nation dim and the MERGE hint a SortMergeJoin for the fact side —
+    hints beat the optimizer's own choice."""
+    from stellarsql_spark.operators.sql_surface import b_sql_hints
+
+    plan = physical_plan(b_sql_hints(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" in plan, plan
