@@ -168,3 +168,59 @@ def b_llm_embed_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(block_sims, schema="id1 bigint, id2 bigint, sim double")
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+@register("b_llm_kmeans", oracle=None, tags=("pipeline", "vectors", "iterative"))
+def b_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embedding corpus, DataFrame-native:
+    seeded init (vec_id < k), then per iteration (a) broadcast the k
+    centroids, (b) assign each vector to its nearest centroid via
+    crossJoin + argmin window — map-side only, (c) recompute centroids
+    with the posexplode → groupBy(cluster, pos) mean (shuffle carries
+    k×dim partial sums). Centroids are rounded per iteration so float
+    summation order cannot perturb assignments between runs. Fixed
+    iteration count & seed → deterministic; no SQL fixpoint → rows-only.
+    Returns cluster sizes + within-cluster mean similarity."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        e.where(F.col("vec_id") < K_CLUSTERS)
+        .select(F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec"))
+        .select("cluster", F.transform("cvec", lambda x: F.round(x.cast("double"), 6)).alias("cvec"))
+    )
+    for _ in range(KMEANS_ITERS):
+        sim = F.round(
+            dot(F.col("embedding"), F.col("cvec"))
+            / (norm(F.col("embedding")) * norm(F.col("cvec"))),
+            6,
+        )
+        pick = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cluster")
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cluster", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cluster", "sim")
+        )
+        cents = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+                ).alias("cvec")
+            )
+        )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("sim"), 4).alias("mean_sim_to_centroid"),
+        )
+        .orderBy("cluster")
+    )
