@@ -206,3 +206,49 @@ def foreach_batch_agg(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45 on the Spark 4 transformWithStateInPandas API: the same
+    per-user running counter as ``stateful_running_count`` but with
+    typed, composable state (ValueState) and an explicit processor
+    lifecycle — the successor to applyInPandasWithState, and the API
+    that adds timers, TTL, and multiple state variables for production
+    stateful pipelines."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store (the default
+    # HDFS-backed store doesn't support its typed-state layout)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id bigint, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
