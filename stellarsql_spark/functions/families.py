@@ -274,3 +274,42 @@ def b_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("iso_week"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+_STRUCT_ORACLE = """
+SELECT c_mktsegment AS seg,
+       COUNT(*) AS n_rich,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       MAX(CASE WHEN c_acctbal > 9000 THEN c_name END) AS top_name
+FROM customer
+WHERE c_acctbal > 5000
+GROUP BY c_mktsegment
+"""
+
+
+@register("b_fn_struct", oracle=_STRUCT_ORACLE, tags=("function", "struct", "nested"))
+def b_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-typed columns: pack fields into a named struct, filter
+    and aggregate through dot-path access. Catalyst flattens the
+    struct accesses back to column references (CollapseProject +
+    SimplifyExtractValueOps), so the parquet scan still prunes to the
+    three source columns and the predicate still pushes down — the
+    oracle is the equivalent flat query. The nested-type surface the
+    reference's flat INT/FLOAT/CHAR model never had."""
+    c = load_table(spark, sf_dir, "customer")
+    packed = c.select(
+        F.struct(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_name").alias("name"),
+        ).alias("info")
+    )
+    return (
+        packed.where(F.col("info.bal") > 5000)
+        .groupBy(F.col("info.seg").alias("seg"))
+        .agg(
+            F.count("*").alias("n_rich"),
+            F.max("info.bal").cast("double").alias("max_bal"),
+            F.max(F.when(F.col("info.bal") > 9000, F.col("info.name"))).alias("top_name"),
+        )
+    )

@@ -343,3 +343,35 @@ def b_agg_boolbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(ln).alias("ln_or"),
         F.bit_xor(ln).alias("ln_xor"),
     )
+
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) AS avg_x,
+       ROUND(REGR_AVGY(l_extendedprice, l_quantity), 6) AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("b_agg_regression", oracle=_REGR_ORACLE, tags=("agg", "stats", "regression"))
+def b_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (REGR_*): per-group OLS of
+    extendedprice on quantity. Single-pass moment aggregates —
+    associative partials, one shuffle on the grouping key, exact under
+    any partitioning up to last-ulp (absorbed by ROUND 6, same
+    convention as b_agg_stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )

@@ -1,0 +1,330 @@
+"""TPC-H-shaped suite, part 3 — the six queries that need corpus
+adaptation (SURVEY.md §2 C1 completion).
+
+The driver corpus has no ``partsupp`` table and ``lineitem`` lacks
+``l_shipmode``/``l_commitdate``/``l_receiptdate`` (FIXTURES.md), so
+Q2/Q11/Q16/Q20 derive the part–supplier relation from ``lineitem``
+(distinct ``(l_partkey, l_suppkey)`` with observed unit price as
+supply cost) and Q12/Q21 model "late" as ``l_shipdate`` far past
+``o_orderdate``. Each query keeps the canonical *plan shape* of its
+original — correlated min (Q2), HAVING vs global scalar (Q11),
+conditional counts (Q12), NOT-IN + COUNT(DISTINCT) (Q16), nested
+semi-join with correlated threshold (Q20), EXISTS/NOT-EXISTS
+anti-correlation (Q21) — which is what exercises the optimizer.
+
+Scale notes: the derived ``psupp`` relation aggregates lineitem once
+(map-side partial agg on a 2-key shuffle) and is orders of magnitude
+smaller than lineitem, so downstream joins against it are cheap;
+dims (nation/region/part-slice/negative-balance suppliers) broadcast.
+Q21's EXISTS/NOT-EXISTS become left-semi/left-anti joins on
+``l_orderkey`` — co-partitioned with the fact shuffle, no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.functions.exact import dec2
+from stellarsql_spark.registry import register
+
+# Derived part-supplier relation: unit price observed on lineitem is
+# integer-cents / integer-qty; MIN over doubles is exact and
+# order-independent, so it hash-matches DuckDB.
+_SQL_PSUPP = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _psupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+
+
+_Q2_ORACLE = f"""
+WITH psupp AS ({_SQL_PSUPP})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM part
+JOIN psupp    ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM psupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+  )
+"""
+
+
+@register("b_tpch_q2", oracle=_Q2_ORACLE, tags=("tpch", "join", "subquery"))
+def b_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), corpus-adapted: partsupp is
+    derived from lineitem. The correlated MIN decorrelates to a
+    per-part min-aggregate joined back — expressed directly as a
+    window MIN over the region-scoped candidates (one shuffle on
+    ps_partkey instead of agg+re-join)."""
+    ps = _psupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_sup = s.join(
+        F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    )
+    cand = ps.join(asia_sup, ps.ps_suppkey == asia_sup.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    best = cand.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return best.join(F.broadcast(p), best.ps_partkey == p.p_partkey).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost"
+    )
+
+
+_Q11_ORACLE = f"""
+WITH psupp AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+FROM psupp
+WHERE val > (SELECT CAST(SUM(val) * 0.001 AS DECIMAL(38,5)) FROM psupp)
+"""
+
+
+@register("b_tpch_q11", oracle=_Q11_ORACLE, tags=("tpch", "agg", "subquery"))
+def b_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), corpus-adapted: per-part value of
+    lineitems sold by NATION_3 suppliers, kept when above 0.1% of the
+    national total. HAVING-vs-global-scalar shape: the per-part agg is
+    computed once and the global threshold is a broadcast scalar
+    (cross-join of a 1-row agg), not a second scan. Decimal sums keep
+    both engines bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat_items = li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                        li.l_suppkey == F.col("s_suppkey"))
+    per_part = nat_items.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(dec2("l_extendedprice")).cast("decimal(38,2)").alias("val")
+    )
+    threshold = per_part.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(4,3)")).cast("decimal(38,5)").alias("thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .where(F.col("val") > F.col("thr"))
+        .select("ps_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("b_tpch_q12", oracle=_Q12_ORACLE, tags=("tpch", "agg"))
+def b_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-priority audit), corpus-adapted: no
+    l_shipmode/commit/receipt columns, so the class is l_returnflag
+    and "late" is shipped ≥60 days after order date. Keeps the
+    conditional-count (pivoted CASE) shape. The shipdate range filter
+    pushes to the scan; the lateness predicate is a post-join filter
+    by necessity (row-vs-row comparison)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 15, 23, 36, 44, 49, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("b_tpch_q16", oracle=_Q16_ORACLE, tags=("tpch", "agg", "subquery"))
+def b_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationship count), corpus-adapted:
+    the part-supplier pairs come from lineitem and "complaint"
+    suppliers are those with negative balance. NOT IN → left-anti
+    join against a broadcast exclusion list; COUNT(DISTINCT) shuffles
+    once on the (brand,type,size) grouping key."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 15, 23, 36, 44, 49, 50)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_sup = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_7')
+  AND s_suppkey IN (
+    SELECT sh.l_suppkey
+    FROM shipped sh
+    JOIN part ON p_partkey = sh.l_partkey
+    WHERE p_name LIKE '%red%'
+      AND sh.qty > (
+        SELECT 0.5 * SUM(sh2.qty) FROM shipped sh2
+        WHERE sh2.l_partkey = sh.l_partkey
+      )
+  )
+"""
+
+
+@register("b_tpch_q20", oracle=_Q20_ORACLE, tags=("tpch", "join", "subquery"))
+def b_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-inventory suppliers), corpus-adapted:
+    suppliers in two nations who were the *dominant* shipper (>50% of
+    1996 volume) of some green part. The correlated threshold
+    decorrelates to a window SUM over the per-(part,supplier) rollup;
+    the outer IN is a left-semi join. l_quantity is integer-valued so
+    double sums are exact in any order."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    red = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.join(F.broadcast(red), shipped.l_partkey == red.p_partkey, "left_semi")
+        .withColumn("part_qty", F.sum("qty").over(w))
+        .where(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_7"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_4')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+"""
+
+
+@register("b_tpch_q21", oracle=_Q21_ORACLE, tags=("tpch", "join", "subquery"))
+def b_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), corpus-adapted:
+    "late" is shipping >90 days after the order date of a finished
+    order. Keeps the EXISTS / NOT-EXISTS anti-correlation: the sole
+    late supplier on a multi-supplier order. Both quantifiers become
+    semi/anti joins on l_orderkey — the same shuffle key as the fact
+    join, so AQE coalesces them into one exchange lineage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1, l2 = late.alias("l1"), li.alias("l2")
+    other_exists = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    l3 = late.alias("l3")
+    sole_late = other_exists.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_2", "NATION_4"))
+    return (
+        sole_late.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -32,6 +32,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.filters",
     "stellarsql_spark.operators.tpch",
     "stellarsql_spark.operators.tpch2",
+    "stellarsql_spark.operators.tpch3",
     "stellarsql_spark.operators.reshape",
     "stellarsql_spark.operators.subqueries",
     "stellarsql_spark.operators.sql_surface",

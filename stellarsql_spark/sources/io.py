@@ -107,3 +107,36 @@ def b_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+COMPACT_TARGET_FILES = 4
+
+
+@register("b_compact_files", oracle=None, tags=("sink", "compaction", "ops"))
+def b_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: write orders fragmented (64 files),
+    rewrite coalesced to COMPACT_TARGET_FILES, verify row parity, and
+    report both layouts. The streaming-ingest follow-up job every lake
+    needs — at 100 TB, compaction targets ~1 GiB files via
+    maxRecordsPerFile / repartition(bytes/1GiB), and runs per
+    partition-date so it parallelizes and never rewrites cold data.
+    File counts are layout facts, not SQL-derivable → rows-only."""
+    import glob
+
+    o = load_table(spark, sf_dir, "orders")
+    frag_dir, compact_dir = _scratch("frag"), _scratch("compact")
+    o.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(COMPACT_TARGET_FILES).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+
+    def n_files(d: str) -> int:
+        return len(glob.glob(f"{d}/part-*.parquet"))
+
+    return spark.createDataFrame(
+        [
+            ("fragmented", n_files(frag_dir), frag.count()),
+            ("compacted", n_files(compact_dir), back.count()),
+        ],
+        schema="layout string, n_files int, n_rows bigint",
+    )
