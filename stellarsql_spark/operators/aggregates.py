@@ -375,3 +375,68 @@ def b_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
+
+
+# Shared double-arithmetic formula evaluated from exact integer power
+# sums — both engines execute the identical IEEE expression tree, so
+# the doubles agree bit-for-bit (ROUND 6 adds slack regardless).
+_MOMENT_EXPRS = {
+    "mean_qty": "ROUND(s1 / n, 6)",
+    "var_qty": "ROUND(s2 / n - (s1 / n) * (s1 / n), 6)",
+    "skew_qty": (
+        "ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6)"
+    ),
+    "kurt_qty": (
+        "ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)"
+    ),
+}
+
+_MOMENTS_ORACLE = f"""
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       {_MOMENT_EXPRS['mean_qty']} AS mean_qty,
+       {_MOMENT_EXPRS['var_qty']} AS var_qty,
+       {_MOMENT_EXPRS['skew_qty']} AS skew_qty,
+       {_MOMENT_EXPRS['kurt_qty']} AS kurt_qty
+FROM sums
+"""
+
+
+@register("b_agg_moments", oracle=_MOMENTS_ORACLE, tags=("agg", "stats", "moments"))
+def b_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group via the
+    sufficient-statistics pattern: one pass accumulates exact integer
+    power sums Σq..Σq⁴ (l_quantity is integer-valued; bigint partials
+    are associative and overflow-safe to ~10¹¹ rows), then the
+    population moments are finished driver-free in a projection. This
+    is how higher moments distribute at 100 TB — never a second pass,
+    never engine-specific single-pass update formulas (Spark's own
+    ``skewness``/``kurtosis`` use order-sensitive streaming updates
+    that would not hash-match another engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    return sums.select(
+        "l_returnflag",
+        *[F.expr(e).alias(name) for name, e in _MOMENT_EXPRS.items()],
+    )

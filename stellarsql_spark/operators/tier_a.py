@@ -173,3 +173,57 @@ def a_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # materialize before dropping the table
     spark.sql("DROP TABLE stellar_ddl.accounts")
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# CHECK / NOT NULL enforcement (reference: CREATE TABLE field
+# constraints, src/component/field.rs [pub, unverified]). Spark has no
+# engine-enforced CHECK on plain parquet tables, so the engine's write
+# path validates declaratively: one pass splits candidate rows into
+# accepted/rejected with a reason — the pattern that scales (a filter,
+# not a driver loop; rejects land in a quarantine sink in production).
+_CONSTRAINT_ORACLE = """
+WITH candidates AS (
+  SELECT s_suppkey, s_name, s_acctbal FROM supplier
+  UNION ALL
+  SELECT * FROM (VALUES
+    (90001, NULL, 500.0),
+    (90002, 'sup_null_bal', NULL),
+    (90003, 'sup_ok', 1.0)
+  ) AS v(s_suppkey, s_name, s_acctbal)
+),
+checked AS (
+  SELECT CASE
+           WHEN s_name IS NULL THEN 'violates:name_not_null'
+           WHEN s_acctbal IS NULL THEN 'violates:acctbal_not_null'
+           WHEN s_acctbal < 0 THEN 'violates:acctbal_check'
+           ELSE 'accepted'
+         END AS verdict
+  FROM candidates
+)
+SELECT verdict, COUNT(*) AS n_rows FROM checked GROUP BY verdict
+"""
+
+
+@register("a_constraint_enforce", oracle=_CONSTRAINT_ORACLE, tags=("tier_a", "ddl", "constraint"))
+def a_constraint_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT NULL + CHECK constraint enforcement in the insert path:
+    existing supplier rows plus a literal batch (with deliberate
+    violations) are classified in one vectorized CASE — accepted rows
+    would proceed to the write, rejects to a quarantine table."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    batch = spark.createDataFrame(
+        [(90001, None, 500.0), (90002, "sup_null_bal", None), (90003, "sup_ok", 1.0)],
+        schema="s_suppkey bigint, s_name string, s_acctbal double",
+    )
+    verdict = (
+        F.when(F.col("s_name").isNull(), "violates:name_not_null")
+        .when(F.col("s_acctbal").isNull(), "violates:acctbal_not_null")
+        .when(F.col("s_acctbal") < 0, "violates:acctbal_check")
+        .otherwise("accepted")
+    )
+    return (
+        s.unionByName(batch)
+        .select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -290,3 +290,43 @@ def b_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", "rn")
     )
+
+
+# Denylist scrubbing: the corpus text is synthetic word soup, so the
+# redaction surface is modeled as a term denylist (the same machinery
+# as PII masking — word-boundary regex alternation, one pass, no UDF;
+# for real email/phone patterns only the regex literal changes).
+_SCRUB_PATTERN = r"\b(join|filter|shuffle)\b"
+
+_SCRUB_ORACLE = rf"""
+SELECT doc_id,
+       CAST(LENGTH(regexp_replace(text, '{_SCRUB_PATTERN}', '[MASK]', 'g'))
+            - LENGTH(text) AS BIGINT) AS len_delta,
+       md5(regexp_replace(text, '{_SCRUB_PATTERN}', '[MASK]', 'g')) AS scrubbed_md5,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '{_SCRUB_PATTERN}', '', 'g'))
+            AS BIGINT) AS chars_redacted
+FROM documents
+WHERE regexp_matches(text, '{_SCRUB_PATTERN}')
+"""
+
+
+@register("b_llm_scrub", oracle=_SCRUB_ORACLE, tags=("pipeline", "scrub", "redaction"))
+def b_llm_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist/PII-style scrubbing: mask denylisted terms with a
+    single vectorized regexp_replace (JVM-side, codegen — never a
+    Python UDF), emit only affected docs with the masked-text md5 as
+    the cross-engine proof of the exact rewritten bytes. At 100 TB
+    this is a map-only pass: no shuffle, fully pushdown-composable
+    with upstream filters."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", _SCRUB_PATTERN, "[MASK]")
+    removed = F.regexp_replace("text", _SCRUB_PATTERN, "")
+    return (
+        d.where(F.col("text").rlike(_SCRUB_PATTERN))
+        .select(
+            "doc_id",
+            (F.length(scrubbed) - F.length("text")).cast("bigint").alias("len_delta"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+            (F.length("text") - F.length(removed)).cast("bigint").alias("chars_redacted"),
+        )
+    )
