@@ -96,3 +96,71 @@ def b_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", week_offset.alias("week_offset"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+# Anomaly surfacing from exact sufficient statistics: events.value is
+# an exact 2-decimal double (functions/exact.py), so Σv and Σv² are
+# exact as decimals and both engines derive bit-identical mean/std;
+# the per-type top-3 extremes are tie-broken by event_id.
+_ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_type, e.event_id,
+         ABS(e.value - s.s1 / s.n) AS dev,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_type
+           ORDER BY ABS(e.value - s.s1 / s.n) DESC, e.event_id
+         ) AS rn
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT s.event_type, s.n,
+       ROUND(s.s1 / s.n, 6) AS mean_value,
+       ROUND(SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6) AS std_value,
+       sc.event_id AS extreme_event, sc.rn AS extreme_rank,
+       ROUND(sc.dev, 6) AS deviation
+FROM stats s JOIN scored sc ON s.event_type = sc.event_type
+WHERE sc.rn <= 3
+"""
+
+
+@register("b_ev_anomaly", oracle=_ANOMALY_ORACLE, tags=("events", "anomaly", "stats"))
+def b_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly surfacing: exact decimal power sums give
+    engine-identical mean/std in one partial-aggregating pass, then
+    the top-3 |value − mean| extremes per type come from a window over
+    the stats-joined events (broadcast: |stats| = |event types|).
+    Reporting ranked extremes instead of a z>k filter keeps the result
+    deterministic — no float-boundary membership flips."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    scored = e.join(F.broadcast(stats), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - mean)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("dev").desc(), "event_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "n",
+            F.round(mean, 6).alias("mean_value"),
+            F.round(F.sqrt(F.col("s2") / F.col("n") - mean * mean), 6).alias("std_value"),
+            F.col("event_id").alias("extreme_event"),
+            F.col("rn").alias("extreme_rank"),
+            F.round("dev", 6).alias("deviation"),
+        )
+    )

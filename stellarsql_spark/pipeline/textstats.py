@@ -330,3 +330,65 @@ def b_llm_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") - F.length(removed)).cast("bigint").alias("chars_redacted"),
         )
     )
+
+
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_tok
+  FROM sized
+)
+SELECT source,
+       CAST(FLOOR(start_tok / {_PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS chunk_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY source, chunk_id
+"""
+
+
+@register("b_llm_pack", oracle=_PACK_ORACLE, tags=("pipeline", "packing", "tokens"))
+def b_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document packing (concat-then-chunk): per source,
+    documents are laid end-to-end in doc_id order and cut into
+    fixed-budget context chunks — each doc's chunk is
+    floor(running_start / budget), the exclusive prefix sum of token
+    counts. One window over a per-source ordering, no stateful loop,
+    so it scales as a single shuffle on source; the greedy no-straddle
+    variant needs sequential state (applyInPandas per source) but this
+    closed form is what large pretraining pipelines actually use."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        placed.groupBy(
+            "source",
+            F.floor(F.col("start_tok") / _PACK_BUDGET).cast("bigint").alias("chunk_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -161,3 +161,79 @@ def test_salted_join_lane_uniformity(spark, sf_dir):
     plain = o.join(li, o.o_orderkey == li.l_orderkey).count()
     salted_total = b_join_salted(spark, sf_dir).agg(F.sum("n_items")).collect()[0][0]
     assert salted_total == plain
+
+
+def test_pack_chunks_partition_every_doc(spark, sf_dir):
+    """b_llm_pack: chunks partition the corpus — doc counts add up and
+    chunk ids are contiguous from 0 within each source."""
+    from stellarsql_spark.pipeline.textstats import b_llm_pack
+    from stellarsql_spark.catalog import load_table
+
+    out = b_llm_pack(spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs_total
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r["chunk_id"])
+    for src, chunks in by_source.items():
+        assert sorted(chunks) == list(range(len(chunks))), src
+
+
+def test_moments_match_spark_builtins(spark, sf_dir):
+    """b_agg_moments' power-sum skew/kurtosis agree numerically with
+    Spark's built-in estimators (same population definitions)."""
+    from stellarsql_spark.operators.aggregates import b_agg_moments
+    from stellarsql_spark.catalog import load_table
+
+    ours = {r["l_returnflag"]: r for r in b_agg_moments(spark, sf_dir).collect()}
+    ref = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_quantity").alias("skew"),
+            F.kurtosis("l_quantity").alias("kurt"),
+        )
+        .collect()
+    }
+    for flag, r in ours.items():
+        assert abs(r["skew_qty"] - ref[flag]["skew"]) < 1e-4
+        assert abs(r["kurt_qty"] - ref[flag]["kurt"]) < 1e-4
+
+
+def test_constraint_enforce_partitions_input(spark, sf_dir):
+    """a_constraint_enforce: verdict counts cover supplier + 3 probes."""
+    from stellarsql_spark.operators.tier_a import a_constraint_enforce
+    from stellarsql_spark.catalog import load_table
+
+    out = {r["verdict"]: r["n_rows"] for r in a_constraint_enforce(spark, sf_dir).collect()}
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    assert sum(out.values()) == n_sup + 3
+    assert out.get("violates:name_not_null", 0) >= 1
+    assert out.get("violates:acctbal_not_null", 0) >= 1
+
+
+def test_sorted_layout_skips_files(spark, sf_dir):
+    """b_layout_sorted_scan's clustered copy really enables file
+    skipping: a tight date filter on the sorted layout reads fewer
+    files than exist (parquet footer min/max pruning)."""
+    import glob
+
+    from stellarsql_spark.catalog import load_table
+    from stellarsql_spark.sources.io import _scratch
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    out = _scratch("layout_test")
+    li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate").write.mode(
+        "overwrite"
+    ).parquet(out)
+    n_files = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n_files >= 4
+    filtered = spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    # the clustering invariant that enables footer-stat skipping: one
+    # month of a ~6-year shipdate range lands in a small fraction of
+    # the sorted files (vs all of them in an unsorted layout)
+    touched = filtered.select(F.input_file_name()).distinct().count()
+    assert 1 <= touched <= max(2, n_files // 3), (touched, n_files)
