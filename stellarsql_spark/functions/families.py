@@ -103,7 +103,7 @@ SELECT s_suppkey,
        ROUND(LOG10(ABS(s_acctbal) + 1), 6) AS bal_log10,
        ROUND(POW(s_suppkey, 2), 1) AS key_sq,
        CAST(s_suppkey % 7 AS BIGINT) AS key_mod,
-       SIGN(s_acctbal) AS bal_sign
+       CAST(SIGN(s_acctbal) AS DOUBLE) AS bal_sign
 FROM supplier
 """
 

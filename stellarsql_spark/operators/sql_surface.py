@@ -96,7 +96,7 @@ def b_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STR2_ORACLE = """
 SELECT p_partkey,
-       regexp_extract_all(p_name, '[a-z]+') AS words,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
        translate(p_brand, '#123456789', '-bcdefghij') AS brand_coded,
        reverse(p_type) AS type_rev,
        repeat(p_brand, 2) AS brand_twice,
@@ -116,7 +116,7 @@ def b_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 400)
     return p.select(
         "p_partkey",
-        F.regexp_extract_all("p_name", F.lit("([a-z]+)")).alias("words"),
+        F.array_join(F.regexp_extract_all("p_name", F.lit("([a-z]+)")), ",").alias("words"),
         F.translate("p_brand", "#123456789", "-bcdefghij").alias("brand_coded"),
         F.reverse("p_type").alias("type_rev"),
         F.repeat("p_brand", 2).alias("brand_twice"),

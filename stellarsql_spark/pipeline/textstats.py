@@ -350,7 +350,7 @@ placed AS (
 SELECT source,
        CAST(FLOOR(start_tok / {_PACK_BUDGET}) AS BIGINT) AS chunk_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS chunk_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM placed

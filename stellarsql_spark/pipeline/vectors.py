@@ -78,7 +78,12 @@ def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then each query probes its NPROBE nearest cells for cosine top-k —
     scanning NPROBE/cells of the corpus instead of all of it."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    cents = _centroid_vectors(e).select(F.col("label").alias("cell"), "cvec")
+    # The coarse quantizer (k × dim) is persisted: r01's real double
+    # pass was the two full-corpus centroid aggregations hiding under
+    # both the assignment and the probe branch. At 100 TB the
+    # quantizer is a precomputed stored artifact anyway — caching the
+    # k-row table is the single-job equivalent.
+    cents = _centroid_vectors(e).select(F.col("label").alias("cell"), "cvec").persist()
 
     cell_sim = F.round(
         dot(F.col("embedding"), F.col("cvec"))
@@ -86,6 +91,9 @@ def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     pick = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
+    # the full corpus is ranked against the broadcast quantizer
+    # exactly once (assignment); the probe side ranks only the
+    # N_QUERIES query vectors, so nothing corpus-sized runs twice.
     assigned = (
         e.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cents))
@@ -95,14 +103,13 @@ def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cell")
     )
     # queries probe their NPROBE nearest cells (recall knob, like
-    # faiss's nprobe): reuse the ranked cell similarities from `pick`
-    probe = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
+    # faiss's nprobe)
     queries = (
         e.select("vec_id", "embedding")
         .where(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "cell", cell_sim.alias("cell_sim"))
-        .withColumn("rn", F.row_number().over(probe))
+        .withColumn("rn", F.row_number().over(pick))
         .where(F.col("rn") <= NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -129,45 +136,47 @@ def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("b_llm_embed_gemm", oracle=None, tags=("pipeline", "dedup", "embedding", "vectorized"))
 def b_llm_embed_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via blocked matrix multiply: broadcast
-    the (normalized) corpus matrix, stream corpus partitions through
-    mapInPandas, and compute each block's similarities against the
-    whole matrix with one numpy GEMM — ~100× the throughput of
-    per-pair expression evaluation (the exact-oracle variant
-    ``b_llm_embed_neardup`` keeps sequential-fold arithmetic for
-    bit-exact cross-engine hashes; this is the vectorized scale form:
-    at 100 TB the broadcast side becomes LSH/IVF candidate blocks).
-    Deterministic pairs; float order differs from the sequential fold
-    → rows-only check."""
+    """Embedding near-dup pairs via bucketed matrix multiply: vectors
+    are fanned out to their LSH (band, sig) buckets, and each bucket
+    computes its members' pairwise similarities with ONE numpy GEMM
+    inside applyInPandas. Fully distributed — no driver-side collect,
+    no corpus broadcast, no all-pairs join: the only shuffles are the
+    groupBy on (band, sig) and the final cross-band pair distinct.
+    At 100 TB each bucket is a bounded block (bands add more, smaller
+    buckets), so executor memory stays flat while the GEMM keeps the
+    per-pair cost ~100× below per-pair expression evaluation.
+    Same deterministic pair set as ``b_llm_embed_neardup``; GEMM float
+    order differs from the sequential fold → rows-only check."""
     import numpy as np
     import pandas as pd
 
+    from stellarsql_spark.pipeline.similarity import with_band_sigs
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.toPandas()  # corpus side to broadcast (small at test SF)
-    ids = rows["vec_id"].to_numpy()
-    mat = np.stack(rows["embedding"].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = spark.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    banded = with_band_sigs(e).select(
+        "vec_id", "embedding", F.posexplode("band_sigs").alias("band", "sig")
+    )
 
-    def block_sims(batches):
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy()
-            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.value.T  # GEMM: |block| × |corpus|
-            qi, ci = np.nonzero(sims >= COSINE_NEARDUP_THRESHOLD)
-            id1, id2 = q_ids[qi], b_ids.value[ci]
-            keep = id1 < id2
-            yield pd.DataFrame(
-                {
-                    "id1": id1[keep],
-                    "id2": id2[keep],
-                    "sim": np.round(sims[qi, ci][keep], 6),
-                }
-            )
+    def bucket_sims(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T  # GEMM: |bucket| × |bucket|
+        qi, ci = np.nonzero(sims >= COSINE_NEARDUP_THRESHOLD)
+        keep = ids[qi] < ids[ci]
+        return pd.DataFrame(
+            {
+                "id1": ids[qi][keep],
+                "id2": ids[ci][keep],
+                "sim": np.round(sims[qi, ci][keep], 6),
+            }
+        )
 
-    return e.mapInPandas(block_sims, schema="id1 bigint, id2 bigint, sim double")
+    return (
+        banded.groupBy("band", "sig")
+        .applyInPandas(bucket_sims, schema="id1 bigint, id2 bigint, sim double")
+        .distinct()  # a pair colliding in k bands scores identically k times
+    )
 
 
 K_CLUSTERS = 8

@@ -35,6 +35,42 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def dtype_tag(s: pd.Series) -> str:
+    """Canonical type tag per column, computed BEFORE any coercion.
+
+    The driver's value-hash is type-sensitive (r01: DuckDB HUGEINT vs
+    Spark BIGINT failed b_tpch_q12 even though values matched), so two
+    engines must deliver hash-identical pandas values. Tags collapse
+    only divergences known to be benign at the driver (datetime64
+    resolution); everything else — int vs float, Decimal vs float,
+    int128-as-object — is a failure here so it fails locally the same
+    way it fails at the driver."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if s.dtype != object:
+        return str(s.dtype)
+    kinds = {type(v).__name__ for v in s if v is not None and v == v}
+    return "object:" + ",".join(sorted(kinds)) if kinds else "object:empty"
+
+
+def driver_hostile(s: pd.Series) -> str | None:
+    """Return a reason if the column would crash the driver's pandas
+    canonicalizer (r01: b_fn_string2 raw array<string> → sort_values
+    raises 'unhashable type: list')."""
+    if s.dtype != object:
+        return None
+    for v in s:
+        if isinstance(v, (list, np.ndarray, dict, set)):
+            return f"unhashable {type(v).__name__} value (driver sort_values crashes)"
+    return None
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Column-name-sorted, row-sorted, value-normalized frame."""
     df = df[sorted(df.columns)].copy()
@@ -76,6 +112,16 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if s_cols != d_cols:
         problems.append(f"columns: spark={s_cols} duck={d_cols}")
         return problems
+    if problems:
+        return problems
+    for col in s_cols:
+        st, dt = dtype_tag(spark_df[col]), dtype_tag(duck_df[col])
+        if st != dt:
+            problems.append(f"dtype col {col!r}: spark={st} duck={dt} (driver hash is type-sensitive)")
+        for side, series in (("spark", spark_df[col]), ("duck", duck_df[col])):
+            reason = driver_hostile(series)
+            if reason:
+                problems.append(f"hostile col {col!r} ({side}): {reason}")
     if problems:
         return problems
     s, d = normalize(spark_df), normalize(duck_df)
