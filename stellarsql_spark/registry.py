@@ -50,6 +50,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.functions.families",
     "stellarsql_spark.functions.udfs",
     "stellarsql_spark.streaming.windows",
+    "stellarsql_spark.streaming.parity",
     "stellarsql_spark.pipeline.dedup",
     "stellarsql_spark.pipeline.groups",
     "stellarsql_spark.pipeline.similarity",

@@ -1,0 +1,236 @@
+"""Oracle-checkable STREAMING keys (SURVEY.md §2 B42–B45).
+
+Unlike ``streaming.windows`` (whose registry entries run the shared
+logical plans in batch mode), every key here drives the REAL
+Structured Streaming micro-batch engine — file source → stateful
+operators → memory sink → ``processAllAvailable()`` — and returns the
+drained sink as a batch DataFrame whose contents are deterministic,
+so the driver can hash-compare it against a DuckDB oracle expressing
+the same semantics in pure SQL:
+
+- single-file sources make one micro-batch, so watermarks never drop
+  anything and the streamed result must equal the batch aggregate;
+- ``b_stream_late_drop`` splits events into TWO files with forced
+  modification times and ``maxFilesPerTrigger=1``, so batch 1 advances
+  the watermark and batch 2's too-late rows are provably dropped —
+  the oracle reproduces the drop rule (window end ≤ watermark) and the
+  append-mode emission rule in SQL.
+
+State at 100 TB: every operator keys state by (window|user, group)
+and bounds it with a watermark, so state size tracks the key space of
+the *recent* data, not stream history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+from stellarsql_spark.streaming.runtime import (
+    EVENTS_DDL,
+    events_stream,
+    run_to_memory,
+    stream_static_join,
+    stream_stream_join,
+)
+from stellarsql_spark.streaming.windows import tumbling_hourly
+
+_VAL_SUM = 'CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)'
+
+_RUN_TUMBLING_ORACLE = f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_VAL_SUM} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("b_stream_run_tumbling", oracle=_RUN_TUMBLING_ORACLE, tags=("streaming", "runtime"))
+def b_stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39+B42 through the real engine: watermarked tumbling aggregate
+    drained from a memory sink in complete mode. One source file → one
+    micro-batch → the watermark drops nothing, so the streamed state
+    must reproduce the batch aggregate bit-for-bit."""
+    streamed = tumbling_hourly(events_stream(spark, sf_dir).withWatermark("ts", "2 hours"))
+    return run_to_memory(streamed, output_mode="complete")
+
+
+_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("b_stream_dedup", oracle=_DEDUP_ORACLE, tags=("streaming", "runtime", "dedup"))
+def b_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 through the real engine: dropDuplicatesWithinWatermark keyed
+    on (user_id, event_type). Which physical row survives depends on
+    intra-batch order, so only the deterministic key columns are
+    emitted — the drained sink must equal SELECT DISTINCT."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+_STATIC_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("b_stream_static_join", oracle=_STATIC_JOIN_ORACLE, tags=("streaming", "runtime", "join"))
+def b_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 through the real engine: stream ⋈ broadcast static dimension,
+    aggregated per segment, drained in complete mode."""
+    return run_to_memory(stream_static_join(spark, sf_dir), output_mode="complete")
+
+
+_STATEFUL_COUNT_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+@register("b_stream_stateful_count", oracle=_STATEFUL_COUNT_ORACLE, tags=("streaming", "runtime", "stateful"))
+def b_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45 through the real engine: per-user running counter with
+    explicit GroupState via applyInPandasWithState. A single drain sees
+    every event exactly once, so the final state per user must equal
+    the batch GROUP BY count."""
+    from stellarsql_spark.streaming.runtime import stateful_running_count
+
+    return run_to_memory(stateful_running_count(spark, sf_dir), output_mode="update")
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id AS c_user,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("b_stream_stream_join", oracle=_STREAM_JOIN_ORACLE, tags=("streaming", "runtime", "join"))
+def b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream watermarked interval join through the real engine:
+    click ⋈ purchase within the following hour. Inner joins emit
+    matches as they arrive, so one drain equals the batch interval
+    join."""
+    return run_to_memory(stream_stream_join(spark, sf_dir), output_mode="append")
+
+
+# --- genuine three-batch watermark late-drop -------------------------
+
+_LATE_WM = "2 hours"
+
+# The engine rules, established empirically on this Spark (see
+# tests/test_streaming.py and the docstring below):
+#   - the late-row filter of micro-batch N uses the watermark REPORTED
+#     for batch N-1 (i.e. max event time through batch N-2 − delay) —
+#     the filter lags the reported watermark by one batch, so batch 1
+#     late rows still merge and only batch 2 can drop;
+#   - a row is dropped iff its window END ≤ that filter watermark;
+#   - append mode finally emits windows whose END ≤ the final
+#     watermark (max event time over ALL input − delay; dropped rows
+#     still advance it — the stats node sits above the source).
+# Batch split: batch0 = event_id%4 ∈ {0,2}, batch1 = %4==1,
+# batch2 = %4==3. So batch2's filter watermark derives from batch0.
+_LATE_DROP_ORACLE = f"""
+WITH wm1 AS (
+  SELECT MAX(ts) - INTERVAL {_LATE_WM} AS w FROM events WHERE event_id % 4 IN (0, 2)
+),
+kept AS (
+  SELECT * FROM events WHERE event_id % 4 <> 3
+  UNION ALL
+  SELECT e.* FROM events e, wm1
+  WHERE e.event_id % 4 = 3
+    AND DATE_TRUNC('hour', e.ts) + INTERVAL 1 HOUR > wm1.w
+),
+wmf AS (SELECT MAX(ts) - INTERVAL {_LATE_WM} AS w FROM events)
+SELECT DATE_TRUNC('hour', k.ts) AS window_start,
+       k.event_type,
+       COUNT(*) AS n_events,
+       {_VAL_SUM.replace('value', 'k.value')} AS total_value
+FROM kept k, wmf
+GROUP BY 1, 2, wmf.w
+HAVING DATE_TRUNC('hour', MIN(k.ts)) + INTERVAL 1 HOUR <= wmf.w
+"""
+
+
+def _three_file_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write events split by event_id%4 into three single-file parquets
+    with forced modification times, so FileStreamSource +
+    maxFilesPerTrigger=1 yields exactly three ordered micro-batches.
+    Idempotent per (scratch, sf)."""
+    from stellarsql_spark.sources.io import SCRATCH_ROOT
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    d = os.path.join(SCRATCH_ROOT, f"late_drop3{tag}")
+    done = os.path.join(d, "_SPLIT_DONE")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros(F.col("ts"))  # keep BIGINT micros: EVENTS_DDL schema
+    )
+    splits = (
+        (F.col("event_id") % 4).isin(0, 2),
+        F.col("event_id") % 4 == 1,
+        F.col("event_id") % 4 == 3,
+    )
+    for idx, pred in enumerate(splits):
+        part_dir = os.path.join(d, f"_part{idx}")
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"batch{idx}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t = 1_600_000_000 + idx * 1000  # strictly increasing mtimes
+        os.utime(dst, (t, t))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+@register("b_stream_late_drop", oracle=_LATE_DROP_ORACLE, tags=("streaming", "runtime", "watermark"))
+def b_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42 through the real engine, with REAL late-data drops
+    (numRowsDroppedByWatermark > 0): batches 0-1 advance the watermark
+    and trigger append-mode emission/eviction, so batch 2's old rows
+    arrive too late for their evicted windows and are dropped. File
+    order is pinned via modification times, so the result — which
+    differs from the batch aggregate precisely by the dropped rows and
+    the unfinalized windows — is deterministic and the oracle
+    reproduces the engine's drop + emission rules in SQL."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = _three_file_stream_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(os.path.join(d, "*.parquet"))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    streamed = tumbling_hourly(ev.withWatermark("ts", _LATE_WM))
+    return run_to_memory(streamed, output_mode="append")

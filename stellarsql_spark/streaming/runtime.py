@@ -50,6 +50,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame synchronously into a memory sink and
     return the sink contents as a batch DataFrame."""
+    # State-store partition count is fixed at the first checkpoint by
+    # shuffle.partitions; a vanilla 200 costs ~5-45s per drain on
+    # local test data. 32 matches the engine session default and the
+    # local core count.
+    spark = stream_df.sparkSession
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
