@@ -1,10 +1,13 @@
 """Multimodal column operators (SURVEY.md §2 B55 + binary plumbing).
 
 Model: image/audio/video payloads are opaque `binary` columns with
-typed metadata travelling alongside. The decode step is STUBBED (the
-container has no image/audio libs — see ``decode_image_batch``), but
-the Spark-side plumbing is real and tested: schema, Arrow batch shape
-through ``mapInPandas``, partitioning, and the metadata join.
+typed metadata travelling alongside. The image path uses a REAL
+vendored pure-python BMP codec and the audio path a REAL stdlib
+`wave` RIFF/PCM round trip (the container ships no image/audio libs,
+so heavier codecs — JPEG, mp4 demux — would swap into the same
+mapInPandas bodies); only the video demuxer remains a declared stub.
+Oracles recompute the expected decode output arithmetically from the
+payload bytes, so codec bugs fail the hash.
 """
 
 from __future__ import annotations
@@ -69,45 +72,124 @@ def b_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECODE_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, fake_decode boolean"
+# --- real image codec: pure-python 24bpp BMP -------------------------
+#
+# The container ships no image libraries, so the codec is vendored:
+# a from-scratch BMP writer/parser (file header + BITMAPINFOHEADER +
+# bottom-up padded pixel rows — the standard layout). The decode step
+# genuinely parses the binary payload; swapping in PIL/libvips for
+# JPEG/PNG changes only _bmp_decode, not the Spark plumbing.
+
+_BMP_HDR = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_encode(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24bpp solid-color BMP (real, openable image bytes)."""
+    import struct
+
+    row = (3 * width + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    size = _BMP_HDR + row * height
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, _BMP_HDR)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row * height, 2835, 2835, 0, 0
+    )
+    px_row = bytes((rgb[2], rgb[1], rgb[0])) * width + b"\x00" * (row - 3 * width)
+    return file_hdr + info_hdr + px_row * height
+
+
+def _bmp_decode(data: bytes) -> tuple[int, int, int, int, int]:
+    """Parse BMP headers + pixel array: (width, height, mean_r, g, b)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row = (3 * width + 3) // 4 * 4
+    tot_b = tot_g = tot_r = 0
+    for y in range(height):
+        base = off + y * row
+        for x in range(width):
+            i = base + 3 * x
+            tot_b += data[i]
+            tot_g += data[i + 1]
+            tot_r += data[i + 2]
+    n = width * height
+    return width, height, tot_r // n, tot_g // n, tot_b // n
+
+
+ENCODE_SCHEMA = "doc_id bigint, img binary"
+DECODE_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, mean_r int, mean_g int, mean_b int"
+
+
+def encode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched image ENCODE: deterministic per-doc dimensions and
+    color from the md5 payload bytes → real BMP binary."""
+    for pdf in batches:
+        imgs = [
+            _bmp_encode(1 + p[0] % 16, 1 + p[1] % 16, (p[2], p[3], p[4]))
+            for p in pdf["payload"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
 
 
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched 'image decode' over binary payloads.
-
-    Real decode is stubbed: the container ships no image libraries, so
-    a deterministic fake derives dimensions from the payload bytes.
-    Swapping in a real decoder (PIL/libvips) changes ONLY the body of
-    ``_decode_one`` — batch shape, schema, and partitioning all hold.
-    """
-
-    def _decode_one(payload: bytes) -> tuple[int, int, bool]:
-        try:
-            raise NotImplementedError("no image codec in this environment")
-        except NotImplementedError:
-            # deterministic fake: dimensions from the first two bytes
-            return 16 * (1 + payload[0] % 64), 16 * (1 + payload[1] % 64), True
-
+    """Arrow-batched image DECODE: parse the BMP binary into typed
+    metadata + pixel statistics."""
     for pdf in batches:
-        decoded = [_decode_one(p) for p in pdf["payload"]]
+        decoded = [_bmp_decode(img) for img in pdf["img"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": [len(p) for p in pdf["payload"]],
+                "n_bytes": [len(img) for img in pdf["img"]],
                 "width": [d[0] for d in decoded],
                 "height": [d[1] for d in decoded],
-                "fake_decode": [d[2] for d in decoded],
+                "mean_r": [d[2] for d in decoded],
+                "mean_g": [d[3] for d in decoded],
+                "mean_b": [d[4] for d in decoded],
             }
         )
 
 
-@register("b_mm_decode_stub", oracle=None, tags=("pipeline", "multimodal", "stub"))
-def b_mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract pipeline over binary payloads via
-    mapInPandas (stubbed codec, real plumbing; rows-only check)."""
+# The oracle never sees the binary: it recomputes what a correct
+# encode→decode round trip MUST produce, arithmetically from the md5
+# bytes (dimensions, solid color, and the exact padded BMP file size).
+_DECODE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substring(md5(text), 3, 2)) AS INT) AS b1,
+         CAST(concat('0x', substring(md5(text), 5, 2)) AS INT) AS b2,
+         CAST(concat('0x', substring(md5(text), 7, 2)) AS INT) AS b3,
+         CAST(concat('0x', substring(md5(text), 9, 2)) AS INT) AS b4
+  FROM documents
+)
+SELECT doc_id,
+       CAST(54 + ((3 * (1 + b0 % 16) + 3) // 4) * 4 * (1 + b1 % 16) AS INT) AS n_bytes,
+       1 + b0 % 16 AS width,
+       1 + b1 % 16 AS height,
+       b2 AS mean_r,
+       b3 AS mean_g,
+       b4 AS mean_b
+FROM m
+"""
+
+
+@register("b_mm_decode_bmp", oracle=_DECODE_ORACLE, tags=("pipeline", "multimodal", "codec"))
+def b_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over binary columns: encode a deterministic
+    BMP per document (vendored pure-python codec), ship the binary
+    through Arrow, then parse headers + pixel array back into typed
+    metadata. The oracle recomputes the expected decode output
+    arithmetically, so a wrong header offset, row padding, or BGR/RGB
+    swap in either codec half fails the hash."""
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
-    return with_payload.mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
+    images = with_payload.mapInPandas(encode_image_batch, schema=ENCODE_SCHEMA)
+    return images.mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_crc bigint"
@@ -145,34 +227,111 @@ def b_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
 
 
-CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, n_bytes int, energy double"
-CHUNK_BYTES = 4
+# --- real audio codec: stdlib WAV (RIFF/PCM) -------------------------
+#
+# Encode: deterministic int16 PCM samples (md5 byte pairs, tiled) into
+# a REAL mono 16-bit WAV via the stdlib `wave` module. Decode: `wave`
+# parses the RIFF container back; per-window RMS energy is the
+# feature. An FFT/mel frontend would replace only the energy line.
+
+CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, n_samples int, rms double"
+CHUNK_SAMPLES = 16
+_SR = 8000
+
+
+def _pcm_samples(payload: bytes) -> list[int]:
+    """Deterministic signed-int16 samples: md5 byte pairs, tiled to a
+    payload-dependent even length (the oracle recomputes these)."""
+    base = []
+    for j in range(8):
+        v = payload[2 * j] | (payload[2 * j + 1] << 8)
+        base.append(v - 65536 if v >= 32768 else v)
+    n = 32 + (payload[5] % 32) * 2
+    return [base[i % 8] for i in range(n)]
+
+
+def _wav_encode(samples: list[int]) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_SR)
+        w.writeframes(struct.pack("<" + "h" * len(samples), *samples))
+    return buf.getvalue()
+
+
+def _wav_decode(data: bytes) -> list[int]:
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        raw = w.readframes(w.getnframes())
+    return list(struct.unpack("<" + "h" * (len(raw) // 2), raw))
 
 
 def audio_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched 'audio feature extraction': split each binary
-    payload into fixed-size chunks (stand-in for PCM windows) and emit
-    per-chunk mean byte energy. A real implementation swaps the energy
-    line for an FFT/mel filterbank over decoded samples; the chunking,
-    schema, and flatMap batch shape are the production plumbing."""
+    """Arrow-batched audio ENCODE→DECODE→feature pass: build a real WAV
+    per doc, parse it back, window the PCM stream, emit per-window RMS.
+    One-row-in → many-rows-out (flatMap shape)."""
+    import math
+
     for pdf in batches:
         ids, idxs, sizes, energies = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            for i in range(0, len(payload), CHUNK_BYTES):
-                chunk = payload[i : i + CHUNK_BYTES]
+            samples = _wav_decode(_wav_encode(_pcm_samples(payload)))
+            for i in range(0, len(samples), CHUNK_SAMPLES):
+                chunk = samples[i : i + CHUNK_SAMPLES]
                 ids.append(doc_id)
-                idxs.append(i // CHUNK_BYTES)
+                idxs.append(i // CHUNK_SAMPLES)
                 sizes.append(len(chunk))
-                energies.append(sum(chunk) / len(chunk))  # stub: feature
+                energies.append(
+                    round(math.sqrt(sum(s * s for s in chunk) / len(chunk)), 6)
+                )
         yield pd.DataFrame(
-            {"doc_id": ids, "chunk_idx": idxs, "n_bytes": sizes, "energy": energies}
+            {"doc_id": ids, "chunk_idx": idxs, "n_samples": sizes, "rms": energies}
         )
 
 
-@register("b_mm_audio_chunks", oracle=None, tags=("pipeline", "multimodal", "stub"))
+# Recomputes the samples (md5 byte pairs, little-endian int16, tiled)
+# and windowed RMS arithmetically — a byte-order or framing bug in the
+# WAV round trip fails the hash.
+_AUDIO_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         32 + (CAST(concat('0x', substring(md5(text), 11, 2)) AS INT) % 32) * 2 AS n
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT doc_id, t.i,
+           CAST(concat('0x',
+                       substring(h, 4 * (t.i % 8) + 3, 2),
+                       substring(h, 4 * (t.i % 8) + 1, 2)) AS INT) AS v
+    FROM m, UNNEST(range(n)) AS t(i)
+  )
+)
+SELECT doc_id,
+       CAST(i // {CHUNK_SAMPLES} AS INT) AS chunk_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       ROUND(SQRT(SUM(CAST(s AS DOUBLE) * s) / COUNT(*)), 6) AS rms
+FROM samples
+GROUP BY doc_id, chunk_idx
+"""
+
+
+@register("b_mm_audio_chunks", oracle=_AUDIO_ORACLE, tags=("pipeline", "multimodal", "codec"))
 def b_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-window chunking + per-chunk features over binary 'audio'
-    payloads via mapInPandas (stubbed DSP, real plumbing; rows-only)."""
+    """REAL audio pipeline over binary columns: deterministic PCM →
+    stdlib-`wave` RIFF encode → parse back → fixed-window RMS features,
+    all inside one Arrow-batched mapInPandas flatMap."""
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(audio_chunk_batch, schema=CHUNK_SCHEMA)
