@@ -44,6 +44,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Memoized relations per (Spark app, sf, table): the corpus is
+# read-only, so re-running spark.read.parquet per builder call only
+# repeats file listing + footer/schema analysis (~10-50 ms per table
+# per query — real money when a bench query runs 4×). Keyed by
+# applicationId so a stopped/rebuilt session never sees stale plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame (schema from parquet footer).
 
@@ -55,6 +63,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _TABLE_CACHE[key] = df = _read_table(spark, sf_dir, name)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
