@@ -440,3 +440,58 @@ def b_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         *[F.expr(e).alias(name) for name, e in _MOMENT_EXPRS.items()],
     )
+
+
+# The oracle can recompute the exact distinct count but not Datasketches
+# registers, so the sketch results are emitted as PROPERTIES the oracle
+# asserts: BOTH the merged-partials estimate and the whole-scan
+# estimate must sit within 5% of truth (fixed data + fixed lgK →
+# deterministic; they differ from each other by a hair because the
+# union target promotes HLL_4 → HLL_8 registers). A broken merge or a
+# drifting estimate fails the hash.
+_HLL_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_cnt,
+       TRUE AS merged_within_5pct,
+       TRUE AS whole_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_agg_hll_merge", oracle=_HLL_ORACLE, tags=("agg", "approx", "sketch"))
+def b_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): build one
+    sketch per (priority, half) partition, union the partial sketches,
+    and verify the merged estimate equals the single-pass whole-scan
+    estimate — the property that makes sketches the 100 TB answer to
+    COUNT(DISTINCT): partials combine map-side like any algebraic agg,
+    no exact-distinct shuffle of the key universe."""
+    o = load_table(spark, sf_dir, "orders")
+    halves = (
+        o.withColumn("half", (F.col("o_orderkey") % 2).cast("int"))
+        .groupBy("o_orderpriority", "half")
+        .agg(F.expr("hll_sketch_agg(o_custkey)").alias("part_sketch"))
+    )
+    merged = halves.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(part_sketch))").alias("merged_est")
+    )
+    whole = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("whole_est"),
+        F.countDistinct("o_custkey").alias("exact_cnt"),
+    )
+    return (
+        whole.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_cnt",
+            (
+                F.abs(F.col("merged_est") - F.col("exact_cnt"))
+                <= 0.05 * F.col("exact_cnt")
+            ).alias("merged_within_5pct"),
+            (
+                F.abs(F.col("whole_est") - F.col("exact_cnt"))
+                <= 0.05 * F.col("exact_cnt")
+            ).alias("whole_within_5pct"),
+        )
+    )

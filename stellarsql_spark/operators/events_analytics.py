@@ -164,3 +164,54 @@ def b_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dev", 6).alias("deviation"),
         )
     )
+
+
+_PATHS_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions, n_users
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_transitions DESC, prev_type, next_type) AS rn
+  FROM pairs
+)
+WHERE rn <= 20
+"""
+
+
+@register("b_ev_paths", oracle=_PATHS_ORACLE, tags=("events", "paths", "window"))
+def b_ev_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (behavioral bigrams): per-user
+    event-time ordering via a lag window, then a global transition
+    count — the Markov-chain view of the event log. Scale shape: the
+    window shuffles once on user_id (each user's history is modest),
+    and the transition matrix is |types|² rows — tiny regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = steps.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    top = Window.orderBy(F.col("n_transitions").desc(), "prev_type", "next_type")
+    return (
+        pairs.withColumn("rn", F.row_number().over(top))
+        .where(F.col("rn") <= 20)
+        .select("prev_type", "next_type", "n_transitions", "n_users")
+    )

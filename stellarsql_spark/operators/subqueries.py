@@ -86,3 +86,35 @@ def b_sql_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the decimal-exact AVG keeps both sides bit-identical."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_CORR_SUBQ_ORACLE)
+
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE bounds AS (
+  SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+         DATE_TRUNC('month', MAX(o_orderdate)) AS hi
+  FROM orders
+),
+months(m, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+),
+mc AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start, COALESCE(mc.n, 0) AS n_orders
+FROM months LEFT JOIN mc ON months.m = mc.m
+"""
+
+
+@register("b_sql_recursive", oracle=_RECURSIVE_ORACLE, tags=("sql", "cte", "recursive"))
+def b_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the full month
+    series spanning the order history — including empty months — then
+    left-join monthly order counts. The identical ANSI text runs on
+    DuckDB, pinning the recursion (anchor + iterated term + implicit
+    UNION ALL fixpoint) end-to-end. Iteration depth is bounded by the
+    data span (~80 months), far under Spark's recursion-level limit."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_ORACLE)

@@ -260,3 +260,54 @@ def b_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", F.round(jac, 4).alias("jaccard_approx"))
         .where(F.col("jaccard_approx") >= JACCARD_THRESHOLD)
     )
+
+
+_EDITDIST_ORACLE = """
+WITH p AS (
+  SELECT doc_id, source, substring(text, 1, 40) AS head FROM documents
+),
+paired AS (
+  SELECT source,
+         LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id1,
+         doc_id AS id2,
+         LAG(head) OVER (PARTITION BY source ORDER BY doc_id) AS h1,
+         head AS h2
+  FROM p
+)
+SELECT id1, id2,
+       levenshtein(h1, h2) AS edit_dist,
+       ROUND(1.0 - levenshtein(h1, h2) / GREATEST(len(h1), len(h2)), 6) AS head_sim
+FROM paired WHERE id1 IS NOT NULL
+"""
+
+
+@register("b_llm_editdist", oracle=_EDITDIST_ORACLE, tags=("pipeline", "dedup", "editdist"))
+def b_llm_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification pass over candidate pairs — the
+    character-level scorer a near-dup pipeline runs AFTER cheap
+    blocking (here: consecutive doc_ids within a source; in the full
+    pipeline: the MinHash/LSH candidates). Levenshtein is O(m·n) per
+    pair, which is exactly why it must never see the n² pair space —
+    only blocked candidates. Blocking = successive docs within a
+    source (one lag window, no join at all). Spark's `levenshtein`
+    and DuckDB's agree on unit-cost edits, so the check is exact."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select("doc_id", "source", F.substring("text", 1, 40).alias("head"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = p.select(
+        F.lag("doc_id").over(w).alias("id1"),
+        F.col("doc_id").alias("id2"),
+        F.lag("head").over(w).alias("h1"),
+        F.col("head").alias("h2"),
+    ).where(F.col("id1").isNotNull())
+    dist = F.levenshtein("h1", "h2")
+    return paired.select(
+        "id1",
+        "id2",
+        dist.alias("edit_dist"),
+        F.round(
+            F.lit(1.0) - dist / F.greatest(F.length("h1"), F.length("h2")), 6
+        ).alias("head_sim"),
+    )

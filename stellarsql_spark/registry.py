@@ -106,17 +106,21 @@ def all_specs() -> dict[str, QuerySpec]:
 # ANY prefix the driver completes spans joins/aggregates/windows/.../
 # pipeline, and keys already driver-green in CORRECTNESS_r01.json come
 # last (their evidence already exists).
-_R01_GREEN_MODULES = frozenset(
+# the keys CORRECTNESS_r01.json actually covered (driver stopped there)
+_R01_CHECKED = frozenset(
     {
-        "stellarsql_spark.operators.tier_a",
-        "stellarsql_spark.operators.filters",
-        "stellarsql_spark.operators.tpch",
-        "stellarsql_spark.operators.tpch2",
-        "stellarsql_spark.operators.tpch3",
-        "stellarsql_spark.operators.reshape",
-        "stellarsql_spark.operators.subqueries",
-        "stellarsql_spark.operators.sql_surface",
-        "stellarsql_spark.operators.timeseries",
+        "a_create_load", "a_insert_roundtrip", "a_scan", "a_project",
+        "a_filter_predicates", "a_sql_text", "a_ddl_lifecycle",
+        "a_constraint_enforce", "b_project_compute", "b_filter_rich",
+        "b_case_when", "b_tpch_q3", "b_tpch_q5", "b_tpch_q4", "b_tpch_q6",
+        "b_tpch_q7", "b_tpch_q8", "b_tpch_q9", "b_tpch_q10", "b_tpch_q13",
+        "b_tpch_q14", "b_tpch_q15", "b_tpch_q17", "b_tpch_q18", "b_tpch_q19",
+        "b_tpch_q22", "b_tpch_q2", "b_tpch_q11", "b_tpch_q12", "b_tpch_q16",
+        "b_tpch_q20", "b_tpch_q21", "b_pivot", "b_unpivot",
+        "b_agg_grouping_sets", "b_sample_seeded", "b_llm_split", "b_sql_cte",
+        "b_sql_scalar_subquery", "b_sql_in_subquery", "b_sql_corr_subquery",
+        "b_sql_lateral", "b_win_nth", "b_fn_try", "b_fn_string2", "b_fn_map",
+        "b_sql_hints", "b_ts_gapfill", "b_ts_resample", "b_ts_rollup_reuse",
     }
 )
 # round-1 driver FAILs, since fixed — they need fresh driver rows first
@@ -129,17 +133,17 @@ def driver_key_order() -> list[str]:
 
     specs = all_specs()
     head = [k for k in _PRIORITY_HEAD if k in specs]
-    untested_mods = [m for m in _QUERY_MODULES if m not in _R01_GREEN_MODULES]
-    groups = [
-        [k for k, s in specs.items() if s.builder.__module__ == m and k not in head]
-        for m in untested_mods
-    ]
-    round_robin = [k for batch in zip_longest(*groups) for k in batch if k is not None]
-    tail = [
+    pending = [k for k in specs if k not in _R01_CHECKED and k not in head]
+    groups_by_mod: dict[str, list[str]] = {}
+    for k in pending:
+        groups_by_mod.setdefault(specs[k].builder.__module__, []).append(k)
+    round_robin = [
         k
-        for k, s in specs.items()
-        if s.builder.__module__ in _R01_GREEN_MODULES and k not in head
+        for batch in zip_longest(*groups_by_mod.values())
+        for k in batch
+        if k is not None
     ]
+    tail = [k for k in specs if k in _R01_CHECKED and k not in head]
     ordered = head + round_robin + tail
     assert sorted(ordered) == sorted(specs), "driver_key_order must cover every key exactly once"
     return ordered

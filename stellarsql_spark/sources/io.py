@@ -179,3 +179,60 @@ def b_layout_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+# --- Z-order (Morton) multidimensional layout ------------------------
+
+_ZBITS = 8  # 8 bits per dimension → 65536 cells, bucketed to 256
+
+
+def _morton_sql(a: str, b: str, bits: int = _ZBITS) -> str:
+    """Bit-interleave SQL text valid in both Spark and DuckDB:
+    bit i of `a` lands at position 2i, bit i of `b` at 2i+1."""
+    parts = [
+        f"(((({a}) >> {i}) & 1) << {2 * i}) + (((({b}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return " + ".join(parts)
+
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_custkey % 256 AS ck, o_orderkey % 256 AS ok,
+         {_morton_sql('o_custkey % 256', 'o_orderkey % 256')} AS zval
+  FROM orders
+)
+SELECT CAST(zval // 256 AS BIGINT) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+       MIN(ok) AS ok_lo, MAX(ok) AS ok_hi
+FROM keyed
+GROUP BY zbucket
+"""
+
+
+@register("b_layout_zorder", oracle=_ZORDER_ORACLE, tags=("io", "layout", "zorder"))
+def b_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key: interleave the bits of
+    two scan dimensions so files sorted by `zval` are simultaneously
+    clustered on BOTH columns — per-bucket min/max ranges stay narrow
+    in ck AND ok (the emitted bounds prove it), which is what lets
+    min/max file statistics skip files for predicates on either
+    column at 100 TB. Pure integer bit arithmetic, identical in both
+    engines, so the layout key itself is hash-verified."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        (F.col("o_custkey") % 256).alias("ck"),
+        (F.col("o_orderkey") % 256).alias("ok"),
+        F.expr(_morton_sql("o_custkey % 256", "o_orderkey % 256")).alias("zval"),
+    )
+    return (
+        keyed.groupBy((F.col("zval") / 256).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ck").alias("ck_lo"),
+            F.max("ck").alias("ck_hi"),
+            F.min("ok").alias("ok_lo"),
+            F.max("ok").alias("ok_hi"),
+        )
+    )
