@@ -1,0 +1,114 @@
+"""Data-quality profiling (dbt-test / Deequ-style constraint checks).
+
+One operator emits a fixed suite of checks as (check, n_checked,
+n_violations, passed) rows: key uniqueness, referential integrity,
+null/empty rates, and value-domain constraints. Scale shape: every
+check is a single aggregate or anti-join-count over one table — each
+is one shuffle, the union of ~6 one-row frames is free, and nothing
+ever leaves the executors until the final 6-row result.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+_PROFILE_ORACLE = """
+SELECT 'customer_pk_unique' AS check_name,
+       COUNT(*) AS n_checked,
+       COUNT(*) - COUNT(DISTINCT c_custkey) AS n_violations,
+       COUNT(*) = COUNT(DISTINCT c_custkey) AS passed
+FROM customer
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'documents_text_nonempty',
+       COUNT(*),
+       COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END),
+       COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'orders_price_positive',
+       COUNT(*),
+       COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END),
+       COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'events_user_notnull',
+       COUNT(*),
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END) = 0
+FROM events
+"""
+
+
+def _check_row(name: str, checked, violations) -> DataFrame:
+    return checked.select(
+        F.lit(name).alias("check_name"),
+        F.col("n").alias("n_checked"),
+        violations.alias("n_violations"),
+        (violations == 0).alias("passed"),
+    )
+
+
+@register("b_quality_profile", oracle=_PROFILE_ORACLE, tags=("quality", "profiling", "agg"))
+def b_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check suite over the corpus: PK uniqueness (count vs
+    distinct), FK integrity (left-anti count — never a full join
+    materialization), null/empty and domain checks (conditional
+    counts). Every check is algebraic, so partial aggregation keeps
+    the shuffle payload at one row per partition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+
+    pk = c.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("v"),
+    )
+    fk_o = o.agg(F.count("*").alias("n")).crossJoin(
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count("*").alias("v"))
+    )
+    fk_li = li.agg(F.count("*").alias("n")).crossJoin(
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(F.count("*").alias("v"))
+    )
+    txt = d.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("text").isNull() | (F.col("text") == ""), 1)).alias("v"),
+    )
+    price = o.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v"),
+    )
+    usr = e.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("v"),
+    )
+    rows = [
+        _check_row("customer_pk_unique", pk, F.col("v")),
+        _check_row("orders_custkey_fk", fk_o, F.col("v")),
+        _check_row("lineitem_orderkey_fk", fk_li, F.col("v")),
+        _check_row("documents_text_nonempty", txt, F.col("v")),
+        _check_row("orders_price_positive", price, F.col("v")),
+        _check_row("events_user_notnull", usr, F.col("v")),
+    ]
+    return reduce(DataFrame.unionAll, rows)

@@ -38,6 +38,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.sql_surface",
     "stellarsql_spark.operators.timeseries",
     "stellarsql_spark.operators.events_analytics",
+    "stellarsql_spark.operators.quality",
     "stellarsql_spark.operators.skew",
     "stellarsql_spark.operators.merge",
     "stellarsql_spark.sources.bucketed",

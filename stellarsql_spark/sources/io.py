@@ -236,3 +236,39 @@ def b_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ok").alias("ok_hi"),
         )
     )
+
+
+_PRUNE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_layout_partition_prune", oracle=_PRUNE_ORACLE, tags=("io", "layout", "pruning"))
+def b_layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + static partition pruning: write
+    orders partitioned by o_orderpriority (directory-per-value), then
+    serve a priority-filtered aggregate from the partitioned copy. The
+    filter is resolved against DIRECTORY NAMES at plan time — the scan
+    lists only the two matching partitions and never opens the other
+    three (PartitionFilters in the scan node; at 100 TB this is the
+    coarse pruning tier above file min/max skipping, and the layout
+    dimension is chosen to match the dominant filter column). The
+    oracle runs the same aggregate on the unpartitioned source,
+    proving the rewrite is content-preserving."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = _scratch("partitioned_layout")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
