@@ -28,7 +28,15 @@ SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fi
 
 
 def _scratch(name: str) -> str:
+    """Fresh scratch dir per call; prior runs of the SAME operator are
+    pruned first so repeated bench/verify sweeps don't accumulate
+    orphaned output directories."""
+    import shutil
+
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    for old in os.listdir(SCRATCH_ROOT):
+        if old.startswith(f"{name}_"):
+            shutil.rmtree(os.path.join(SCRATCH_ROOT, old), ignore_errors=True)
     return tempfile.mkdtemp(prefix=f"{name}_", dir=SCRATCH_ROOT)
 
 
