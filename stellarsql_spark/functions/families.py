@@ -313,3 +313,78 @@ def b_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("info.bal") > 9000, F.col("info.name"))).alias("top_name"),
         )
     )
+
+
+_NULLS_ORACLE = """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS status_null,
+       (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS nse_null,
+       coalesce(nullif(o_orderstatus, 'O'), o_orderpriority, 'fallback') AS coal,
+       ifnull(nullif(o_orderstatus, 'O'), '?') AS if_n,
+       CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+            THEN 'present' ELSE 'absent' END AS nvl2_v,
+       (o_orderkey IS DISTINCT FROM NULL) AS key_notnull
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+@register("b_fn_nulls", oracle=_NULLS_ORACLE, tags=("function", "nulls"))
+def b_fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family: nullif to manufacture NULLs from the
+    (NULL-free) corpus, then null-safe equality (`<=>` ==
+    IS NOT DISTINCT FROM), coalesce chains, ifnull, and the nvl2
+    presence switch — the semantics every engine must pin down
+    identically for three-valued logic to round-trip."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_null.alias("status_null"),
+        status_null.eqNullSafe(F.lit(None)).alias("nse_null"),
+        F.coalesce(status_null, F.col("o_orderpriority"), F.lit("fallback")).alias("coal"),
+        F.ifnull(status_null, F.lit("?")).alias("if_n"),
+        F.nvl2(status_null, F.lit("present"), F.lit("absent")).alias("nvl2_v"),
+        (~F.col("o_orderkey").eqNullSafe(F.lit(None))).alias("key_notnull"),
+    )
+
+
+_HOF_ORACLE = """
+SELECT vec_id,
+       array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(CAST(ROUND(ROUND(x * 2, 4) * 10000, 0) AS BIGINT) AS VARCHAR)), ';') AS doubled_e4,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.5)) > 0 AS any_big,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x < 2.0)) = len(embedding) AS all_small,
+       ROUND(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x)), 'sum'), 4) AS l1_norm,
+       CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS vmax
+FROM embeddings
+WHERE vec_id < 200
+"""
+
+
+@register("b_fn_hof", oracle=_HOF_ORACLE, tags=("function", "array", "hof"))
+def b_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform (stringified as integer
+    1e-4 mantissas — raw double→string formatting diverges between
+    engines on small values, 3.0E-4 vs 0.0003), exists / forall
+    predicates, aggregate fold (L1 norm — absolute values keep the
+    fold order-insensitive at 4 dp), and array_max. DuckDB's list_*
+    family is the oracle twin."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                emb,
+                lambda x: F.round(F.round(x * 2, 4) * 10000, 0).cast("bigint").cast("string"),
+            ),
+            ";",
+        ).alias("doubled_e4"),
+        F.exists(emb, lambda x: x > 0.5).alias("any_big"),
+        F.forall(emb, lambda x: x < 2.0).alias("all_small"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("l1_norm"),
+        F.array_max(emb).alias("vmax"),
+    )
