@@ -4,10 +4,11 @@ Model: image/audio/video payloads are opaque `binary` columns with
 typed metadata travelling alongside. The image path uses a REAL
 vendored pure-python BMP codec and the audio path a REAL stdlib
 `wave` RIFF/PCM round trip (the container ships no image/audio libs,
-so heavier codecs — JPEG, mp4 demux — would swap into the same
-mapInPandas bodies); only the video demuxer remains a declared stub.
-Oracles recompute the expected decode output arithmetically from the
-payload bytes, so codec bugs fail the hash.
+the video path a REAL YUV4MPEG2 mux/demux (the container ships no
+image/audio libs, so heavier codecs — JPEG, mp4 — would swap into the
+same mapInPandas bodies). Oracles recompute the expected decode
+output arithmetically from the payload bytes, so codec bugs fail the
+hash.
 """
 
 from __future__ import annotations
@@ -192,36 +193,103 @@ def b_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images.mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_crc bigint"
 FRAME_STRIDE = 4
+_VW, _VH = 2, 2  # tiny but real video frames (C444: W*H*3 bytes each)
+
+
+def _y4m_encode(frames: list[bytes], w: int = _VW, h: int = _VH) -> bytes:
+    """Minimal REAL YUV4MPEG2 container: stream header + FRAME-marked
+    raw 4:4:4 planes (mplayer/ffmpeg-readable layout)."""
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for fr in frames:
+        assert len(fr) == w * h * 3
+        out.append(b"FRAME\n" + fr)
+    return b"".join(out)
+
+
+def _y4m_decode(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse the Y4M stream header + demux frames: (w, h, frames)."""
+    nl = data.index(b"\n")
+    header = data[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = dict((tok[0], tok[1:]) for tok in header.split()[1:])
+    w, h = int(params["W"]), int(params["H"])
+    if params.get("C", "420jpeg") != "444":
+        raise ValueError("unsupported chroma subsampling")
+    fsize = w * h * 3
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        if data[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos += 6
+        frames.append(data[pos : pos + fsize])
+        pos += fsize
+    return w, h, frames
+
+
+def _fake_frames(payload: bytes) -> list[bytes]:
+    """Deterministic per-doc frame content: frame k's bytes tile the
+    md5 payload starting at offset k (the oracle recomputes this)."""
+    n_frames = 8 + payload[2] % 56
+    fsize = _VW * _VH * 3
+    return [
+        bytes(payload[(k + i) % 16] for i in range(fsize)) for k in range(n_frames)
+    ]
 
 
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched 'video frame sampling': emit every FRAME_STRIDE-th
-    frame index. Frame decode is stubbed (deterministic frame count and
-    checksum derived from payload bytes); a real implementation swaps
-    the two marked lines for a container demuxer, keeping the
-    one-row-in → many-rows-out batch shape that makes this a flatMap,
-    not a map."""
-    import zlib
-
+    """Arrow-batched video frame sampling: mux a REAL Y4M stream per
+    doc, demux it back, keep every FRAME_STRIDE-th frame, and emit its
+    mean luma — one-row-in → many-rows-out (flatMap shape). A mp4/webm
+    demuxer would replace only the _y4m_* pair."""
     for pdf in batches:
-        out_ids, out_idx, out_crc = [], [], []
+        out_ids, out_idx, out_y = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_frames = 8 + payload[2] % 56  # stub: demuxer frame count
-            for i in range(0, n_frames, FRAME_STRIDE):
+            w, h, frames = _y4m_decode(_y4m_encode(_fake_frames(payload)))
+            for i in range(0, len(frames), FRAME_STRIDE):
+                luma = frames[i][: w * h]  # Y plane leads in planar layout
                 out_ids.append(doc_id)
                 out_idx.append(i)
-                out_crc.append(zlib.crc32(payload + i.to_bytes(4, "big")))  # stub: frame bytes
+                out_y.append(sum(luma) / (w * h))
         yield pd.DataFrame(
-            {"doc_id": out_ids, "frame_idx": out_idx, "frame_crc": out_crc}
+            {"doc_id": out_ids, "frame_idx": out_idx, "mean_y": out_y}
         )
 
 
-@register("b_mm_frame_sample", oracle=None, tags=("pipeline", "multimodal", "stub"))
+# Recomputes frame count, sampled indices, and each sampled frame's
+# mean luma (md5 bytes tiled from offset k) arithmetically — a demuxer
+# framing or plane-layout bug fails the hash.
+_FRAME_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         8 + (CAST(concat('0x', substring(md5(text), 5, 2)) AS INT) % 56) AS n_frames
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, h, t.k AS frame_idx
+  FROM m, UNNEST(range(n_frames)) AS t(k)
+  WHERE t.k % {FRAME_STRIDE} = 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       (CAST(concat('0x', substring(h, 2 * ((frame_idx + 0) % 16) + 1, 2)) AS INT)
+      + CAST(concat('0x', substring(h, 2 * ((frame_idx + 1) % 16) + 1, 2)) AS INT)
+      + CAST(concat('0x', substring(h, 2 * ((frame_idx + 2) % 16) + 1, 2)) AS INT)
+      + CAST(concat('0x', substring(h, 2 * ((frame_idx + 3) % 16) + 1, 2)) AS INT)) / 4.0 AS mean_y
+FROM sampled
+"""
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, mean_y double"
+
+
+@register("b_mm_frame_sample", oracle=_FRAME_ORACLE, tags=("pipeline", "multimodal", "codec"))
 def b_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-Nth-frame sampling over binary 'video' payloads via
-    mapInPandas (stubbed demuxer, real flatMap plumbing; rows-only)."""
+    """REAL video-container frame sampling: mux deterministic frames
+    into a YUV4MPEG2 stream (vendored pure-python muxer), demux it
+    back, and emit every FRAME_STRIDE-th frame's mean luma. The oracle
+    recomputes the demuxer's expected output arithmetically from the
+    payload bytes."""
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)

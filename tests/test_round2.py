@@ -51,6 +51,22 @@ class TestWavCodec:
         assert all(-32768 <= v <= 32767 for v in s1)
 
 
+class TestY4mCodec:
+    def test_round_trip(self):
+        from stellarsql_spark.pipeline.multimodal import _y4m_decode, _y4m_encode
+
+        frames = [bytes(range(12)), bytes(range(12, 24))]
+        w, h, back = _y4m_decode(_y4m_encode(frames))
+        assert (w, h) == (2, 2)
+        assert back == frames
+
+    def test_reject_non_y4m(self):
+        from stellarsql_spark.pipeline.multimodal import _y4m_decode
+
+        with pytest.raises(ValueError):
+            _y4m_decode(b"RIFF....not a y4m stream\n")
+
+
 class TestLshBanding:
     def test_candidates_superset_of_threshold_pairs(self, spark):
         """The property the exact oracle depends on: every >= 0.4 pair
