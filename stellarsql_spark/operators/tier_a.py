@@ -134,15 +134,27 @@ def a_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_A6_SQL)
 
 
-@register("a_ddl_lifecycle", oracle=None, tags=("tier_a", "ddl"))
+# The final table contents after the DDL dance are a fixed literal —
+# the oracle pins INSERT DEFAULT resolution, ALTER ADD COLUMN
+# back-fill NULLs, and column order end-to-end.
+_DDL_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'alice', 10.5, 'unknown'),
+  (2, 'bob',    0.0, 'unknown'),
+  (3, 'carol', 7.25, 'active')
+) AS t(id, name, balance, status)
+"""
+
+
+@register("a_ddl_lifecycle", oracle=_DDL_ORACLE, tags=("tier_a", "ddl"))
 def a_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DDL lifecycle through Spark SQL — the reference's core
     surface (CREATE DATABASE / CREATE TABLE with NOT NULL + DEFAULT /
     INSERT / ALTER ADD COLUMN / DROP; StellarSQL src/sql/parser.rs,
     src/component/{database,table,field}.rs [pub, unverified]).
     Runs against the in-memory session catalog, returns the final
-    table contents (deterministic; catalog output shapes differ per
-    engine → rows-only check)."""
+    table contents — fully deterministic, so the oracle is the
+    expected literal (DEFAULT fill-in, ALTER back-fill included)."""
     spark.sql("CREATE DATABASE IF NOT EXISTS stellar_ddl")
     spark.sql("DROP TABLE IF EXISTS stellar_ddl.accounts")
     # a fresh session's in-memory catalog doesn't know a table a prior

@@ -120,7 +120,14 @@ def b_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPACT_TARGET_FILES = 4
 
 
-@register("b_compact_files", oracle=None, tags=("sink", "compaction", "ops"))
+_COMPACT_ORACLE = f"""
+SELECT 'fragmented' AS layout, 64 AS n_files, COUNT(*) AS n_rows FROM orders
+UNION ALL
+SELECT 'compacted', {COMPACT_TARGET_FILES}, COUNT(*) FROM orders
+"""
+
+
+@register("b_compact_files", oracle=_COMPACT_ORACLE, tags=("sink", "compaction", "ops"))
 def b_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction: write orders fragmented (64 files),
     rewrite coalesced to COMPACT_TARGET_FILES, verify row parity, and
@@ -128,7 +135,9 @@ def b_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs — at 100 TB, compaction targets ~1 GiB files via
     maxRecordsPerFile / repartition(bytes/1GiB), and runs per
     partition-date so it parallelizes and never rewrites cold data.
-    File counts are layout facts, not SQL-derivable → rows-only."""
+    File counts are deterministic layout facts (repartition(64) and
+    coalesce(4) yield exactly that many non-empty files on this
+    corpus), so the oracle asserts them with the row-parity counts."""
     import glob
 
     o = load_table(spark, sf_dir, "orders")
