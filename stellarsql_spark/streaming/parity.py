@@ -234,3 +234,55 @@ def b_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
     streamed = tumbling_hourly(ev.withWatermark("ts", _LATE_WM))
     return run_to_memory(streamed, output_mode="append")
+
+
+_EXACTLY_ONCE_ORACLE = """
+SELECT COUNT(*) AS rows_after_first_run,
+       COUNT(*) AS rows_after_restart,
+       TRUE AS no_duplicates
+FROM events
+"""
+
+
+@register("b_stream_exactly_once", oracle=_EXACTLY_ONCE_ORACLE, tags=("streaming", "runtime", "sink"))
+def b_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink: drain the event stream into a
+    checkpointed parquet sink, then RESTART the query against the same
+    checkpoint and drain again. The checkpoint's source log knows every
+    input file was consumed and the sink's commit log makes replays
+    idempotent, so the second run writes nothing — the oracle asserts
+    both counts equal the batch count with no duplicates. This is the
+    property that makes streaming ingestion safe to re-run at 100 TB."""
+    from stellarsql_spark.sources.io import _scratch
+    from stellarsql_spark.streaming.runtime import checkpointed_file_sink
+
+    base = _scratch("exactly_once")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    n1 = checkpointed_file_sink(spark, sf_dir, out, ckpt)
+    n2 = checkpointed_file_sink(spark, sf_dir, out, ckpt)  # restart: replays nothing
+    return spark.createDataFrame(
+        [(n1, n2, n1 == n2)],
+        schema="rows_after_first_run bigint, rows_after_restart bigint, no_duplicates boolean",
+    )
+
+
+_FOREACH_BATCH_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("b_stream_foreachbatch", oracle=_FOREACH_BATCH_ORACLE, tags=("streaming", "runtime", "sink"))
+def b_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch bridge to arbitrary batch sinks: the micro-batch
+    engine hands each batch to plain batch code (here: overwrite a
+    per-event-type rollup — in production a JDBC write or MERGE). The
+    drained rollup must equal the batch GROUP BY."""
+    from stellarsql_spark.sources.io import _scratch
+    from stellarsql_spark.streaming.runtime import foreach_batch_agg
+
+    base = _scratch("foreachbatch")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    foreach_batch_agg(spark, sf_dir, out, ckpt)
+    return spark.read.parquet(out).select("event_type", "n_events")
