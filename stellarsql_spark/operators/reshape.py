@@ -132,3 +132,50 @@ def b_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# Sampled counts can't hash across engines (engine-specific RNG), but
+# their CONCENTRATION can: each stratum's sample size must land within
+# 5 sigma of its binomial mean — computed from the exact stratum
+# counts, so the oracle needs no RNG at all.
+_SAMPLE_BOUNDS_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_stratum,
+       TRUE AS within_5_sigma
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+_STRATA_FRACTIONS = {"F": 0.05, "O": 0.05, "P": 0.5}
+
+
+@register("b_sample_bounds", oracle=_SAMPLE_BOUNDS_ORACLE, tags=("sample", "approx", "property"))
+def b_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property check for stratified sampling: per-stratum sampled
+    counts must sit within 5σ of n·f (binomial). Turns the seeded
+    sampler from 'runs without error' into a tested statistical
+    contract, independent of the engine's RNG stream."""
+    o = load_table(spark, sf_dir, "orders")
+    sampled = (
+        o.sampleBy("o_orderstatus", fractions=_STRATA_FRACTIONS, seed=42)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv]
+    )[F.col("o_orderstatus")]
+    truth = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_stratum"))
+    joined = truth.join(sampled, "o_orderstatus", "left").select(
+        "o_orderstatus",
+        "n_stratum",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        (frac * F.col("n_stratum")).alias("mean"),
+        F.sqrt(frac * (1 - frac) * F.col("n_stratum")).alias("sigma"),
+    )
+    return joined.select(
+        "o_orderstatus",
+        "n_stratum",
+        (
+            F.abs(F.col("n_sampled") - F.col("mean")) <= 5 * F.col("sigma") + 1
+        ).alias("within_5_sigma"),
+    )

@@ -152,3 +152,29 @@ def b_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       NTILE(4)  OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile,
+       NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+FROM customer
+"""
+
+
+@register("b_win_ntile", oracle=_NTILE_ORACLE, tags=("window", "ntile"))
+def b_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing — per-nation quartiles and global deciles. The
+    sort key includes the unique c_custkey so tie order (and therefore
+    bucket assignment) is engine-independent. The global NTILE is the
+    one justified single-partition window in the suite; at scale the
+    per-nation form (or a 2-pass quantile cut) is the pattern."""
+    c = load_table(spark, sf_dir, "customer")
+    by_nation = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    global_w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(by_nation).alias("quartile"),
+        F.ntile(10).over(global_w).alias("decile"),
+    )
