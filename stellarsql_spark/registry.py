@@ -100,14 +100,18 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-# The driver's correctness run walks queries() in dict order and has a
-# bounded budget (round 1 stopped after exactly the first 50 keys), so
-# the order below is evidence strategy: keys the driver has NOT yet
-# hash-checked come first, interleaved round-robin across categories so
-# ANY prefix the driver completes spans joins/aggregates/windows/.../
-# pipeline, and keys already driver-green in CORRECTNESS_r01.json come
-# last (their evidence already exists).
-# the keys CORRECTNESS_r01.json actually covered (driver stopped there)
+# The driver's correctness run walks queries() in dict order with a
+# bounded budget (50 keys/round in rounds 1-2), so the order below is
+# evidence strategy: keys the driver has never green-stamped come
+# first, interleaved round-robin across modules so ANY prefix the
+# driver completes spans joins/aggregates/windows/streaming/pipeline,
+# and keys already driver-green in a CORRECTNESS_r*.json come last.
+#
+# Stamps are read from the repo-root CORRECTNESS_r*.json files at
+# import time (latest round wins per key; a row counts as green only
+# if it ran without error and either hash-matched or is a declared
+# rows-only contract), so this rotation is self-updating each round.
+# The frozensets below are the fallback if those files are unreadable.
 _R01_CHECKED = frozenset(
     {
         "a_create_load", "a_insert_roundtrip", "a_scan", "a_project",
@@ -124,8 +128,62 @@ _R01_CHECKED = frozenset(
         "b_sql_hints", "b_ts_gapfill", "b_ts_resample", "b_ts_rollup_reuse",
     }
 )
-# round-1 driver FAILs, since fixed — they need fresh driver rows first
-_PRIORITY_HEAD = ("b_tpch_q12", "b_fn_string2")
+_R02_CHECKED = frozenset(
+    {
+        "b_tpch_q12", "b_fn_string2", "b_sample_bounds", "b_sql_recursive",
+        "b_ev_funnel", "b_quality_profile", "b_join_salted", "b_merge_upsert",
+        "b_join_bucketed", "b_agg_groupby", "b_join_inner", "b_win_rank",
+        "b_sort_multi", "b_set_union", "b_read_csv_json", "b_fn_string",
+        "b_udf_scalar", "b_stream_tumbling", "b_stream_run_tumbling",
+        "b_llm_dedup_exact", "b_llm_dup_groups", "b_llm_cosine_topk",
+        "b_llm_centroids", "b_llm_wordcount", "b_llm_multimodal",
+        "b_ev_retention", "b_merge_scd2", "b_agg_global", "b_join_outer",
+        "b_win_laglead", "b_topk_global", "b_set_intersect", "b_write_orc",
+        "b_fn_datetime", "b_udf_pandas", "b_stream_sliding", "b_stream_dedup",
+        "b_llm_jaccard", "b_llm_ann_lsh", "b_llm_ann_ivf", "b_llm_textstats",
+        "b_mm_binary_meta", "b_ev_anomaly", "b_agg_distinct",
+        "b_join_semi_anti", "b_win_running_sum", "b_topk_per_group",
+        "b_set_except", "b_write_roundtrip", "b_fn_math",
+    }
+)
+# Keys whose oracle was strengthened AFTER their last driver stamp, so
+# the stamp no longer reflects the current (stricter) contract — they
+# go right behind the never-stamped block: a_ddl_lifecycle gained an
+# exact hash oracle post-r01; b_llm_dup_groups / b_sample_seeded gain
+# hash oracles this round (were rows-only when last stamped).
+_RESTAMP = ("a_ddl_lifecycle", "b_llm_dup_groups", "b_sample_seeded")
+
+
+def _driver_stamped() -> frozenset[str]:
+    """Keys green-stamped by any past driver round (latest row wins)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    rounds = sorted(
+        (p for p in root.glob("CORRECTNESS_r*.json")
+         if re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)),
+        key=lambda p: p.name,
+    )
+    if not rounds:
+        return _R01_CHECKED | _R02_CHECKED
+    latest: dict[str, dict] = {}
+    try:
+        for p in rounds:
+            latest.update(json.loads(p.read_text()))
+    except (OSError, ValueError):
+        return _R01_CHECKED | _R02_CHECKED
+    green = set()
+    for key, row in latest.items():
+        if not isinstance(row, dict):
+            continue
+        err = row.get("err")
+        if err is None and row.get("hash_match"):
+            green.add(key)  # hash oracle, matched
+        elif err == "no_oracle" and row.get("spark_rows") is not None:
+            green.add(key)  # declared rows-only contract: the run counts
+    return frozenset(green)
 
 
 def driver_key_order() -> list[str]:
@@ -133,8 +191,9 @@ def driver_key_order() -> list[str]:
     from itertools import zip_longest
 
     specs = all_specs()
-    head = [k for k in _PRIORITY_HEAD if k in specs]
-    pending = [k for k in specs if k not in _R01_CHECKED and k not in head]
+    stamped = _driver_stamped()
+    restamp = [k for k in _RESTAMP if k in specs]
+    pending = [k for k in specs if k not in stamped and k not in restamp]
     groups_by_mod: dict[str, list[str]] = {}
     for k in pending:
         groups_by_mod.setdefault(specs[k].builder.__module__, []).append(k)
@@ -144,8 +203,8 @@ def driver_key_order() -> list[str]:
         for k in batch
         if k is not None
     ]
-    tail = [k for k in specs if k in _R01_CHECKED and k not in head]
-    ordered = head + round_robin + tail
+    tail = [k for k in specs if k in stamped and k not in restamp and k not in round_robin]
+    ordered = round_robin + restamp + tail
     assert sorted(ordered) == sorted(specs), "driver_key_order must cover every key exactly once"
     return ordered
 
