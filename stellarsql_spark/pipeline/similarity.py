@@ -227,14 +227,17 @@ def b_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Recall values are corpus-dependent, so the oracle asserts BOUNDS
-# (measured: banded LSH ~1.0 at both SFs, IVF nprobe=3 is 0.4-0.7):
-# exactly TOP_K exact neighbors per query, LSH recall >= 0.8, IVF
-# recall >= 0.2. A regression in candidate generation fails the hash.
+# (measured: banded LSH 1.0 at both SFs; IVF with the seeded-k-means
+# quantizer + nprobe=3 is 0.9-1.0 per query at both SFs — the r02
+# per-label quantizer's 0.4-0.7 was a label-metadata artifact, not
+# cluster structure): exactly TOP_K exact neighbors per query, LSH
+# recall >= 0.8, IVF recall >= 0.7. A regression in candidate
+# generation or quantizer quality fails the hash.
 _RECALL_ORACLE = f"""
 SELECT vec_id AS query_id,
        {TOP_K} AS n_exact,
        TRUE AS lsh_recall_ge_08,
-       TRUE AS ivf_recall_ge_02
+       TRUE AS ivf_recall_ge_07
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """
 
@@ -277,6 +280,6 @@ def b_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lsh_hit").cast("int")) >= F.lit(0.8) * F.count("*")
         ).alias("lsh_recall_ge_08"),
         (
-            F.sum(F.col("ivf_hit").cast("int")) >= F.lit(0.2) * F.count("*")
-        ).alias("ivf_recall_ge_02"),
+            F.sum(F.col("ivf_hit").cast("int")) >= F.lit(0.7) * F.count("*")
+        ).alias("ivf_recall_ge_07"),
     )
