@@ -80,8 +80,11 @@ def b_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("b_sample_seeded", oracle=None, tags=("sample", "approx"))
 def b_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample + stratified sampleBy — reproducible
-    within Spark (fixed seed) but engine-specific RNG → rows-only.
-    The deterministic cross-engine alternative is b_llm_split below."""
+    within Spark under a fixed seed AND fixed input partitioning, but
+    the RNG stream is engine- and split-dependent, so no cross-engine
+    hash can hold. Its tested contract is ``b_sample_bounds`` (every
+    stratum within 5σ of its binomial mean — driver-green r02); the
+    deterministic cross-engine alternative is b_llm_split below."""
     o = load_table(spark, sf_dir, "orders")
     plain = o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_orderstatus")
     strat = o.sampleBy(

@@ -6,9 +6,12 @@ Algorithm: iterative min-label propagation over the edge list
 (small-star/large-star style). Each iteration is two shuffles
 (join + groupBy-min) on the vertex id; convergence in O(log n)
 iterations for real dup graphs (shallow components). This is the
-standard DataFrame-native CC used when GraphFrames isn't available,
-and the output is deterministic (min doc_id per component) even
-though no SQL oracle can express the fixpoint → rows-only check.
+standard DataFrame-native CC used when GraphFrames isn't available.
+The output is deterministic (min doc_id per component), and the
+fixpoint IS SQL-expressible: the hash oracle recomputes the
+components as a recursive-CTE transitive closure over the same
+Jaccard pair set, so label propagation is pinned value-exact to an
+independent algorithm, not just row-counted.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
+from stellarsql_spark.pipeline.dedup import JACCARD_THRESHOLD
 from stellarsql_spark.registry import register
 
 
@@ -68,12 +72,63 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@register("b_llm_dup_groups", oracle=None, tags=("pipeline", "dedup", "graph"))
+# Connected components as a recursive transitive closure: reach(a, b)
+# holds every (node, reachable node) pair over the symmetrized Jaccard
+# edge list (UNION dedups, so the recursion terminates); a component's
+# label is the minimum reachable id — the same labeling min-propagation
+# converges to. Closure size is sum(|component|^2): fine for near-dup
+# graphs, whose components are tiny (the oracle runs at sf<=0.01).
+_DUP_GROUPS_ORACLE = f"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shin AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM words
+  WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shin GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shin a JOIN shin b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc1, doc2
+  FROM cand
+  JOIN counts ca ON doc1 = ca.doc_id
+  JOIN counts cb ON doc2 = cb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM jpairs
+  UNION
+  SELECT doc2, doc1 FROM jpairs
+),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+SELECT comp AS representative,
+       COUNT(*) AS group_size,
+       STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM comp
+GROUP BY comp
+"""
+
+
+@register("b_llm_dup_groups", oracle=_DUP_GROUPS_ORACLE, tags=("pipeline", "dedup", "graph"))
 def b_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups: Jaccard pairs → connected components → one
-    row per group (representative=min doc_id, members sorted). Output
-    is deterministic; the iterative fixpoint is not SQL-expressible →
-    rows-only check."""
+    row per group (representative=min doc_id, members sorted). The
+    hash oracle recomputes the grouping via an independent algorithm
+    (recursive-CTE transitive closure over the same pair set)."""
     from stellarsql_spark.pipeline.dedup import b_llm_jaccard
 
     pairs = b_llm_jaccard(spark, sf_dir).select(

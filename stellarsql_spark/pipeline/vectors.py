@@ -244,7 +244,48 @@ def b_llm_embed_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b_llm_kmeans", oracle=None, tags=("pipeline", "vectors", "iterative"))
+def _kmeans_oracle(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-Lloyd's DuckDB oracle: a FIXED iteration count means
+    the 'iterative' algorithm is SQL-expressible after all — each
+    iteration becomes an assignment CTE (argmax cosine vs the previous
+    centroids) plus a recompute CTE (per-position means, re-packed in
+    position order). Per-stage 6-dp rounding makes both engines agree
+    exactly, so k-means carries a full value hash, not a rows-only
+    check."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id AS cluster, list_transform(emb, x -> ROUND(x, 6)) AS cvec
+  FROM e WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, emb, cluster, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+    FROM (
+      SELECT e.vec_id, e.emb, c.cluster,
+             ROUND(list_cosine_similarity(e.emb, c.cvec), 6) AS sim
+      FROM e CROSS JOIN c{i - 1} c
+    )
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT cluster, array_agg(cv ORDER BY pos) AS cvec FROM (
+    SELECT cluster, pos, ROUND(AVG(v), 6) AS cv FROM (
+      SELECT cluster, unnest(range(0, len(emb))) AS pos, unnest(emb) AS v
+      FROM a{i}
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+)""")
+    final = f"""SELECT cluster, COUNT(*) AS n_members,
+       ROUND(AVG(sim), 4) AS mean_sim_to_centroid
+FROM a{iters}
+GROUP BY cluster"""
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("b_llm_kmeans", oracle=_kmeans_oracle(), tags=("pipeline", "vectors", "iterative"))
 def b_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means on the embedding corpus, DataFrame-native:
     seeded init (vec_id < k), then per iteration (a) broadcast the k
@@ -253,8 +294,10 @@ def b_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the posexplode → groupBy(cluster, pos) mean (shuffle carries
     k×dim partial sums). Centroids are rounded per iteration so float
     summation order cannot perturb assignments between runs. Fixed
-    iteration count & seed → deterministic; no SQL fixpoint → rows-only.
-    Returns cluster sizes + within-cluster mean similarity."""
+    iteration count & seed → deterministic, and therefore fully
+    hash-oracled: the DuckDB oracle unrolls the same iterations as
+    chained CTEs (see _kmeans_oracle). Returns cluster sizes +
+    within-cluster mean similarity."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _seed_centroids(e)
     assigned = None

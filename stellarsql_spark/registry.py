@@ -149,9 +149,11 @@ _R02_CHECKED = frozenset(
 # Keys whose oracle was strengthened AFTER their last driver stamp, so
 # the stamp no longer reflects the current (stricter) contract — they
 # go right behind the never-stamped block: a_ddl_lifecycle gained an
-# exact hash oracle post-r01; b_llm_dup_groups / b_sample_seeded gain
-# hash oracles this round (were rows-only when last stamped).
-_RESTAMP = ("a_ddl_lifecycle", "b_llm_dup_groups", "b_sample_seeded")
+# exact hash oracle post-r01; b_llm_dup_groups gained a recursive-CTE
+# hash oracle in round 3 (was rows-only when stamped in r02).
+# (b_sample_seeded stays rows-only by design — engine-specific RNG;
+# its statistical contract is b_sample_bounds, driver-green r02.)
+_RESTAMP = ("a_ddl_lifecycle", "b_llm_dup_groups")
 
 
 def _driver_stamped() -> frozenset[str]:
