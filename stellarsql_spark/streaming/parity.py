@@ -177,14 +177,22 @@ def _three_file_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write events split by event_id%4 into three single-file parquets
     with forced modification times, so FileStreamSource +
     maxFilesPerTrigger=1 yields exactly three ordered micro-batches.
-    Idempotent per (scratch, sf)."""
+    Idempotent per (scratch, sf, corpus version): the done-marker holds
+    a fingerprint of the source events.parquet (size + mtime), so a
+    regenerated corpus at the same path invalidates the cached split
+    instead of silently streaming stale data."""
+    from stellarsql_spark.catalog import table_path
     from stellarsql_spark.sources.io import SCRATCH_ROOT
 
+    src_stat = os.stat(table_path(sf_dir, "events"))
+    fingerprint = f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
     tag = sf_dir.rstrip("/").replace("/", "_")
     d = os.path.join(SCRATCH_ROOT, f"late_drop3{tag}")
     done = os.path.join(d, "_SPLIT_DONE")
     if os.path.exists(done):
-        return d
+        with open(done) as f:
+            if f.read() == fingerprint:
+                return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -209,7 +217,7 @@ def _three_file_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         t = 1_600_000_000 + idx * 1000  # strictly increasing mtimes
         os.utime(dst, (t, t))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(fingerprint)
     return d
 
 
@@ -276,13 +284,19 @@ GROUP BY event_type
 @register("b_stream_foreachbatch", oracle=_FOREACH_BATCH_ORACLE, tags=("streaming", "runtime", "sink"))
 def b_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch bridge to arbitrary batch sinks: the micro-batch
-    engine hands each batch to plain batch code (here: overwrite a
-    per-event-type rollup — in production a JDBC write or MERGE). The
-    drained rollup must equal the batch GROUP BY."""
+    engine hands each batch to plain batch code (here: per-batch
+    partial rollups, one ``batch_id=N`` partition each — in production
+    a JDBC write or MERGE). The reader re-aggregates the partials, so
+    the result equals the batch GROUP BY for ANY micro-batch split of
+    the source, not just the single-batch case."""
     from stellarsql_spark.sources.io import _scratch
     from stellarsql_spark.streaming.runtime import foreach_batch_agg
 
     base = _scratch("foreachbatch")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     foreach_batch_agg(spark, sf_dir, out, ckpt)
-    return spark.read.parquet(out).select("event_type", "n_events")
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )

@@ -53,20 +53,30 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     # State-store partition count is fixed at the first checkpoint by
     # shuffle.partitions; a vanilla 200 costs ~5-45s per drain on
     # local test data. 32 matches the engine session default and the
-    # local core count.
+    # local core count. The previous value is RESTORED after the drain
+    # so batch plans built later don't inherit a streaming-sized
+    # shuffle count (plan shapes must not depend on whether a
+    # streaming key ran first in the session).
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.table(name)
 
 
@@ -186,22 +196,32 @@ def checkpointed_file_sink(
     return spark.read.parquet(out_dir).count()
 
 
-def foreach_batch_agg(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str) -> None:
-    """foreachBatch: run arbitrary batch logic (here: overwrite a
-    per-event-type rollup) once per micro-batch — the bridge to sinks
-    without native streaming support (JDBC, MERGE targets). batch_id
-    makes the write idempotent under replay."""
+def foreach_batch_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    stream: DataFrame | None = None,
+) -> None:
+    """foreachBatch: run arbitrary batch logic (here: a per-event-type
+    rollup) once per micro-batch — the bridge to sinks without native
+    streaming support (JDBC, MERGE targets). Each batch overwrites ONLY
+    its own ``batch_id=N`` partition: idempotent under replay (a
+    replayed batch rewrites the same partition) AND cumulative (a
+    multi-file or maxFilesPerTrigger source accumulates one partial
+    rollup per batch — the reader re-aggregates across partitions, so
+    the result never silently degrades to last-batch-only)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.groupBy("event_type")
             .agg(F.count("*").alias("n_events"))
-            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
-            .parquet(out_dir)
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 
-    stream = events_stream(spark, sf_dir)
+    if stream is None:
+        stream = events_stream(spark, sf_dir)
     q = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)

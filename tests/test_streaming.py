@@ -115,6 +115,26 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     assert second == n_src
 
 
+def _batch_event_counts(spark, sf_dir):
+    return {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _read_rollup(spark, out):
+    return {
+        (r["event_type"], r["n_events"])
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+
+
 def test_foreach_batch_rollup_matches_batch(spark, sf_dir, tmp_path):
     """The foreachBatch rollup over one drain equals the batch-mode
     aggregate of the whole source."""
@@ -122,17 +142,45 @@ def test_foreach_batch_rollup_matches_batch(spark, sf_dir, tmp_path):
 
     out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     foreach_batch_agg(spark, sf_dir, out, ckpt)
-    got = {
-        (r["event_type"], r["n_events"]) for r in spark.read.parquet(out).collect()
-    }
-    want = {
-        (r["event_type"], r["n"])
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    assert got == want
+    assert _read_rollup(spark, out) == _batch_event_counts(spark, sf_dir)
+
+
+def test_foreach_batch_rollup_is_cumulative_across_batches(spark, sf_dir, tmp_path):
+    """A multi-file source split into one-file micro-batches must still
+    produce the full rollup: each batch writes its own batch_id
+    partition and the reader re-aggregates — the result cannot degrade
+    to last-batch-only."""
+    from stellarsql_spark.streaming.parity import _three_file_stream_dir
+    from stellarsql_spark.streaming.runtime import EVENTS_DDL, foreach_batch_agg
+
+    d = _three_file_stream_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d + "/*.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    foreach_batch_agg(spark, sf_dir, out, ckpt, stream=stream)
+    n_batches = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert n_batches == 3
+    assert _read_rollup(spark, out) == _batch_event_counts(spark, sf_dir)
+
+
+def test_run_to_memory_restores_shuffle_partitions(spark, sf_dir):
+    """Draining a stream must not leak its state-store-sized
+    shuffle.partitions into later batch plans."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        runtime.run_to_memory(
+            runtime.tumbling_with_watermark(spark, sf_dir), output_mode="complete"
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_transform_with_state_matches_batch(spark, sf_dir):
