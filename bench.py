@@ -38,10 +38,44 @@ HEADLINE = (
     "b_ev_funnel",        # event-log funnel rollup
 )
 
+# The 5 queries with DuckDB rows in BASELINE.md; re-run at a replicated
+# 10× corpus to measure how much of the sf0.1 latency is fixed overhead
+# (a 10× corpus costing << 10× the time is the overhead story, proven).
+SCALE_MATCHED = HEADLINE[:5]
+SCALE_FACTOR = 10
+
 
 def run_once(spec, spark, sf_dir: str) -> int:
     df = spec.builder(spark, sf_dir)
     return df.count()  # full materialization without driver collect
+
+
+def _best_of(fn, runs: int = 3) -> float:
+    fn()  # warmup: plan + codegen
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _plan_floors(spark) -> dict[str, float]:
+    """Fixed Spark latency floors at this session's settings, measured
+    on trivially small data: ``noop`` = one stage, no exchange;
+    ``shuffle`` = one exchange + final agg. Any sub-second headline
+    latency is dominated by these, which is why sf0.1 ratios vs an
+    embedded engine do not predict cluster-scale ratios."""
+    from pyspark.sql import functions as F
+
+    noop = _best_of(lambda: spark.range(1000).count())
+    shuffle = _best_of(
+        lambda: spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+        .count()
+    )
+    return {"noop": round(noop, 4), "shuffle": round(shuffle, 4)}
 
 
 def main() -> None:
@@ -61,26 +95,42 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        run_once(spec, spark, sf_dir)  # warmup: plan + codegen
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_once(spec, spark, sf_dir)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        timings[name] = round(_best_of(lambda: run_once(spec, spark, sf_dir)), 4)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_latency_sum",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_latency_sum",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "floor": _plan_floors(spark),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        from stellarsql_spark.scale import ensure_scaled_corpus
+
+        scaled_dir = ensure_scaled_corpus(spark, sf_dir, SCALE_FACTOR)
+        tune_for_data_size(spark, scaled_dir, cpus=cpus)
+        for t in TABLES:
+            df = load_table(spark, scaled_dir, t)
+            df.cache()
+            df.count()
+        scaled: dict[str, float] = {}
+        for name in SCALE_MATCHED:
+            spec = specs[name]
+            scaled[name] = round(_best_of(lambda: run_once(spec, spark, scaled_dir)), 4)
+        # time ratio per 10× data — 10.0 means linear cost, ~1 means
+        # the sf0.1 number was pure fixed overhead
+        result["scale_probe"] = {
+            "factor": SCALE_FACTOR,
+            "queries": scaled,
+            "time_ratio_vs_base": {
+                k: round(scaled[k] / timings[k], 2) for k in scaled
+            },
+        }
+        tune_for_data_size(spark, sf_dir, cpus=cpus)
+
+    print(json.dumps(result))
     spark.stop()
 
 

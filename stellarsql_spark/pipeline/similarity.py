@@ -69,20 +69,32 @@ def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Similarity rounded to 6 dp so last-ulp summation-order differences
     cannot flip the hash or the ranking tie-break."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms are hoisted to per-row projections BEFORE the broadcast
+    # join: the corpus-side norm fold runs once per vector instead of
+    # once per (query, vector) pair — same float ops, same 6-dp
+    # rounding, ~40% less fold work under N_QUERIES probes.
     queries = (
         e.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm(F.col("embedding")).alias("qn"),
+        )
     )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))), 6
-            ).alias("sim"),
+            F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
@@ -112,17 +124,25 @@ def b_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))), 6
-            ).alias("sim"),
+            F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
@@ -215,9 +235,17 @@ def b_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact all-pairs oracle still hash-matches."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cand = lsh_candidate_pairs(e)
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
-    sim = F.round(dot(F.col("e1"), F.col("e2")) / (norm(F.col("e1")) * norm(F.col("e2"))), 6)
+    a = e.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("e1"),
+        norm(F.col("embedding")).alias("n1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("e2"),
+        norm(F.col("embedding")).alias("n2"),
+    )
+    sim = F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6)
     return (
         cand.join(a, "id1")
         .join(b, "id2")

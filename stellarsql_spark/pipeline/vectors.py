@@ -64,14 +64,17 @@ def _assign_to_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k-row centroid table
     and pick argmax cosine via a per-vector row_number window. Map-side
     only — the corpus never shuffles, the k-row probe table does."""
+    # hoist both norm folds out of the k-way cross join: the vector
+    # norm is computed once per row (not once per (row, centroid))
+    # and the centroid norm once per centroid — same float ops.
+    en = e.withColumn("vn", norm(F.col("embedding")))
+    cn = cents.withColumn("cn", norm(F.col("cvec")))
     sim = F.round(
-        dot(F.col("embedding"), F.col("cvec"))
-        / (norm(F.col("embedding")) * norm(F.col("cvec"))),
-        6,
+        dot(F.col("embedding"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6
     )
     pick = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cluster")
     return (
-        e.crossJoin(F.broadcast(cents))
+        en.crossJoin(F.broadcast(cn))
         .select("vec_id", "embedding", "cluster", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(pick))
         .where(F.col("rn") == 1)
@@ -136,38 +139,36 @@ def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the assignment and the probe branch. At 100 TB the
     # quantizer is a precomputed stored artifact anyway — caching the
     # k-row table is the single-job equivalent.
-    cents = _kmeans_quantizer(e).select(F.col("cluster").alias("cell"), "cvec").persist()
+    cents = _kmeans_quantizer(e).persist()
 
-    cell_sim = F.round(
-        dot(F.col("embedding"), F.col("cvec"))
-        / (norm(F.col("embedding")) * norm(F.col("cvec"))),
-        6,
-    )
-    pick = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cell")
     # the full corpus is ranked against the broadcast quantizer
     # exactly once (assignment); the probe side ranks only the
     # N_QUERIES query vectors, so nothing corpus-sized runs twice.
-    assigned = (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell", cell_sim.alias("cell_sim"))
-        .withColumn("rn", F.row_number().over(pick))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    # Norm folds are hoisted per-row (see _assign_to_cells).
+    assigned = _assign_to_cells(e, cents).select(
+        "vec_id",
+        "embedding",
+        F.col("cluster").alias("cell"),
+        norm(F.col("embedding")).alias("cn"),
     )
     # queries probe their NPROBE nearest cells (recall knob, like
     # faiss's nprobe)
+    qn = e.where(F.col("vec_id") < N_QUERIES).withColumn("vn", norm(F.col("embedding")))
+    ccn = cents.withColumn("ccn", norm(F.col("cvec")))
+    cell_sim = F.round(
+        dot(F.col("embedding"), F.col("cvec")) / (F.col("vn") * F.col("ccn")), 6
+    )
+    pick = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), "cluster")
     queries = (
-        e.select("vec_id", "embedding")
-        .where(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell", cell_sim.alias("cell_sim"))
+        qn.crossJoin(F.broadcast(ccn))
+        .select("vec_id", "embedding", "vn", "cluster", cell_sim.alias("cell_sim"))
         .withColumn("rn", F.row_number().over(pick))
         .where(F.col("rn") <= NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.col("cell").alias("qcell"),
+            F.col("vn").alias("qnorm"),
+            F.col("cluster").alias("qcell"),
         )
     )
     scored = (
@@ -177,9 +178,7 @@ def b_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot(F.col("qe"), F.col("embedding"))
-                / (norm(F.col("qe")) * norm(F.col("embedding"))),
-                6,
+                dot(F.col("qe"), F.col("embedding")) / (F.col("qnorm") * F.col("cn")), 6
             ).alias("sim"),
         )
     )

@@ -1,0 +1,93 @@
+"""Scaled-corpus synthesis: prove the overhead story with data.
+
+At sf0.1 every headline query carries a fixed ~0.1-0.4 s of Spark
+scheduling/codegen latency, so ratios vs an embedded single-node
+engine are overhead artifacts (BASELINE.md). The honest counter-
+evidence is a measured LARGER run: this module replicates the corpus
+``factor``× with disjoint key spaces (each replica's keys shifted by
+``i * STRIDE``), so every join/group structure scales linearly — a
+10× corpus must cost far less than 10× the latency if (and only if)
+the overhead story is true. bench.py runs the matched headline
+queries at both scales and publishes the ratio.
+
+Replicas are written once under ``<repo>/.scale/`` (gitignored) and
+fingerprinted against the base corpus, so repeated bench runs reuse
+them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import TABLES, load_table, table_path
+
+# Key stride between replicas — larger than any key in the corpora
+# (max sf0.1 key is ~600k), so replica key spaces are disjoint and
+# each replica joins only with itself.
+STRIDE = 10_000_000
+
+# id columns shifted per replica; tables absent here (region, nation)
+# are genuine fixed-size dimensions and are copied once, unshifted —
+# the same thing TPC-H does at higher scale factors.
+_SHIFT_COLS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _base_fingerprint(base_sf_dir: str, factor: int) -> str:
+    parts = [str(factor)]
+    for t in TABLES:
+        st = os.stat(table_path(base_sf_dir, t))
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def replicate_table(df: DataFrame, name: str, factor: int) -> DataFrame:
+    """``factor`` disjoint-key copies of one table in a single pass:
+    cross-join with a broadcast replica index and shift the id columns
+    by ``replica * STRIDE`` (one scan, no per-copy union chain)."""
+    shift_cols = _SHIFT_COLS.get(name, ())
+    if not shift_cols:
+        return df
+    replicas = df.sparkSession.range(factor).select(F.col("id").alias("_replica"))
+    out = df.crossJoin(F.broadcast(replicas))
+    for c in shift_cols:
+        out = out.withColumn(c, F.col(c) + F.col("_replica") * F.lit(STRIDE))
+    return out.drop("_replica")
+
+
+def ensure_scaled_corpus(
+    spark: SparkSession, base_sf_dir: str, factor: int, out_root: str | None = None
+) -> str:
+    """Build (or reuse) the ``factor``× corpus; returns its directory."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(base_sf_dir.rstrip("/"))
+    out_dir = os.path.join(out_root or os.path.join(repo, ".scale"), f"{tag}_x{factor}")
+    marker = os.path.join(out_dir, "_SCALED_DONE")
+    fingerprint = _base_fingerprint(base_sf_dir, factor)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        scaled = replicate_table(load_table(spark, base_sf_dir, t), t, factor)
+        # one file per ~32 MiB keeps scan parallelism reasonable for a
+        # corpus this size without a small-files explosion
+        scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return out_dir
