@@ -12,7 +12,7 @@ from stellarsql_spark.pipeline.multimodal import (
     _wav_decode,
     _wav_encode,
 )
-from stellarsql_spark.registry import _PRIORITY_HEAD, all_specs, driver_key_order
+from stellarsql_spark.registry import _RESTAMP, _driver_stamped, all_specs, driver_key_order
 
 SF = "/root/testdata/sf0.001"
 
@@ -115,17 +115,37 @@ class TestDriverOrder:
         order = driver_key_order()
         assert sorted(order) == sorted(all_specs())
 
-    def test_fixed_fails_first(self):
-        assert tuple(driver_key_order()[: len(_PRIORITY_HEAD)]) == _PRIORITY_HEAD
+    def test_never_stamped_keys_lead(self):
+        """Every key the driver has never green-stamped must precede
+        every stamped key (restamp block excepted), so a truncated
+        driver run always produces new evidence."""
+        order = driver_key_order()
+        stamped = _driver_stamped()
+        last_never = max(i for i, k in enumerate(order) if k not in stamped)
+        first_stamped = min(
+            i for i, k in enumerate(order) if k in stamped and k not in _RESTAMP
+        )
+        assert last_never < first_stamped
+
+    def test_restamp_keys_follow_never_stamped(self):
+        order = driver_key_order()
+        stamped = _driver_stamped()
+        n_never = sum(1 for k in order if k not in stamped)
+        restamp_pos = [order.index(k) for k in _RESTAMP]
+        assert restamp_pos == list(range(n_never, n_never + len(_RESTAMP)))
 
     def test_prefix_spans_categories(self):
-        """Any 60-key prefix must touch every pending module family."""
+        """Any 50-key prefix must touch every module family that still
+        has never-stamped keys (the round-robin interleave guarantee —
+        a truncated driver run spans categories, not one module)."""
         specs = all_specs()
-        prefix = driver_key_order()[:60]
-        mods = {specs[k].builder.__module__ for k in prefix}
-        for fam in ("joins", "aggregates", "windows", "similarity", "textstats",
-                    "multimodal", "parity", "quality"):
-            assert any(fam in m for m in mods), f"no {fam} key in driver prefix"
+        stamped = _driver_stamped()
+        pending_mods = {
+            specs[k].builder.__module__ for k in specs if k not in stamped
+        }
+        prefix_mods = {specs[k].builder.__module__ for k in driver_key_order()[:50]}
+        missing = pending_mods - prefix_mods
+        assert not missing, f"pending modules absent from driver prefix: {missing}"
 
 
 class TestQualityAndLayout:
