@@ -166,6 +166,67 @@ def b_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       MIN(ts) AS session_start,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register("b_ev_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("events", "session", "window"))
+def b_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch): a lag window flags events
+    arriving > 6h after the user's previous one, a running sum of the
+    flags numbers the sessions, and a groupBy folds each session to
+    one summary row. Scale shape: both windows and the final groupBy
+    share the user_id partitioning — ONE shuffle of the log, then
+    per-user work bounded by that user's history (the streaming
+    session_window variant is b_stream_session)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
 _PATHS_ORACLE = """
 WITH steps AS (
   SELECT user_id,

@@ -1,0 +1,239 @@
+"""Graph analytics over the event log's co-occurrence graph
+(SURVEY.md §2 C-graph family).
+
+Reference parity note: /root/reference is an empty checkout (SURVEY.md
+§0), so there is no file:line to cite; the operators follow the
+standard warehouse-engine graph surface (triangle counting, PageRank)
+as published in the GraphFrames / Trino graph-function literature.
+
+Edge model (shared by both keys and their oracles): users are linked
+when they produced the same event_type within the same hour — a
+bipartite co-occurrence projection. Edges come from a self-join of the
+DISTINCT (user, type, hour) incidence table on its bucket key, so the
+join input is pre-deduplicated and the blow-up per bucket is
+C(bucket_size, 2), bounded by activity per hour, not corpus size.
+
+Scale shape (100 TB events):
+- the incidence table is DISTINCT-reduced before the self-join
+  (map-side partial dedup), and the self-join shuffles on the
+  (event_type, hour) bucket key — giant buckets are the skew risk and
+  would be salted/capped in a production deploy (SCALE.md);
+- triangle counting uses DEGREE ORIENTATION: each edge is directed
+  from its lower-(degree, id) endpoint to the higher one, so wedge
+  enumeration is Σ C(outdeg, 2) with outdeg ≤ O(√m) on any graph —
+  the classic bound that keeps the wedge join from exploding on
+  high-degree hubs;
+- PageRank is fixed-point integer arithmetic (micro-units, BIGINT,
+  truncating division) so three engine-independent iterations are
+  bit-exact — no float summation-order divergence — and each
+  iteration is one join + one shuffle keyed by node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+# Shared oracle prefix: incidence → deduped undirected edge list (u < v).
+_EDGES_CTE = """
+b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events
+),
+edges AS (
+  SELECT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c ON a.event_type = c.event_type AND a.h = c.h
+  WHERE a.user_id < c.user_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated undirected edge list (u < v) of the co-occurrence
+    graph; one self-join on the (event_type, hour) bucket key.
+
+    The edge list is persisted (and memoized per session/corpus): both
+    graph operators reference it from several plan subtrees (degrees,
+    orientation, closure check, rank iterations), and without a
+    persist each reference re-runs the incidence self-join — the same
+    reason GraphX pins its edge RDD before iterating. The artifact is
+    ~|edges| rows (millions at 100 TB — small next to the log)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h")).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "h"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+        .persist()
+    )
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+_TRIANGLES_ORACLE = f"""
+WITH {_EDGES_CTE},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+)
+SELECT
+  (SELECT COUNT(*) FROM deg) AS n_nodes,
+  (SELECT COUNT(*) FROM edges) AS n_edges,
+  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+  (SELECT COUNT(*) FROM edges e1
+     JOIN edges e2 ON e1.v = e2.u
+     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+  CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+       THEN CAST(3 * (SELECT COUNT(*) FROM edges e1
+                        JOIN edges e2 ON e1.v = e2.u
+                        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS DOUBLE)
+            / CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+"""
+
+
+@register("b_graph_triangles", oracle=_TRIANGLES_ORACLE, tags=("graph", "triangles"))
+def b_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census: node/edge/wedge/triangle counts and the
+    global clustering coefficient (3·triangles / wedges).
+
+    The triangle join is DEGREE-ORIENTED: edges point from the
+    lower-(degree, id) endpoint to the higher one, each triangle has
+    exactly one node with two out-edges into it, and the wedge
+    enumeration is Σ C(outdeg, 2) — bounded even on hub-heavy graphs
+    (the oracle counts the same triangles with the plain u<v 3-way
+    self-join, which DuckDB can afford at oracle scale).
+    Clustering is a single int/int IEEE division, engine-identical."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "s")
+        .where(F.col("e1.t") < F.col("e2.t"))
+        .select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    )
+    closed = wedges.join(
+        edges, (wedges.x == edges.u) & (wedges.y == edges.v)
+    )
+
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    nw = deg.agg(F.expr("sum(d * (d - 1) div 2)").cast("bigint").alias("n_wedges"))
+    nt = closed.agg(F.count("*").alias("n_triangles"))
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(nw)
+        .crossJoin(nt)
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# Fixed-point PageRank: rank in BIGINT micro-units, damping 0.85 as
+# integer (85·x)//100, contributions pr//deg — truncating division is
+# identical in Spark (`div`) and DuckDB (`//`) on non-negative ints,
+# so three unrolled iterations are bit-exact across engines.
+def _pr_iter_sql(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT d.node, d.deg,
+         CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM dg d LEFT JOIN (
+    SELECT e.v AS node, SUM(r.pr // r.deg) AS s
+    FROM und e JOIN {prev} r ON e.u = r.node GROUP BY 1
+  ) s ON d.node = s.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+dg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM dg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT node AS user_id, deg, pr AS rank_micro
+FROM r3 ORDER BY pr DESC, node LIMIT 20
+"""
+
+
+@register("b_graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "pagerank", "iterative"))
+def b_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank iterations (damping 0.85) on the
+    undirected co-occurrence graph; top-20 nodes by final rank.
+
+    Ranks live in BIGINT micro-units with truncating division so both
+    engines compute bit-identical trajectories (float PageRank sums
+    contributions in engine-specific order and cannot hash-match).
+    Each iteration = one broadcast-size rank table joined to the edge
+    list + one shuffle keyed by destination node; at 100 TB the edge
+    list is the big side and stays partitioned by source across
+    iterations."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    ranks = dg.select("node", "deg", F.lit(1000000).cast("bigint").alias("pr"))
+    for _ in range(3):
+        contrib = (
+            und.join(ranks.select(F.col("node").alias("u"), "deg", "pr"), "u")
+            .select(F.col("v").alias("node"), F.expr("pr div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = dg.join(contrib, "node", "left").select(
+            "node",
+            "deg",
+            (F.lit(150000) + F.expr("(85 * coalesce(s, 0)) div 100"))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        ranks.orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("user_id"), "deg", F.col("pr").alias("rank_micro"))
+    )

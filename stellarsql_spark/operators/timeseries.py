@@ -61,6 +61,118 @@ def b_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Linear interpolation is exact across engines: the numerator
+# v_prev·(n−k) + v_next·k stays in DECIMAL (exact), is cast to DOUBLE
+# (magnitudes << 2^53, lossless), and one IEEE division by the integer
+# gap length produces the same bits in Spark and DuckDB — no rounding
+# epsilon needed.
+_INTERP_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS bucket
+),
+actual AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+joined AS (
+  SELECT s.bucket, a.v, epoch_us(s.bucket) // 3600000000 AS hr
+  FROM spine s LEFT JOIN actual a ON s.bucket = a.bucket
+),
+bracketed AS (
+  SELECT bucket, v, hr,
+         last_value(v IGNORE NULLS) OVER (
+           ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hr_prev,
+         first_value(v IGNORE NULLS) OVER (
+           ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hr_next
+  FROM joined
+)
+SELECT bucket,
+       CASE
+         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+           CAST(v_prev * (hr_next - hr) + v_next * (hr - hr_prev) AS DOUBLE)
+             / (hr_next - hr_prev)
+         WHEN v_prev IS NOT NULL THEN CAST(v_prev AS DOUBLE)
+         ELSE CAST(v_next AS DOUBLE)
+       END AS filled_value,
+       CASE
+         WHEN v IS NOT NULL THEN 'actual'
+         WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN 'interp'
+         WHEN v_prev IS NOT NULL THEN 'locf'
+         ELSE 'backfill'
+       END AS fill_src
+FROM bracketed
+"""
+
+
+@register("b_ts_interpolate", oracle=_INTERP_ORACLE, tags=("timeseries", "interpolate", "window"))
+def b_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap interpolation: hourly purchase totals on the calendar spine,
+    missing buckets filled by LINEAR interpolation between the
+    bracketing observations (LOCF/backfill at the edges), each row
+    tagged with its fill source. The bracketing values come from
+    ignore-nulls running windows — two passes over the spine, no
+    self-join. Scale shape: the spine is one row per bucket (tiny);
+    a per-series deployment adds the series key to the window
+    partitioning and keeps the same single-shuffle plan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    actual = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    j = spine.join(actual, "bucket", "left").withColumn(
+        "hr", F.expr("unix_micros(bucket) div 3600000000")
+    )
+    w_prev = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    hr_obs = F.when(F.col("v").isNotNull(), F.col("hr"))
+    b = j.select(
+        "bucket",
+        "v",
+        "hr",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(hr_obs, ignorenulls=True).over(w_prev).alias("hr_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(hr_obs, ignorenulls=True).over(w_next).alias("hr_next"),
+    )
+    both = F.col("v_prev").isNotNull() & F.col("v_next").isNotNull()
+    interp = (
+        F.col("v_prev") * (F.col("hr_next") - F.col("hr"))
+        + F.col("v_next") * (F.col("hr") - F.col("hr_prev"))
+    ).cast("double") / (F.col("hr_next") - F.col("hr_prev"))
+    return b.select(
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(both, interp)
+        .when(F.col("v_prev").isNotNull(), F.col("v_prev").cast("double"))
+        .otherwise(F.col("v_next").cast("double"))
+        .alias("filled_value"),
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+        .when(both, F.lit("interp"))
+        .when(F.col("v_prev").isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("backfill"))
+        .alias("fill_src"),
+    )
+
+
 _RESAMPLE_ORACLE = """
 SELECT user_id,
        time_bucket(INTERVAL '6 hours', ts) AS bucket,

@@ -84,18 +84,25 @@ def b_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BMP_HDR = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 
 
-def _bmp_encode(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
-    """Minimal 24bpp solid-color BMP (real, openable image bytes)."""
+def _bmp_encode_rows(width: int, height: int, px_rows: list[bytes]) -> bytes:
+    """Minimal 24bpp BMP from raw BGR pixel rows (real, openable
+    image bytes; rows pad to 4-byte boundaries)."""
     import struct
 
-    row = (3 * width + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    row = (3 * width + 3) // 4 * 4
     size = _BMP_HDR + row * height
     file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, _BMP_HDR)
     info_hdr = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row * height, 2835, 2835, 0, 0
     )
-    px_row = bytes((rgb[2], rgb[1], rgb[0])) * width + b"\x00" * (row - 3 * width)
-    return file_hdr + info_hdr + px_row * height
+    pad = b"\x00" * (row - 3 * width)
+    return file_hdr + info_hdr + b"".join(r + pad for r in px_rows)
+
+
+def _bmp_encode(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24bpp solid-color BMP (real, openable image bytes)."""
+    px_row = bytes((rgb[2], rgb[1], rgb[0])) * width
+    return _bmp_encode_rows(width, height, [px_row] * height)
 
 
 def _bmp_decode(data: bytes) -> tuple[int, int, int, int, int]:
@@ -403,3 +410,111 @@ def b_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(audio_chunk_batch, schema=CHUNK_SCHEMA)
+
+
+# --- image resize (nearest-neighbor) ---------------------------------
+
+RESIZE_W, RESIZE_H = 4, 4  # fixed thumbnail grid
+
+
+def _bmp_encode_gradient(width: int, height: int, base: tuple[int, int, int]) -> bytes:
+    """24bpp BMP whose channels are linear gradients of the pixel
+    coordinate (x = column, y = file-row index):
+    r=(r0+7x+13y)%256, g=(g0+11x+3y)%256, b=(b0+5x+17y)%256 — so a
+    resample that picks the wrong source pixel changes the checksum."""
+    r0, g0, b0 = base
+    rows = [
+        bytes(
+            v
+            for x in range(width)
+            for v in (
+                (b0 + 5 * x + 17 * y) % 256,
+                (g0 + 11 * x + 3 * y) % 256,
+                (r0 + 7 * x + 13 * y) % 256,
+            )
+        )
+        for y in range(height)
+    ]
+    return _bmp_encode_rows(width, height, rows)
+
+
+def _bmp_resize_nn(data: bytes, out_w: int = RESIZE_W, out_h: int = RESIZE_H):
+    """Parse a 24bpp BMP and nearest-neighbor-resample it to
+    (out_w, out_h): source pixel (dx·W//out_w, dy·H//out_h) for each
+    destination cell. Returns (W, H, sum_r, sum_g, sum_b) over the
+    resampled grid."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    row = (3 * width + 3) // 4 * 4
+    sum_b = sum_g = sum_r = 0
+    for dy in range(out_h):
+        sy = dy * height // out_h
+        for dx in range(out_w):
+            sx = dx * width // out_w
+            i = off + sy * row + 3 * sx
+            sum_b += data[i]
+            sum_g += data[i + 1]
+            sum_r += data[i + 2]
+    return width, height, sum_r, sum_g, sum_b
+
+
+RESIZE_SCHEMA = "doc_id bigint, src_w int, src_h int, sum_r bigint, sum_g bigint, sum_b bigint"
+
+
+def resize_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched encode → decode → nearest-neighbor resize: the
+    full image-preprocessing hop a multimodal training pipeline runs
+    (decode, resample to the model's input grid, re-featurize)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            img = _bmp_encode_gradient(4 + p[0] % 13, 4 + p[1] % 13, (p[2], p[3], p[4]))
+            rows.append((int(doc_id), *_bmp_resize_nn(img)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "src_w", "src_h", "sum_r", "sum_g", "sum_b"]
+        )
+
+
+# The oracle recomputes the resampled-grid channel sums arithmetically
+# from the md5 bytes: wrong row padding, BGR/RGB swap, or an off-by-one
+# in the nearest-neighbor index mapping all change the sums.
+_RESIZE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substring(md5(text), 3, 2)) AS INT) AS b1,
+         CAST(concat('0x', substring(md5(text), 5, 2)) AS INT) AS b2,
+         CAST(concat('0x', substring(md5(text), 7, 2)) AS INT) AS b3,
+         CAST(concat('0x', substring(md5(text), 9, 2)) AS INT) AS b4
+  FROM documents
+),
+dims AS (SELECT doc_id, 4 + b0 % 13 AS w, 4 + b1 % 13 AS h, b2, b3, b4 FROM m),
+cells AS (
+  SELECT doc_id, w, h, b2, b3, b4,
+         dx.i * w // {RESIZE_W} AS sx, dy.i * h // {RESIZE_H} AS sy
+  FROM dims, unnest(range(0, {RESIZE_W})) dx(i), unnest(range(0, {RESIZE_H})) dy(i)
+)
+SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       CAST(SUM((b2 + 7 * sx + 13 * sy) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((b3 + 11 * sx + 3 * sy) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((b4 + 5 * sx + 17 * sy) % 256) AS BIGINT) AS sum_b
+FROM cells
+GROUP BY doc_id, w, h
+"""
+
+
+@register("b_mm_image_resize", oracle=_RESIZE_ORACLE, tags=("pipeline", "multimodal", "codec"))
+def b_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over binary columns: encode a deterministic
+    gradient BMP per document, parse it back, nearest-neighbor
+    resample to a fixed 4x4 grid, and emit integer channel checksums
+    of the resampled pixels — one Arrow-batched mapInPandas hop, the
+    same plumbing a JPEG + bilinear pipeline would use (only the two
+    pure-python codec calls swap out)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(resize_image_batch, schema=RESIZE_SCHEMA)

@@ -39,6 +39,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.timeseries",
     "stellarsql_spark.operators.events_analytics",
     "stellarsql_spark.operators.quality",
+    "stellarsql_spark.operators.graph",
     "stellarsql_spark.operators.skew",
     "stellarsql_spark.operators.merge",
     "stellarsql_spark.sources.bucketed",
@@ -57,6 +58,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.pipeline.similarity",
     "stellarsql_spark.pipeline.vectors",
     "stellarsql_spark.pipeline.textstats",
+    "stellarsql_spark.pipeline.curation",
     "stellarsql_spark.pipeline.multimodal",
 )
 
