@@ -46,8 +46,34 @@ HEADLINE = (
 # The 5 queries with DuckDB rows in BASELINE.md; re-run at a replicated
 # 10× corpus to measure how much of the sf0.1 latency is fixed overhead
 # (a 10× corpus costing << 10× the time is the overhead story, proven).
+# The probe also times each query's oracle SQL in DuckDB on the SAME
+# scaled corpus, so the Spark-vs-embedded ratio at 10× is measured,
+# not extrapolated: fixed overhead amortizes while DuckDB's cost grows
+# with the data.
 SCALE_MATCHED = HEADLINE[:5]
 SCALE_FACTOR = 10
+
+
+def _duck_times(sf_dir: str, specs, names) -> dict[str, float]:
+    """Best-of-3 DuckDB latency for each query's oracle SQL over the
+    same parquet files (same warm-cache, repeat-execution protocol)."""
+    import duckdb
+
+    from stellarsql_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = specs[name].oracle
+        if sql is None:
+            continue
+        out[name] = round(_best_of(lambda: con.execute(sql).fetchall()), 4)
+    con.close()
+    return out
 
 
 def prepare(spec, spark, sf_dir: str):
@@ -126,12 +152,20 @@ def main() -> None:
         for name in SCALE_MATCHED:
             scaled[name] = round(_best_of(prepare(specs[name], spark, scaled_dir)), 4)
         # time ratio per 10× data — 10.0 means linear cost, ~1 means
-        # the sf0.1 number was pure fixed overhead
+        # the sf0.1 number was pure fixed overhead — plus the measured
+        # DuckDB latency on the SAME scaled corpus and the resulting
+        # Spark/DuckDB ratio at 10× (the number BASELINE.md's matched
+        # rows give at 1×).
+        duck = _duck_times(scaled_dir, specs, SCALE_MATCHED)
         result["scale_probe"] = {
             "factor": SCALE_FACTOR,
             "queries": scaled,
             "time_ratio_vs_base": {
                 k: round(scaled[k] / timings[k], 2) for k in scaled
+            },
+            "duckdb": duck,
+            "ratio_vs_duckdb": {
+                k: round(scaled[k] / duck[k], 2) for k in duck if duck[k] > 0
             },
         }
         tune_for_data_size(spark, sf_dir, cpus=cpus)
