@@ -388,3 +388,83 @@ def b_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_norm"),
         F.array_max(emb).alias("vmax"),
     )
+
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 170) AS xored,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       ~o_orderkey AS inverted
+FROM orders
+WHERE o_orderkey < 200
+"""
+
+
+@register("b_fn_bitwise", oracle=_BITWISE_ORACLE, tags=("function", "bitwise"))
+def b_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: and/or/xor masks, shifts, popcount,
+    complement — BIGINT in, BIGINT out, engine-exact by definition
+    (the aggregate twin is b_agg_boolbit)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.expr("o_orderkey << 3").alias("shl3"),
+        F.expr("o_orderkey >> 2").alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        F.expr("~o_orderkey").alias("inverted"),
+    )
+
+
+# URLs are synthesized from document metadata, so both engines parse
+# identical well-formed strings; DuckDB has no parse_url, so the
+# oracle re-extracts the components with anchored regexes.
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+FROM u
+"""
+
+
+@register("b_fn_url", oracle=_URL_ORACLE, tags=("function", "url"))
+def b_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with the built-in parse_url (JVM-side;
+    the oracle's regexes are the cross-engine twin): host, path,
+    query string, a single query parameter, and the protocol."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -276,3 +276,54 @@ def b_ev_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("prev_type", "next_type", "n_transitions", "n_users")
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         COALESCE(
+           LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           'direct') AS channel
+  FROM events
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       COUNT(DISTINCT user_id) AS n_buyers,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY channel
+"""
+
+
+@register("b_ev_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("events", "attribution", "window"))
+def b_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding non-purchase event type ('direct' when none)
+    via an ignore-nulls window ending 1 row before current — the
+    classic marketing rollup. One user_id shuffle for the window; the
+    channel aggregate re-shuffles only |purchases| rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("channel", F.coalesce(touch, F.lit("direct")))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("attributed_value"),
+        )
+    )

@@ -226,3 +226,44 @@ def b_ts_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_sum").cast("double").alias("total_value"),
         )
     )
+
+
+# Truncated EWMA with α = 1/2: weights are negative powers of two, so
+# every term v/2^(k+1) is an EXACT double halving and the fixed
+# left-to-right sum gives bit-identical results in both engines — the
+# rare smoothing kernel that is hash-oracle-able with no epsilon.
+_EWMA_LAGS = 8
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT day, v,
+       {" + ".join(f"COALESCE(LAG(v, {k}) OVER (ORDER BY day), 0.0) / {2 ** (k + 1)}" for k in range(_EWMA_LAGS))}
+         AS ewma
+FROM daily
+"""
+
+
+@register("b_ts_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "ewma", "window"))
+def b_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily purchase volume,
+    truncated at 8 lags (zero-padded history): ewma_t = Σ v_{t-k}/2^
+    (k+1). One lag window over the already-tiny daily rollup; at 100
+    TB the rollup is the stored hypertable aggregate, one row per
+    (series, day)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
+    )
+    w = Window.orderBy("day")
+    ewma = None
+    for k in range(_EWMA_LAGS):
+        term = F.coalesce(F.lag("v", k).over(w), F.lit(0.0)) / F.lit(2 ** (k + 1))
+        ewma = term if ewma is None else ewma + term
+    return daily.select("day", "v", ewma.alias("ewma"))
