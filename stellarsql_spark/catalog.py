@@ -55,11 +55,16 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame (schema from parquet footer).
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]); it is
-    read as raw nanosecond longs (legacy conf) and truncated to
-    microsecond TimestampType — the same ns→µs truncation DuckDB
-    applies, so oracle comparisons agree.
+    `events.ts` normalization: the driver has shipped this column in
+    two physical encodings across corpus regenerations —
+    TIMESTAMP(NANOS) (rounds 1-2; Spark reads it only as raw longs
+    under the nanosAsLong legacy conf) and timestamp[us] with
+    isAdjustedToUTC=false (round 3+; Spark 4 reads it as
+    TIMESTAMP_NTZ). Both are normalized here to µs-precision
+    TimestampType (LTZ): ns longs are truncated ns→µs exactly like
+    DuckDB does, and NTZ is cast to LTZ — an identity under the
+    pinned UTC session timezone — so `unix_micros`, watermarks, and
+    window() all work downstream and oracle comparisons agree.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
@@ -78,8 +83,13 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, T.LongType):  # nanos file
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos file (rounds 1-2)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):  # µs NTZ file (round 3+)
+            # Identity under the pinned UTC session tz; restores the
+            # TimestampType contract relied on by unix_micros/watermarks.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

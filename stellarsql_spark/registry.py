@@ -155,7 +155,17 @@ _R02_CHECKED = frozenset(
 # hash oracle in round 3 (was rows-only when stamped in r02).
 # (b_sample_seeded stays rows-only by design — engine-specific RNG;
 # its statistical contract is b_sample_bounds, driver-green r02.)
-_RESTAMP = ("a_ddl_lifecycle", "b_llm_dup_groups")
+# The last three were stamped green on the pre-round-3 nanos corpus
+# and are timestamp-sensitive: b_win_laglead errs (unix_micros on
+# NTZ) and the two streaming keys ran on 1000×-compressed event time
+# until the r4 µs fix — their r2 stamps are stale evidence.
+_RESTAMP = (
+    "a_ddl_lifecycle",
+    "b_llm_dup_groups",
+    "b_win_laglead",
+    "b_stream_run_tumbling",
+    "b_stream_dedup",
+)
 
 
 def _driver_stamped() -> frozenset[str]:

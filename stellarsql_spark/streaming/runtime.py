@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table, table_path
 
-# ts declared BIGINT: the corpus stores TIMESTAMP(NANOS) which Spark's
-# reader only accepts as raw longs (same handling as catalog.load_table).
+# Schema for self-written stream inputs (parity.py writes ts as raw
+# BIGINT epoch-micros). The events.parquet corpus itself is NOT read
+# with this DDL — events_stream derives the schema from the parquet
+# footer so corpus regenerations (ns longs → µs NTZ, observed between
+# rounds) can't silently corrupt event time.
 EVENTS_DDL = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
@@ -41,10 +44,25 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` as a file-based streaming source (schema-explicit)."""
+    """`events` as a file-based streaming source.
+
+    The read schema comes from the corpus parquet footer (one cheap
+    batch footer read), then `ts` is normalized to µs TimestampType by
+    the same rules as catalog.load_table — ns-long files divide by
+    1000, µs-NTZ files cast (UTC identity). This keeps stream and
+    batch event time byte-identical across corpus regenerations.
+    """
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_DDL).format("parquet").load(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    physical = spark.read.parquet(table_path(sf_dir, "events")).schema
+    raw = spark.readStream.schema(physical).format("parquet").load(_stream_dir(sf_dir))
+    ts_type = physical["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos file
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):  # µs NTZ file
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
