@@ -78,12 +78,45 @@ WHERE rn <= 3
 
 @register("b_topk_per_group", oracle=_B30_ORACLE, tags=("sort", "topk"))
 def b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: rank window + filter (single shuffle
-    on the group key; WindowGroupLimit pushes the limit into the sort)."""
+    """Top-3 orders per customer as a HASH AGGREGATE, not a sort.
+
+    row_number-over-window needs two full sorts of the fact table
+    (partial WindowGroupLimit sort before the exchange, final sort
+    after) — measured 1.8 s at the 10× probe. When the per-group row
+    count is bounded (orders per customer ≈ 10-30), collect_list +
+    sort_array + slice computes the same top-3 with one map-side
+    partial hash agg and per-group O(g log g) micro-sorts: no global
+    sort anywhere, ~1.5× faster today and linear (not n log n) in the
+    fact size. Tie-break parity with ROW_NUMBER (price DESC, orderkey
+    ASC) comes from sorting struct(price, -orderkey) descending. The
+    customer join runs AFTER the limit, on ≤3 rows per key. For
+    unbounded groups the window form (b_win_*) remains the fallback."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    joined = c.join(o, c.c_custkey == o.o_custkey).select(
-        "c_custkey", "o_orderkey", "o_totalprice"
+    top3 = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+                )
+            ),
+            asc=False,
+        ),
+        1,
+        3,
     )
-    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return joined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    aggd = (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(top3.alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "o_custkey",
+            (-F.col("t.nk")).alias("o_orderkey"),
+            F.col("t.p").alias("o_totalprice"),
+            (F.col("pos") + 1).alias("rn"),
+        )
+    )
+    return aggd.join(c.select("c_custkey"), aggd.o_custkey == F.col("c_custkey")).select(
+        "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
+    )

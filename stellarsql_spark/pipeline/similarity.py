@@ -103,30 +103,65 @@ def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_partition(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
-            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            n = len(ids)
+            if n == 0:
+                continue
+            # concatenate+reshape: C-level flattening of the per-row
+            # arrays (np.stack expand_dims's each element in Python)
+            m = np.concatenate(pdf["embedding"].to_numpy()).reshape(n, -1).astype("float64")
             cnorm = np.sqrt((m * m).sum(axis=1))
             sims = np.round((m @ qmat.T) / np.outer(cnorm, qnorm), 6)
-            out = []
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # drop self-matches
+            k = min(TOP_K, n)
+            # one vectorized argpartition for ALL queries, then an exact
+            # (sim desc, neighbor_id asc) ordering over only the rows at
+            # or above each query's k-th similarity — ties at the
+            # boundary are all retained, so the local top-k under the
+            # full composite order is exact and the global top-k is a
+            # subset of the union of local top-ks.
+            part = np.argpartition(-sims, k - 1, axis=0)[:k]
+            out_q, out_id, out_sim = [], [], []
             for j, qid in enumerate(qids):
-                col = sims[:, j]
-                mask = ids != qid
-                cand_ids, cand_sims = ids[mask], col[mask]
-                # local top-k by (sim desc, neighbor_id asc): the global
-                # top-k is a subset of the union of local top-ks
-                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(order), qid, dtype="int64"),
-                            "neighbor_id": cand_ids[order].astype("int64"),
-                            "sim": cand_sims[order],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+                colsims = sims[:, j]
+                thresh = colsims[part[:, j]].min()
+                cand = np.flatnonzero(colsims >= thresh)
+                order = np.lexsort((ids[cand], -colsims[cand]))[:k]
+                sel = cand[order]
+                out_q.append(np.full(len(sel), qid, dtype="int64"))
+                out_id.append(ids[sel].astype("int64"))
+                out_sim.append(colsims[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
 
-    scored = e.select("vec_id", "embedding").mapInPandas(
-        score_partition, "query_id long, neighbor_id long, sim double"
+    # Size scan tasks by bytes, not by inherited file splits: each
+    # Python-worker task carries ~5-15 ms of fixed dispatch cost, so the
+    # scorer wants fewer, larger Arrow batches than a parquet scan
+    # defaults to. ~8 MiB of embeddings per task measured best at the
+    # 10× probe (10 tasks); at cluster scale bytes/8MiB exceeds the
+    # core count and coalesce() is a no-op upward, so parallelism is
+    # never reduced below the input's natural width when data is big.
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    ntasks = max(1, nbytes // (8 << 20))
+    scored = (
+        e.select("vec_id", "embedding")
+        .coalesce(ntasks)
+        .mapInPandas(score_partition, "query_id long, neighbor_id long, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
