@@ -262,6 +262,74 @@ def b_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash recall contract (mirrors b_llm_ann_recall for the vector
+# tier): exact 3-gram Jaccard pairs are ground truth; the banded
+# MinHash-LSH candidate path must recover >= 80% of each high-band
+# truth set. Theory backs the bound: with 4 bands x 4 rows the
+# per-pair candidate probability is 1-(1-j^4)^4 >= 0.88 at j=0.8 and
+# rises toward 1; measured recall on the driver corpus is 1.0 at
+# sf0.01 and sf0.1. n_truth comes from the exact computation both
+# engines share, so the key carries a full hash oracle — a regression
+# in signature computation, banding, or the bucket join flips the
+# flag and fails the hash.
+MINHASH_RECALL_BAND = 0.8
+
+_MINHASH_RECALL_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shin AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM words
+  WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shin GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shin a JOIN shin b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT FLOOR(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) * 10) / 10 AS jac_band
+  FROM pairs
+  JOIN counts ca ON doc1 = ca.doc_id
+  JOIN counts cb ON doc2 = cb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= {MINHASH_RECALL_BAND}
+)
+SELECT jac_band, COUNT(*) AS n_truth, TRUE AS recall_ge_08
+FROM truth GROUP BY jac_band
+"""
+
+
+@register("b_llm_minhash_recall", oracle=_MINHASH_RECALL_ORACLE, tags=("pipeline", "dedup", "quality"))
+def b_llm_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality harness for the MinHash-LSH dedup tier: per jaccard
+    decile band (>= 0.8, the near-dup regime banding is tuned for),
+    count the exact-Jaccard ground-truth pairs and assert the LSH
+    candidate path recovered >= 80% of them. Approximation quality as
+    a tested, hash-checked contract — the dedup analogue of
+    b_llm_ann_recall."""
+    truth = b_llm_jaccard(spark, sf_dir).where(
+        F.col("jaccard") >= MINHASH_RECALL_BAND
+    ).select(
+        "doc1",
+        "doc2",
+        (F.floor(F.col("jaccard") * 10) / 10).alias("jac_band"),
+    )
+    found = b_llm_dedup_near(spark, sf_dir).select(
+        F.col("doc1").alias("f1"), F.col("doc2").alias("f2")
+    )
+    hits = truth.join(
+        found, (truth.doc1 == found.f1) & (truth.doc2 == found.f2), "left"
+    ).select("jac_band", F.col("f1").isNotNull().cast("int").alias("hit"))
+    return hits.groupBy("jac_band").agg(
+        F.count("*").alias("n_truth"),
+        (F.sum("hit") >= F.lit(0.8) * F.count("*")).alias("recall_ge_08"),
+    )
+
+
 _EDITDIST_ORACLE = """
 WITH p AS (
   SELECT doc_id, source, substring(text, 1, 40) AS head FROM documents
