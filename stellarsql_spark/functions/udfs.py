@@ -140,3 +140,62 @@ def b_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM (SELECT doc_id, text FROM documents WHERE doc_id < 10) d, "
         "LATERAL split_words(d.text) t"
     )
+
+
+_B50_COGROUP_ORACLE = """
+SELECT o_orderkey,
+       COUNT(l_orderkey) AS n_lines,
+       ANY_VALUE(o_totalprice) AS o_totalprice,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS gross
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 50 = 0
+GROUP BY o_orderkey
+"""
+
+
+def _reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    # Exact money math via integer cents (see functions.exact): float
+    # sums would be partition-order-sensitive and break the hash oracle.
+    if orders_pdf.empty or lines_pdf.empty:
+        return pd.DataFrame(
+            columns=["o_orderkey", "n_lines", "o_totalprice", "gross"]
+        ).astype(
+            {"o_orderkey": "int64", "n_lines": "int64", "o_totalprice": "float64", "gross": "float64"}
+        )
+    cts = (lines_pdf["l_extendedprice"] * 100).round().astype("int64").sum()
+    return pd.DataFrame(
+        {
+            "o_orderkey": [int(orders_pdf["o_orderkey"].iloc[0])],
+            "n_lines": [len(lines_pdf)],
+            "o_totalprice": [float(orders_pdf["o_totalprice"].iloc[0])],
+            "gross": [cts / 100.0],
+        }
+    )
+
+
+@register("b_udf_cogrouped", oracle=_B50_COGROUP_ORACLE, tags=("udf", "cogroup"))
+def b_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: ``df1.groupBy(k).cogroup(df2.groupBy(k))
+    .applyInPandas`` — BOTH relations shuffle on the shared key and each
+    key's two group DataFrames arrive together in one Python call (the
+    order-vs-lineitems reconciliation shape: custom per-entity logic
+    over two aligned inputs that no single-table UDF form can express).
+    One shuffle per side, same as the equivalent join; group pairs must
+    fit in worker RAM (an order's lineitems: ≤7 rows). The key subset
+    (orderkey % 50) bounds the per-group Python-call count — at 100 TB
+    the call overhead amortizes per group, and entity-level logic like
+    this is exactly what you'd window down to a keyed slice first."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    return o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        _reconcile,
+        schema="o_orderkey long, n_lines long, o_totalprice double, gross double",
+    )

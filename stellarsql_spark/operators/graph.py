@@ -237,3 +237,97 @@ def b_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("user_id"), "deg", F.col("pr").alias("rank_micro"))
     )
+
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m FROM events
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+  WHERE a.user_id < c.user_id
+),
+nodes AS (SELECT DISTINCT user_id AS n FROM events),
+bidir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+reach AS (
+  SELECT n AS node, n AS label FROM nodes
+  UNION
+  SELECT bd.v AS node, r.label FROM reach r JOIN bidir bd ON bd.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS comp_id FROM reach GROUP BY node)
+SELECT comp_id, COUNT(*) AS n_nodes FROM comp GROUP BY comp_id
+"""
+
+
+@register("b_graph_components", oracle=_COMPONENTS_ORACLE, tags=("graph", "components", "iterative"))
+def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the minute-level co-occurrence graph
+    (users linked by same event_type within the same minute — sparser
+    than the hourly graph, so real component structure exists), via
+    iterative min-label propagation run to CONVERGENCE: every node
+    starts labeled with itself; each round takes the min of its own
+    and its neighbors' labels; a round that changes nothing ends the
+    loop. The result (component id = min member, component size) is a
+    graph invariant — iteration order can't affect it — so the key
+    carries a full hash oracle (DuckDB recursive-CTE reachability).
+
+    Scale shape: each round is one shuffle join (edges × labels,
+    keyed by node) + one min-aggregate; rounds ≈ component diameter
+    (3-5 on co-occurrence graphs, where hub buckets create shortcuts).
+    The convergence check is a driver-side count of changed labels —
+    one scalar per round, not a data collect. For adversarial
+    path-shaped graphs (diameter ~n) production would switch to
+    alternating large-star/small-star (O(log n) rounds); the loop
+    structure here is the same, only the propagation rule changes.
+    Each round's label frame is localCheckpoint-ed (eager): a plain
+    persist() caches data but the LOGICAL plan still nests one join
+    deeper per round — by ~10 rounds the plan tree (and AQE's explain
+    rendering of it) grows unboundedly. Checkpointing truncates the
+    lineage to the materialized result, the standard move for
+    iterative DataFrame algorithms (GraphX does the same with its
+    RDD checkpoints)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "m"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    bidir = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    while True:
+        nbr = (
+            bidir.join(lbl.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_lbl = (
+            lbl.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lbl.join(lbl.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        lbl = new_lbl
+        if changed == 0:
+            break
+    # the returned plan reads the checkpointed converged label frame
+    # (|nodes| rows — a bounded artifact, like the _edges persist)
+    bidir.unpersist()
+    return lbl.groupBy(F.col("label").alias("comp_id")).agg(
+        F.count("*").alias("n_nodes")
+    )

@@ -58,3 +58,96 @@ class TestMinhashRecall:
             (r.doc1, r.doc2) for r in b_llm_dedup_near(spark, SF).collect()
         }
         assert found <= truth
+
+
+class TestCogrouped:
+    def test_matches_join_aggregate(self, spark):
+        """The cogrouped reconciliation equals the equivalent
+        join+groupBy — cogroup is an execution strategy, not new
+        semantics."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.functions.udfs import b_udf_cogrouped
+
+        got = {
+            (r.o_orderkey, r.n_lines, round(r.gross, 2))
+            for r in b_udf_cogrouped(spark, SF).collect()
+        }
+        o = load_table(spark, SF, "orders").where(F.col("o_orderkey") % 50 == 0)
+        li = load_table(spark, SF, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+        ref = {
+            (r.o_orderkey, r.n_lines, round(r.gross, 2))
+            for r in o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count("*").alias("n_lines"),
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0).alias("gross"),
+            )
+            .collect()
+        }
+        assert got == ref
+        assert got, "subset predicate selected no orders?"
+
+
+class TestConnectedComponents:
+    def test_partition_property(self, spark):
+        """Components partition the node set: sizes sum to |nodes|,
+        component ids are member minima (so each id is <= every node
+        it labels, and ids are distinct nodes)."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.graph import b_graph_components
+
+        rows = b_graph_components(spark, SF).collect()
+        n_users = (
+            load_table(spark, SF, "events").select("user_id").distinct().count()
+        )
+        assert sum(r.n_nodes for r in rows) == n_users
+        ids = [r.comp_id for r in rows]
+        assert len(ids) == len(set(ids))
+
+    def test_labels_constant_on_edges(self, spark):
+        """Convergence invariant: every edge's endpoints share a
+        component id (no edge crosses components)."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.graph import b_graph_components
+
+        # rebuild the same minute-level edge set the operator uses
+        ev = load_table(spark, SF, "events")
+        b = ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        ).distinct()
+        edges = (
+            b.alias("l")
+            .join(b.alias("r"), ["event_type", "m"])
+            .where(F.col("l.user_id") < F.col("r.user_id"))
+            .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+            .distinct()
+            .collect()
+        )
+        # recover per-node labels by rerunning the operator's closure:
+        # component id = min reachable node; check via union-find over
+        # the collected edge list (tiny at sf0.001)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for e in edges:
+            ru, rv = find(e.u), find(e.v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        nodes = [r.user_id for r in ev.select("user_id").distinct().collect()]
+        sizes = {}
+        for n in nodes:
+            sizes[find(n)] = sizes.get(find(n), 0) + 1
+        got = {(r.comp_id, r.n_nodes) for r in b_graph_components(spark, SF).collect()}
+        assert got == set(sizes.items())
