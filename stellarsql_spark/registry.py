@@ -165,6 +165,11 @@ _RESTAMP = (
     "b_win_laglead",
     "b_stream_run_tumbling",
     "b_stream_dedup",
+    # round-4 hot-path rewrites changed these keys' oracles to the
+    # integer-cents formulas (functions.exact) — their r1/r2 stamps
+    # predate the current contract:
+    "b_join_inner",
+    "b_stream_tumbling",
 )
 
 
