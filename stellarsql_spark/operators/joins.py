@@ -48,13 +48,15 @@ def b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     - money sums ride as integer cents (exact — see functions.exact):
       the pre-agg has |customer| groups, where SUM(DECIMAL(28,2))'s
       Decimal-object adds cost ~15% of the whole query vs long adds;
-    - the pre-agg repartitions on the group key FIRST so Catalyst
-      plans ONE complete-mode hash aggregate instead of partial +
-      final: with ~3 orders per customer scattered across input
-      partitions, map-side partials reduce almost nothing — every
-      input row still crosses the exchange — while building and
-      draining |customer|-sized partial hash maps per task costs
-      ~20% of the query (2.57 s → 1.92 s at 100×);
+    - the pre-agg repartitions on the group key FIRST, so the
+      exchange moves raw (key, cents) pairs and the partial+final
+      aggregate pair runs FUSED in one stage on key-local data:
+      with ~3 orders per customer scattered across input partitions,
+      a pre-exchange partial map reduces almost nothing — every
+      input row still crosses the exchange — while paying
+      |customer|-sized hash-map build/drain per task. Post-exchange,
+      the partial map achieves full reduction and the final dedup is
+      trivial (2.57 s → 1.92 s at 100×);
     - the customer join is hinted shuffle_hash: both sides are
       |customer|-sized so neither should broadcast, and sort-merge
       would pay two full sorts that hash probing skips (~10%)."""

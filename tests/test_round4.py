@@ -151,3 +151,36 @@ class TestConnectedComponents:
             sizes[find(n)] = sizes.get(find(n), 0) + 1
         got = {(r.comp_id, r.n_nodes) for r in b_graph_components(spark, SF).collect()}
         assert got == set(sizes.items())
+
+
+class TestHotPathPlans:
+    def test_join_inner_preagg_aggregates_after_repartition(self, spark):
+        """The measured 100x-probe win: the pre-agg's exchange must
+        move RAW (key, cents) rows (REPARTITION_BY_COL) so the
+        aggregate pair runs fused on key-local data — not a
+        pre-exchange partial map that reduces ~nothing at ~3
+        orders/customer. The customer join must stay a shuffled-hash
+        join (no sorts of the two |customer|-sized sides)."""
+        from stellarsql_spark.operators.joins import b_join_inner
+        from stellarsql_spark.plans.explain import simple_plan
+
+        plan = simple_plan(b_join_inner(spark, SF))
+        assert "ShuffledHashJoin" in plan
+        assert "REPARTITION_BY_COL" in plan
+        # the repartition exchange feeds a Project/Filter/scan — NOT a
+        # HashAggregate (that would be the old shuffle-the-partials
+        # shape, one useless |customer|-sized map per task)
+        import re
+
+        m = re.search(r"Exchange hashpartitioning\(o_custkey[^\n]*REPARTITION_BY_COL[^\n]*\n[\s:]*\+- (\w+)", plan)
+        assert m, plan
+        assert m.group(1) != "HashAggregate", plan
+
+    def test_tumbling_batch_single_shuffle(self, spark):
+        """Batch tumbling = one exchange (the final agg); the integer
+        hour bucketing must not introduce extra stages."""
+        from stellarsql_spark.plans.explain import simple_plan
+        from stellarsql_spark.streaming.windows import b_stream_tumbling
+
+        plan = simple_plan(b_stream_tumbling(spark, SF))
+        assert plan.count("Exchange") == 1, plan
