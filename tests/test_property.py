@@ -146,3 +146,39 @@ def test_except_all_multiset_parity(spark, left, right):
     con.register("tb", rp)
     duck_out = sorted(int(r[0]) for r in con.execute(_SETOP_SQL).fetchall())
     assert spark_out == duck_out
+
+
+# --- integer-cents vs decimal money convention equivalence ----------
+#
+# functions/exact.py ships two exact-sum conventions for 2-decimal
+# money doubles; hot paths use cents (round(x*100) as BIGINT). This
+# property pins their equivalence — and cross-engine agreement of the
+# cents formula — on random 2-decimal inputs, so a future corpus or
+# convention change that breaks the "values are exact 2-decimal"
+# premise fails here, not at the driver.
+
+money_strategy = st.lists(
+    st.integers(min_value=-10_000_000, max_value=10_000_000).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=money_strategy)
+def test_cents_sum_equals_decimal_sum_and_duckdb(spark, vals):
+    from stellarsql_spark.functions.exact import csum, dsum, sql_csum, sql_dsum
+
+    pdf = pd.DataFrame({"x": pd.Series(vals, dtype="float64")})
+    sdf = spark.createDataFrame(pdf, schema="x double")
+    got = sdf.agg(
+        csum("x").alias("c"), dsum("x").alias("d")
+    ).collect()[0]
+    assert got.c == got.d  # the two Spark conventions agree exactly
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dc, dd = con.execute(
+        f"SELECT {sql_csum('x')} AS c, {sql_dsum('x')} AS d FROM t"
+    ).fetchone()
+    con.close()
+    assert got.c == dc == dd  # and both engines agree bit-for-bit
