@@ -123,6 +123,9 @@ def _plan_floors(spark) -> dict[str, float]:
     return {"noop": round(noop, 4), "shuffle": round(shuffle, 4)}
 
 
+_T0 = time.perf_counter()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -186,7 +189,14 @@ def main() -> None:
         # resulting Spark/DuckDB ratio at scale (the number
         # BASELINE.md's matched rows give at 1×).
         result["scale_probe"] = probe(SCALE_FACTOR, SCALE_MATCHED)
-        result["scale_probe_deep"] = probe(SCALE2_FACTOR, SCALE2_MATCHED)
+        # Soft wall-clock guard: a JSON line without the deep tier
+        # beats no JSON line at all if the harness enforces a timeout
+        # (first run per corpus regeneration pays ~2 min of one-off
+        # scaled-corpus builds on top of the timed work).
+        if time.perf_counter() - _T0 < 420:
+            result["scale_probe_deep"] = probe(SCALE2_FACTOR, SCALE2_MATCHED)
+        else:
+            result["scale_probe_deep"] = {"skipped": "time budget"}
         tune_for_data_size(spark, sf_dir, cpus=cpus)
 
     print(json.dumps(result))
