@@ -1,0 +1,122 @@
+"""Spark 4 modern-SQL surface (SURVEY.md §2 C61-C63): VARIANT
+semi-structured values, SQL pipe syntax, and string collations.
+
+Reference parity note: /root/reference is an empty checkout (SURVEY.md
+§0); these keys cover the post-2024 ANSI/industry SQL surface a
+current analytics engine is expected to ship (semi-structured VARIANT
+as in Snowflake/Databricks, ZetaSQL-style pipe queries, ICU
+collations), each expressed through the native Spark 4 feature and
+hash-checked against a DuckDB oracle computing the same values with
+classic constructs.
+
+Scale notes: VARIANT parse/extract is per-row JVM work (no UDF, no
+shuffle beyond the query's own aggregation); pipe syntax is pure
+frontend sugar compiling to the same Catalyst plans as the ANSI form
+(verified: same physical plan); collation comparisons evaluate inside
+codegen — grouping by a collated key shuffles on the collation key
+exactly like any other groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table, register_views
+from stellarsql_spark.functions.exact import sql_csum
+from stellarsql_spark.registry import register
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       event_type AS t,
+       value AS v
+FROM events WHERE event_id % 97 = 0
+"""
+
+
+@register("b_fn_variant", oracle=_VARIANT_ORACLE, tags=("function", "variant", "semistructured"))
+def b_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4): parse the props JSON column into an open
+    semi-structured value once, then pull typed paths out with
+    variant_get — the schema-on-read path for event payloads whose
+    shape drifts (vs b_fn_json's per-path get_json_object re-parses).
+    A second variant is CONSTRUCTED from row data and round-tripped,
+    covering build + extract. The oracle computes the same values with
+    DuckDB's classic JSON operators."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr(
+            "variant_get(parse_json(to_json(named_struct('t', event_type, 'v', value))),"
+            " '$.t', 'string')"
+        ).alias("t"),
+        F.expr(
+            "variant_get(parse_json(to_json(named_struct('t', event_type, 'v', value))),"
+            " '$.v', 'double')"
+        ).alias("v"),
+    )
+
+
+_PIPE_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n, {sql_csum("o_totalprice")} AS spend
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 5
+"""
+
+
+@register("b_sql_pipe", oracle=_PIPE_ORACLE, tags=("sql", "pipe"))
+def b_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, ZetaSQL-style): the same
+    filter→aggregate→having pipeline as the ANSI oracle, written as a
+    linear |> chain. Pure frontend: the parser lowers each stage onto
+    the previous one's plan, so Catalyst sees the identical logical
+    tree and the physical plan matches the ANSI form (pinned in
+    tests)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS spend
+             GROUP BY o_orderpriority
+        |> WHERE n > 5
+        |> SELECT o_orderpriority, n, spend
+        """
+    )
+
+
+_COLLATION_ORACLE = """
+SELECT MIN(mixed) AS name, COUNT(*) AS n
+FROM (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS mixed
+  FROM part
+)
+GROUP BY lower(mixed)
+"""
+
+
+@register("b_fn_collation", oracle=_COLLATION_ORACLE, tags=("function", "collation"))
+def b_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): group a deliberately case-mangled
+    name column under UTF8_LCASE, so 'RED WIDGET' and 'red widget'
+    land in one group WITHOUT rewriting the data through lower() —
+    the collation is a property of the comparison, not a projection.
+    The group representative (binary MIN) and count are
+    collation-independent values both engines agree on; the oracle
+    gets the same grouping with the classic lower() rewrite."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT MIN(mixed) AS name, COUNT(*) AS n
+        FROM (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS mixed
+          FROM part
+        )
+        GROUP BY mixed COLLATE UTF8_LCASE
+        """
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.reshape",
     "stellarsql_spark.operators.subqueries",
     "stellarsql_spark.operators.sql_surface",
+    "stellarsql_spark.operators.modern_sql",
     "stellarsql_spark.operators.timeseries",
     "stellarsql_spark.operators.events_analytics",
     "stellarsql_spark.operators.quality",

@@ -184,3 +184,65 @@ class TestHotPathPlans:
 
         plan = simple_plan(b_stream_tumbling(spark, SF))
         assert plan.count("Exchange") == 1, plan
+
+
+class TestModernSql:
+    def test_pipe_syntax_compiles_to_ansi_plan(self, spark):
+        """|> stages are frontend sugar: the physical plan must equal
+        the ANSI GROUP BY/HAVING form's plan (modulo plan ids)."""
+        import re
+
+        from stellarsql_spark.catalog import register_views
+        from stellarsql_spark.operators.modern_sql import b_sql_pipe
+        from stellarsql_spark.plans.explain import simple_plan
+
+        register_views(spark, SF, ("orders",))
+        ansi = spark.sql(
+            """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS spend
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            GROUP BY o_orderpriority
+            HAVING COUNT(*) > 5
+            """
+        )
+
+        def normalize(df):
+            return re.sub(r"#\d+L?|plan_id=\d+", "#", simple_plan(df))
+
+        assert normalize(b_sql_pipe(spark, SF)) == normalize(ansi)
+
+    def test_collation_groups_case_insensitively(self, spark):
+        """Mixed-case names must collapse: strictly fewer groups than
+        binary grouping, exactly as many as lower() grouping."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.modern_sql import b_fn_collation
+
+        p = load_table(spark, SF, "part").select(
+            F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+            .otherwise(F.col("p_name"))
+            .alias("mixed")
+        )
+        n_binary = p.distinct().count()
+        n_lower = p.select(F.lower("mixed")).distinct().count()
+        n_collated = b_fn_collation(spark, SF).count()
+        assert n_collated == n_lower < n_binary
+
+    def test_variant_extract_matches_json_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.operators.modern_sql import b_fn_variant
+        from stellarsql_spark.catalog import load_table
+
+        got = {r.event_id: (r.k, r.t, r.v) for r in b_fn_variant(spark, SF).collect()}
+        ref = {
+            r.event_id: (int(r.k), r.event_type, r.value)
+            for r in load_table(spark, SF, "events")
+            .where(F.col("event_id") % 97 == 0)
+            .select("event_id", F.get_json_object("props", "$.k").alias("k"), "event_type", "value")
+            .collect()
+        }
+        assert got == ref
