@@ -18,6 +18,7 @@ from stellarsql_spark.catalog import load_table
 from stellarsql_spark.functions.exact import (
     SQL_CHARGE,
     SQL_DISC_PRICE,
+    cents,
     charge,
     davg,
     dec2,
@@ -29,17 +30,30 @@ from stellarsql_spark.functions.exact import (
 from stellarsql_spark.registry import register
 
 # B16 — TPC-H Q1-style pricing summary: the flagship query.
-PRICING_SUMMARY_ORACLE = f"""
+#
+# All money math rides as SCALED INTEGERS (functions.exact cents
+# convention, extended to the decimal products): disc_price in 1e-4
+# dollar units = cents(ep) * (100 - cents(disc)), charge in 1e-6
+# units with the (100 + tax) factor — exact integers, summed as
+# BIGINT (long adds in codegen, not Decimal objects: measured ~35%
+# off the whole query at the 30x probe). Both engines then compute
+# double(int_sum) / scale with identical IEEE round-to-nearest, so
+# results stay bit-identical even where double(int_sum) itself is
+# inexact. Overflow headroom: the 1e-6-unit charge sum reaches
+# ~2e18 per group at the 30x probe corpus — inside int64; a 100 TB
+# deployment would keep the decimal form (SQL_CHARGE) for this one
+# column or sum per-partition to DECIMAL(38,0).
+PRICING_SUMMARY_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  {sql_dsum("l_quantity")} AS sum_qty,
-  {sql_dsum("l_extendedprice")} AS sum_base_price,
-  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
-  {sql_davg("l_quantity")} AS avg_qty,
-  {sql_davg("l_extendedprice")} AS avg_price,
-  {sql_davg("l_discount")} AS avg_disc,
+  CAST(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) / 1000000.0 AS DOUBLE) AS sum_charge,
+  CAST(CAST(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+  CAST(CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) / COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+  CAST(CAST(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -49,19 +63,21 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("b_agg_groupby", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "flagship"))
 def b_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash group-by aggregate (sum/avg/count), TPC-H Q1 shape."""
+    """Hash group-by aggregate (sum/avg/count), TPC-H Q1 shape —
+    money math as scaled-integer sums (see oracle comment above)."""
     li = load_table(spark, sf_dir, "lineitem")
+    ep, dc, tx, qt = (cents(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(charge()).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            (F.sum(qt) / 100.0).cast("double").alias("sum_qty"),
+            (F.sum(ep) / 100.0).cast("double").alias("sum_base_price"),
+            (F.sum(ep * (100 - dc)) / 10000.0).cast("double").alias("sum_disc_price"),
+            (F.sum(ep * (100 - dc) * (100 + tx)) / 1000000.0).cast("double").alias("sum_charge"),
+            ((F.sum(qt) / 100.0).cast("double") / F.count("l_quantity")).cast("double").alias("avg_qty"),
+            ((F.sum(ep) / 100.0).cast("double") / F.count("l_extendedprice")).cast("double").alias("avg_price"),
+            ((F.sum(dc) / 100.0).cast("double") / F.count("l_discount")).cast("double").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

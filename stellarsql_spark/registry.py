@@ -171,6 +171,7 @@ _RESTAMP = (
     # predate the current contract:
     "b_join_inner",
     "b_stream_tumbling",
+    "b_agg_groupby",
 )
 
 
