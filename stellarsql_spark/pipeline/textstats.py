@@ -392,3 +392,78 @@ def b_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# Corpus-frequency quality features — the exact-arithmetic form of
+# unigram-LM quality scoring. A log-probability score would be the
+# textbook formulation, but ln() is not bit-stable across engines
+# (libm vs StrictMath differ by ulps), so the hash-checkable features
+# are the integer-exact ones every frequency-based filter actually
+# thresholds on: mean corpus-frequency of the doc's tokens, the
+# fraction of hapax/rare tokens, and coverage by the corpus top-1000
+# vocabulary. Rank ties in the top-1000 cut are broken by word so the
+# vocabulary set is deterministic in both engines.
+_FREQQ_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+top1k AS (
+  SELECT word FROM vocab ORDER BY c DESC, word LIMIT 1000
+),
+scored AS (
+  SELECT t.doc_id, v.c,
+         CASE WHEN v.c <= 2 THEN 1 ELSE 0 END AS is_rare,
+         CASE WHEN k.word IS NOT NULL THEN 1 ELSE 0 END AS in_top
+  FROM tok t JOIN vocab v USING (word) LEFT JOIN top1k k USING (word)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS freq_sum,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq,
+       CAST(CAST(SUM(is_rare) AS BIGINT) AS DOUBLE) / COUNT(*) AS rare_frac,
+       CAST(CAST(SUM(in_top) AS BIGINT) AS DOUBLE) / COUNT(*) AS top1k_frac
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("b_llm_freq_quality", oracle=_FREQQ_ORACLE, tags=("pipeline", "text", "quality"))
+def b_llm_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality features per document: mean token
+    corpus-frequency, rare-token (count<=2) fraction, and top-1000
+    vocabulary coverage — the frequency-heuristic tier of an LLM data
+    quality pipeline (the integer-exact stand-in for unigram-LM
+    log-prob scoring; see oracle note).
+
+    Scale shape: one (word) shuffle builds the vocabulary, the
+    token->vocab join shuffles on word (power-law skew is bounded:
+    counts, not texts, ride the wire), and the top-1000 set is a
+    broadcast membership probe. At 100 TB the vocabulary table is
+    millions of rows — still broadcastable after the top-k cut, while
+    the full vocab join stays a shuffle equi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("c"))
+    top1k = (
+        vocab.orderBy(F.col("c").desc(), "word")
+        .limit(1000)
+        .select("word", F.lit(1).alias("in_top_flag"))
+    )
+    scored = (
+        tok.join(vocab, "word")
+        .join(F.broadcast(top1k), "word", "left")
+        .select(
+            "doc_id",
+            "c",
+            F.when(F.col("c") <= 2, 1).otherwise(0).alias("is_rare"),
+            F.when(F.col("in_top_flag").isNotNull(), 1).otherwise(0).alias("in_top"),
+        )
+    )
+    n = F.count("*")
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.sum("c").alias("freq_sum"),
+        (F.sum("c").cast("double") / n).alias("mean_freq"),
+        (F.sum("is_rare").cast("double") / n).alias("rare_frac"),
+        (F.sum("in_top").cast("double") / n).alias("top1k_frac"),
+    )
