@@ -103,3 +103,39 @@ def test_stream_stream_join_row_count_pinned(spark):
     ).count()
     stream_n = b_stream_stream_join(spark, SF_SMALL).count()
     assert stream_n == batch_n > 0
+
+
+# Full-corpus schema pin — the drift alarm generalized beyond
+# events.ts: the driver has regenerated the corpus mid-project with a
+# changed physical encoding once already, so every table's normalized
+# (post-load_table) schema is pinned at every SF. A regeneration that
+# changes any column's type fails here with a readable diff instead
+# of as a cryptic AnalysisException inside some operator.
+EXPECTED_SCHEMAS = {
+    "region": "r_regionkey:int, r_name:string",
+    "nation": "n_nationkey:int, n_name:string, n_regionkey:int",
+    "customer": "c_custkey:bigint, c_name:string, c_nationkey:int, c_acctbal:double, c_mktsegment:string",
+    "supplier": "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+    "part": "p_partkey:bigint, p_name:string, p_brand:string, p_type:string, p_size:int, p_retailprice:double",
+    "orders": "o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string",
+    "lineitem": "l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, l_linenumber:int, l_quantity:double, l_extendedprice:double, l_discount:double, l_tax:double, l_returnflag:string, l_linestatus:string, l_shipdate:timestamp_ntz",
+    # ts is NORMALIZED to LTZ by load_table regardless of the file's
+    # physical encoding (ns longs or us NTZ) — that is the contract.
+    "events": "event_id:bigint, ts:timestamp, user_id:bigint, event_type:string, value:double, props:string",
+    "documents": "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+    "embeddings": "vec_id:bigint, embedding:array<float>, label:int",
+}
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_all_table_schemas_pinned(spark, sf):
+    from stellarsql_spark.catalog import TABLES, load_table
+
+    got = {
+        t: ", ".join(
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in load_table(spark, sf, t).schema.fields
+        )
+        for t in TABLES
+    }
+    assert got == EXPECTED_SCHEMAS
