@@ -112,3 +112,45 @@ def b_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _check_row("events_user_notnull", usr, F.col("v")),
     ]
     return reduce(DataFrame.unionAll, rows)
+
+
+_OBSERVE_ORACLE = """
+SELECT COUNT(*) AS rows_seen,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+       CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS total_price
+FROM orders
+"""
+
+
+@register("b_quality_observe", oracle=_OBSERVE_ORACLE, tags=("quality", "observe"))
+def b_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline metrics via the Observation API: named aggregate
+    metrics ride ALONG a real write/consume pass (here: a count over
+    the filtered frame) and are harvested from the listener bus after
+    the action — zero extra scans, the production pattern for
+    data-quality counters on every batch a pipeline ships. The
+    returned one-row frame carries the observed metrics; the oracle
+    recomputes them relationally. Cents-exact money total (see
+    functions.exact)."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpositive_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0)
+        .cast("double")
+        .alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the consuming action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_seen"], m["nonpositive_price"], m["bad_status"], m["total_price"])],
+        schema="rows_seen bigint, nonpositive_price bigint, bad_status bigint, total_price double",
+    )
