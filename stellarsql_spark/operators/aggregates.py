@@ -17,14 +17,12 @@ from pyspark.sql import functions as F
 from stellarsql_spark.catalog import load_table
 from stellarsql_spark.functions.exact import (
     SQL_CHARGE,
-    SQL_DISC_PRICE,
     cents,
     charge,
     davg,
     dec2,
     disc_price,
     dsum,
-    sql_davg,
     sql_dsum,
 )
 from stellarsql_spark.registry import register

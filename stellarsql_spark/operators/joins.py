@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
-from stellarsql_spark.functions.exact import cents, dec2, dsum, sql_csum, sql_dsum
+from stellarsql_spark.functions.exact import cents, dsum, sql_csum, sql_dsum
 from stellarsql_spark.registry import register
 
 _B8_ORACLE = f"""

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
-from stellarsql_spark.functions.exact import disc_price, sql_dsum
+from stellarsql_spark.functions.exact import sql_dsum
 from stellarsql_spark.registry import register
 
 NSALT = 8

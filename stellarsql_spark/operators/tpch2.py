@@ -26,7 +26,6 @@ from stellarsql_spark.functions.exact import (
     dec2,
     disc_price,
     dsum,
-    sql_dsum,
 )
 from stellarsql_spark.registry import register
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stellarsql_spark.catalog import load_table
 from stellarsql_spark.pipeline.dedup import JACCARD_THRESHOLD
 from stellarsql_spark.registry import register
 
