@@ -289,3 +289,52 @@ def b_layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+_TEXT_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_lines,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY source
+"""
+
+
+@register("b_read_text", oracle=_TEXT_ORACLE, tags=("source", "text"))
+def b_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-file ingestion (the 5th built-in source, completing
+    csv/json/parquet/orc): documents serialize to
+    ``source\\x1fdoc_id\\x1ftext`` lines (unit-separator delimited —
+    the corpus text is verified newline- and tab-free, and \\x1f
+    can't occur in prose), round-trip through ``spark.read.text``,
+    and are re-parsed with substring_index — the classic
+    one-record-per-line raw-corpus ingestion path an LLM pipeline
+    starts from. Per-source line counts, char totals, and doc-id
+    ranges must reconstruct the parquet ground truth exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _scratch("read_text")
+    (
+        d.select(F.concat_ws("\x1f", "source", "doc_id", "text"))
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    sep = "\x1f"
+    parsed = lines.select(
+        F.substring_index("value", sep, 1).alias("source"),
+        F.substring_index(F.substring_index("value", sep, 2), sep, -1)
+        .cast("bigint")
+        .alias("doc_id"),
+        # text may itself be empty; take everything after the 2nd sep
+        F.expr(
+            f"substring(value, length(substring_index(value, '{sep}', 2)) + 2)"
+        ).alias("text"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
