@@ -76,3 +76,26 @@ def b_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+_B33B_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 200
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("b_set_intersect_all", oracle=_B33B_ORACLE, tags=("setop", "multiset"))
+def b_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — the multiset twin of b_set_except's EXCEPT ALL:
+    each nation key survives min(customer-count, supplier-count)
+    times, so the occurrence arithmetic (not membership) is what the
+    oracle checks. Compiles to the same left-semi-style hash plan as
+    INTERSECT plus per-key count bookkeeping."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 200)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
