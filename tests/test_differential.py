@@ -6,7 +6,7 @@ The fixed oracle matrix checks the operators we wrote; this tier
 checks the operators the generator composes, catching cross-engine
 semantic drift (null ordering, modulo sign, CASE fall-through,
 IN-list nulls, join duplicate semantics) across a much wider query
-space. The generator is SEEDED, so CI sees the same ~40 queries every
+space. The generator is SEEDED, so CI sees the same ~80 queries every
 run — failures are reproducible, not flaky.
 
 Determinism rules baked into the grammar:
@@ -77,10 +77,16 @@ def _pred(rng, t):
     return f"({a} {op} {b})"
 
 
+# Tables whose "key" column is genuinely unique — required by the
+# window branch, whose determinism rests on a total per-partition
+# order ending in a unique key.
+_UNIQUE_KEY_TABLES = ("orders", "customer", "part")
+
+
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(3)
+    kind = rng.randrange(6)
     where = _pred(rng, t)
     if kind == 0:  # grouped aggregate
         g = rng.choice(strs)
@@ -101,6 +107,31 @@ def gen_query(rng) -> str:
             f"SELECT {key} AS k, {e} AS v, upper({rng.choice(strs)}) AS u "
             f"FROM {t} WHERE {where} "
             f"ORDER BY v DESC, k, u LIMIT {rng.randrange(5, 40)}"
+        )
+    if kind == 2:  # grouped aggregate with HAVING
+        g = rng.choice(strs)
+        e = _int_expr(rng, ints)
+        return (
+            f"SELECT {g} AS g, COUNT(*) AS n, CAST(SUM({e}) AS BIGINT) AS s "
+            f"FROM {t} WHERE {where} GROUP BY {g} "
+            f"HAVING COUNT(*) > {rng.randrange(1, 20)}"
+        )
+    if kind == 3:  # DISTINCT projection
+        e = _int_expr(rng, ints)
+        return (
+            f"SELECT DISTINCT ({e}) % {rng.randrange(3, 12)} AS v, "
+            f"{rng.choice(strs)} AS g FROM {t} WHERE {where}"
+        )
+    if kind == 4:  # window rank filtered via subquery (unique-key tables)
+        wt = rng.choice(_UNIQUE_KEY_TABLES)
+        wints, wstrs, wkey = TABLES[wt]["int"], TABLES[wt]["str"], TABLES[wt]["key"]
+        e = _int_expr(rng, wints)
+        g = rng.choice(wstrs)
+        return (
+            f"SELECT g, k, rn FROM ("
+            f"SELECT {g} AS g, {wkey} AS k, "
+            f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {e} DESC, {wkey}) AS rn "
+            f"FROM {wt} WHERE {_pred(rng, wt)}) t WHERE rn <= {rng.randrange(2, 6)}"
         )
     # joined aggregate (orders x customer fixed join, predicates random)
     e = _int_expr(rng, ["o_orderkey", "o_custkey", "c_nationkey"])
@@ -139,7 +170,7 @@ def test_differential_corpus(spark, duck):
     register_views(spark, SF, tuple(TABLES))
     rng = random.Random(20260814)
     mismatches = []
-    for i in range(40):
+    for i in range(80):
         q = gen_query(rng)
         s = _canon(spark.sql(q).toPandas())
         d = _canon(duck.execute(q).df())
