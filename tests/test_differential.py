@@ -181,3 +181,71 @@ def test_differential_corpus(spark, duck):
         if not s.equals(d):
             mismatches.append((i, q, len(s), len(d)))
     assert not mismatches, mismatches[:3]
+
+
+# --- null-semantics differential branch -----------------------------
+#
+# The corpus columns are null-free, so the fuzz above never exercises
+# three-valued logic. This branch builds the SAME null-rich table in
+# both engines from one VALUES text and fuzzes the classic traps:
+# NOT IN with NULL in the list, IS [NOT] DISTINCT FROM, COALESCE
+# fall-through, CASE with NULL branches, aggregates skipping NULLs,
+# GROUP BY a nullable key.
+
+_NULL_TABLE = """
+(VALUES (1, 10, 'a'), (2, NULL, 'b'), (3, 30, NULL), (4, NULL, NULL),
+        (5, 50, 'a'), (6, 60, 'b'), (7, NULL, 'a'), (8, 80, NULL),
+        (9, 90, 'c'), (10, 100, 'c')) AS nt(id, x, g)
+"""
+
+
+def gen_null_query(rng) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:  # NOT IN with a NULL in the list → empty unless x IS NULL handled
+        lits = ", ".join(str(rng.randrange(0, 120)) for _ in range(3))
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT id FROM {_NULL_TABLE} "
+            f"WHERE x {neg}IN ({lits}{rng.choice([', NULL', ''])}) ORDER BY id"
+        )
+    if kind == 1:  # IS DISTINCT FROM
+        v = rng.choice(["NULL", str(rng.randrange(0, 120))])
+        op = rng.choice(["IS DISTINCT FROM", "IS NOT DISTINCT FROM"])
+        return f"SELECT id FROM {_NULL_TABLE} WHERE x {op} {v} ORDER BY id"
+    if kind == 2:  # grouped agg over nullable key: NULL forms a group
+        return (
+            f"SELECT g, COUNT(*) AS n_rows, COUNT(x) AS n_x, "
+            f"CAST(SUM(x) AS BIGINT) AS s, CAST(MIN(x) AS BIGINT) AS mn "
+            f"FROM {_NULL_TABLE} GROUP BY g"
+        )
+    if kind == 3:  # COALESCE fall-through + CASE yielding NULL
+        d = rng.randrange(1, 99)
+        return (
+            f"SELECT id, COALESCE(x, -{d}) AS cx, "
+            f"CASE WHEN x > {rng.randrange(20, 90)} THEN g END AS cg "
+            f"FROM {_NULL_TABLE} ORDER BY id"
+        )
+    if kind == 4:  # null-aware predicates combined
+        return (
+            f"SELECT id FROM {_NULL_TABLE} "
+            f"WHERE (x IS NULL OR x % {rng.randrange(2, 7)} = 0) "
+            f"AND (g IS NOT NULL OR id > {rng.randrange(0, 8)}) ORDER BY id"
+        )
+    # self-join on nullable key: NULL never equi-matches
+    return (
+        f"SELECT a.id AS ida, b.id AS idb FROM {_NULL_TABLE.replace('nt(', 'a_t(').replace('AS a_t', 'AS a')} "
+        f"JOIN {_NULL_TABLE.replace('nt(', 'b_t(').replace('AS b_t', 'AS b')} "
+        f"ON a.g = b.g AND a.id < b.id ORDER BY ida, idb"
+    )
+
+
+def test_differential_null_semantics(spark, duck):
+    rng = random.Random(20260815)
+    mismatches = []
+    for i in range(60):
+        q = gen_null_query(rng)
+        s = _canon(spark.sql(q).toPandas())
+        d = _canon(duck.execute(q).df())
+        if not s.equals(d):
+            mismatches.append((i, q, len(s), len(d)))
+    assert not mismatches, mismatches[:3]
