@@ -151,33 +151,25 @@ _R02_CHECKED = frozenset(
 )
 # Keys whose oracle was strengthened AFTER their last driver stamp, so
 # the stamp no longer reflects the current (stricter) contract — they
-# go right behind the never-stamped block: a_ddl_lifecycle gained an
-# exact hash oracle post-r01; b_llm_dup_groups gained a recursive-CTE
-# hash oracle in round 3 (was rows-only when stamped in r02).
-# (b_sample_seeded stays rows-only by design — engine-specific RNG;
-# its statistical contract is b_sample_bounds, driver-green r02.)
-# The last three were stamped green on the pre-round-3 nanos corpus
-# and are timestamp-sensitive: b_win_laglead errs (unix_micros on
-# NTZ) and the two streaming keys ran on 1000×-compressed event time
-# until the r4 µs fix — their r2 stamps are stale evidence.
-_RESTAMP = (
-    "a_ddl_lifecycle",
-    "b_llm_dup_groups",
-    "b_win_laglead",
-    "b_stream_run_tumbling",
-    "b_stream_dedup",
-    # round-4 hot-path rewrites changed these keys' oracles to the
-    # integer-cents formulas (functions.exact) — their r1/r2 stamps
-    # predate the current contract:
-    "b_join_inner",
-    "b_stream_tumbling",
-    "b_agg_groupby",
-    "b_tpch_q3",
-)
+# go right behind the never-stamped block.  Rounds 1-4 used this for
+# oracle-hash upgrades and the ns→µs corpus migration; every key so
+# flagged was re-stamped green in CORRECTNESS_r04, so the block is
+# empty as of round 5.  Add a key here whenever its oracle or builder
+# semantics change after its latest stamp; remove it once the driver
+# re-stamps it.  Routine staleness needs no entry — the stamped tail
+# is ordered oldest-stamp-first, so the driver's ~50-key window
+# re-certifies the stalest evidence automatically each round.
+_RESTAMP: tuple[str, ...] = ()
 
 
-def _driver_stamped() -> frozenset[str]:
-    """Keys green-stamped by any past driver round (latest row wins)."""
+def _driver_stamp_rounds() -> dict[str, int]:
+    """Latest green-stamp round per key, from CORRECTNESS_r*.json.
+
+    A row counts as green only if it ran without error and either
+    hash-matched or is a declared rows-only contract.  A later round's
+    row REPLACES the earlier stamp for that key — including demoting a
+    key back to unstamped if the latest row is red.
+    """
     import json
     import re
     from pathlib import Path
@@ -189,31 +181,47 @@ def _driver_stamped() -> frozenset[str]:
         key=lambda p: p.name,
     )
     if not rounds:
-        return _R01_CHECKED | _R02_CHECKED
-    latest: dict[str, dict] = {}
+        return dict.fromkeys(_R01_CHECKED, 1) | dict.fromkeys(_R02_CHECKED, 2)
+    latest: dict[str, tuple[int, dict]] = {}
     try:
         for p in rounds:
-            latest.update(json.loads(p.read_text()))
-    except (OSError, ValueError):
-        return _R01_CHECKED | _R02_CHECKED
-    green = set()
-    for key, row in latest.items():
+            rnd = int(re.search(r"r(\d+)", p.name).group(1))
+            for key, row in json.loads(p.read_text()).items():
+                latest[key] = (rnd, row)
+    except (OSError, ValueError, AttributeError):
+        return dict.fromkeys(_R01_CHECKED, 1) | dict.fromkeys(_R02_CHECKED, 2)
+    green: dict[str, int] = {}
+    for key, (rnd, row) in latest.items():
         if not isinstance(row, dict):
             continue
         err = row.get("err")
         if err is None and row.get("hash_match"):
-            green.add(key)  # hash oracle, matched
+            green[key] = rnd  # hash oracle, matched
         elif err == "no_oracle" and row.get("spark_rows") is not None:
-            green.add(key)  # declared rows-only contract: the run counts
-    return frozenset(green)
+            green[key] = rnd  # declared rows-only contract: the run counts
+    return green
+
+
+def _driver_stamped() -> frozenset[str]:
+    """Keys green-stamped by any past driver round (latest row wins)."""
+    return frozenset(_driver_stamp_rounds())
 
 
 def driver_key_order() -> list[str]:
-    """Key order for __spark_entry__.queries()/oracle_sql()."""
+    """Key order for __spark_entry__.queries()/oracle_sql().
+
+    never-stamped (module round-robin) → _RESTAMP → stamped tail
+    ordered OLDEST stamp first: the driver re-checks ~50 keys per
+    round, so once every key is stamped, each round's window
+    re-certifies the stalest evidence (stamps rot when the corpus or
+    an oracle changes — age-based rotation keeps every stamp fresh
+    within ~4 rounds).
+    """
     from itertools import zip_longest
 
     specs = all_specs()
-    stamped = _driver_stamped()
+    stamp_rounds = _driver_stamp_rounds()
+    stamped = frozenset(stamp_rounds)
     restamp = [k for k in _RESTAMP if k in specs]
     pending = [k for k in specs if k not in stamped and k not in restamp]
     groups_by_mod: dict[str, list[str]] = {}
@@ -225,7 +233,10 @@ def driver_key_order() -> list[str]:
         for k in batch
         if k is not None
     ]
-    tail = [k for k in specs if k in stamped and k not in restamp and k not in round_robin]
+    tail = sorted(
+        (k for k in specs if k in stamped and k not in restamp and k not in round_robin),
+        key=lambda k: (stamp_rounds[k], k),
+    )
     ordered = round_robin + restamp + tail
     assert sorted(ordered) == sorted(specs), "driver_key_order must cover every key exactly once"
     return ordered

@@ -112,6 +112,54 @@ def b_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stateful_running_count(spark, sf_dir), output_mode="update")
 
 
+_TWS_COUNT_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+@register("b_stream_stateful_tws", oracle=_TWS_COUNT_ORACLE, tags=("streaming", "runtime", "stateful", "tws"))
+def b_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 through the real engine: the Spark-4 typed-state API
+    (``transformWithStateInPandas`` + ValueState + RocksDB state
+    store) running the per-user counter — the drained-sink twin of
+    ``b_stream_stateful_count`` on the successor API.  One source file
+    → one micro-batch → the final ValueState per user must equal the
+    batch GROUP BY count.
+
+    The TWS python workers need google.protobuf, which this container
+    provisions via streaming/pbshim (see runtime.protobuf_available).
+    If NO usable protobuf exists, the builder falls back to the
+    applyInPandasWithState twin so the semantic contract stays
+    driver-checkable — the fallback is env-gated, not silent: this
+    docstring and the pbshim module are the record, and
+    tests/test_streaming.py asserts the real TWS path wherever
+    protobuf_available() is true (it is, here)."""
+    from stellarsql_spark.streaming.runtime import (
+        protobuf_available,
+        stateful_running_count,
+        tws_running_count,
+    )
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        if protobuf_available():
+            src = tws_running_count(spark, sf_dir)
+        else:  # env-gated fallback, same semantics on the older API
+            src = stateful_running_count(spark, sf_dir)
+        return run_to_memory(src, output_mode="update")
+    finally:
+        # tws_running_count pins the RocksDB provider; don't leak it
+        # into later streaming keys' state stores.
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
 _STREAM_JOIN_ORACLE = """
 SELECT c.user_id AS c_user,
        c.event_id AS click_id,

@@ -252,18 +252,76 @@ def foreach_batch_agg(
         q.stop()
 
 
+# --- google.protobuf environment shim --------------------------------
+# The transformWithStateInPandas python workers speak a protobuf
+# protocol to the JVM state server, so they need a real
+# google.protobuf at import time.  This container has no protobuf
+# install, but the host google-cloud-sdk vendors a pure-python 6.32.0
+# copy; pbshim/sitecustomize.py makes it importable (and no-ops the
+# 6.32-vs-6.33 gencode version gate — identical wire format).  Driver
+# side: exec the shim in-process.  Worker side: the shim dir rides on
+# the workers' PYTHONPATH via sc.environment, and `site` runs it at
+# worker startup.  The shim must probe for google.protobuf.descriptor,
+# not the bare package: Spark workers carry the spark-core JAR on
+# sys.path and its embedded google/protobuf/*.proto resource dir
+# satisfies `import google.protobuf` as an EMPTY namespace package.
+
+_PBSHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+
+
+def protobuf_available() -> bool:
+    """True once a usable google.protobuf is importable in this
+    process, applying the pbshim if needed.  Idempotent."""
+    import importlib.util
+
+    shim = os.path.join(_PBSHIM_DIR, "sitecustomize.py")
+    try:
+        spec = importlib.util.spec_from_file_location("_stellarsql_pbshim", shim)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except (OSError, ImportError):
+        pass
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _propagate_pbshim(spark: SparkSession) -> None:
+    """Put the shim dir on the PYTHONPATH every python worker receives
+    (sc.environment feeds the worker env), so `site` runs the shim at
+    worker startup before pyspark imports StateMessage_pb2."""
+    env = spark.sparkContext.environment
+    current = env.get("PYTHONPATH", "")
+    if _PBSHIM_DIR not in current.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            _PBSHIM_DIR + (os.pathsep + current if current else "")
+        )
+
+
 def tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B45 on the Spark 4 transformWithStateInPandas API: the same
+    """B45/C33 on the Spark 4 transformWithStateInPandas API: the same
     per-user running counter as ``stateful_running_count`` but with
     typed, composable state (ValueState) and an explicit processor
     lifecycle — the successor to applyInPandasWithState, and the API
     that adds timers, TTL, and multiple state variables for production
-    stateful pipelines."""
+    stateful pipelines.  Raises RuntimeError where no usable
+    google.protobuf can be provisioned (the TWS worker protocol needs
+    it)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    if not protobuf_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "usable copy could be provisioned (see streaming/pbshim)"
+        )
+    _propagate_pbshim(spark)
 
     # transformWithState requires the RocksDB state store (the default
     # HDFS-backed store doesn't support its typed-state layout)

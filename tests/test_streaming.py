@@ -187,14 +187,15 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     """Spark 4 transformWithStateInPandas: final per-user counts after
     draining the stream must equal the batch groupBy count.
 
-    Skipped where the environment can't run the transformWithState
-    Python driver worker (it needs a working google.protobuf, which
-    this container lacks); the operator code itself is complete."""
+    Skipped only where no usable google.protobuf can be provisioned
+    (the TWS worker protocol needs it); streaming/pbshim provisions
+    one from the host google-cloud-sdk in this container, so the real
+    typed-state path runs here."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    from stellarsql_spark.streaming.runtime import protobuf_available
+
+    if not protobuf_available():
         pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
     from stellarsql_spark.streaming.runtime import run_to_memory, tws_running_count
 
