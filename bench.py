@@ -64,6 +64,33 @@ SCALE_FACTOR = 30
 SCALE2_MATCHED = ("b_join_inner", "b_stream_tumbling", "b_llm_cosine_topk")
 SCALE2_FACTOR = 100
 
+# Third tier at 300× (~3.5 GiB): the deepest data-dominated
+# comparison — the tier where tune_for_data_size runs the actual
+# large-input configuration (AQE on, bytes/128 MiB partitions) and
+# where the flagship aggregate measured FASTER than DuckDB in round
+# 4's one-off SCALE.md probe. Promoted to a permanent bench block in
+# round 5 so the 100 TB story is re-measured every round, not
+# narrated once.
+SCALE3_MATCHED = (
+    "b_agg_groupby",
+    "b_join_inner",
+    "b_stream_tumbling",
+    "b_llm_cosine_topk",
+)
+SCALE3_FACTOR = 300
+
+# Tables each probe query touches — deep tiers cache ONLY these (at
+# 300× the full ten-table corpus no longer fits the bench heap
+# comfortably; caching unused tables just evicts the used ones).
+_PROBE_TABLES = {
+    "b_agg_groupby": ("lineitem",),
+    "b_join_inner": ("orders", "customer", "nation", "region"),
+    "b_topk_per_group": ("orders", "customer"),
+    "b_stream_tumbling": ("events",),
+    "b_llm_cosine_topk": ("embeddings",),
+    "b_llm_dedup_exact": ("documents",),
+}
+
 
 def _duck_times(sf_dir: str, specs, names) -> dict[str, float]:
     """Best-of-3 DuckDB latency for each query's oracle SQL over the
@@ -129,6 +156,11 @@ _T0 = time.perf_counter()
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # The deep probe tiers cache multi-GiB corpora; the 8g default
+    # heap GC-throttles them (measured: multi-second pause spikes at
+    # 100×). The box has 128 GiB — size the single local JVM like the
+    # executor fleet it stands in for.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("bench", cpus=cpus)
     tune_for_data_size(spark, sf_dir, cpus=cpus)
     specs = all_specs()
@@ -159,7 +191,14 @@ def main() -> None:
         def probe(factor: int, names) -> dict:
             scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor)
             tune_for_data_size(spark, scaled_dir, cpus=cpus)
-            for t in TABLES:
+            tier_tables = tuple(
+                dict.fromkeys(
+                    t
+                    for name in names
+                    for t in _PROBE_TABLES.get(name, TABLES)
+                )
+            )
+            for t in tier_tables:
                 df = load_table(spark, scaled_dir, t)
                 df.cache()
                 df.count()
@@ -169,7 +208,7 @@ def main() -> None:
                     _best_of(prepare(specs[name], spark, scaled_dir)), 4
                 )
             duck = _duck_times(scaled_dir, specs, names)
-            for t in TABLES:  # release before the next tier caches
+            for t in tier_tables:  # release before the next tier caches
                 load_table(spark, scaled_dir, t).unpersist()
             return {
                 "factor": factor,
@@ -197,6 +236,15 @@ def main() -> None:
             result["scale_probe_deep"] = probe(SCALE2_FACTOR, SCALE2_MATCHED)
         else:
             result["scale_probe_deep"] = {"skipped": "time budget"}
+        # 300× AQE-on tier: the permanent 100 TB-story block. First
+        # run per corpus regeneration pays a ~3.5 GiB one-off build
+        # (cached + fingerprinted after), so the guard is wider but
+        # still bounded — a JSON line without this block beats no
+        # JSON line.
+        if time.perf_counter() - _T0 < 720:
+            result["scale_probe_300"] = probe(SCALE3_FACTOR, SCALE3_MATCHED)
+        else:
+            result["scale_probe_300"] = {"skipped": "time budget"}
         tune_for_data_size(spark, sf_dir, cpus=cpus)
 
     print(json.dumps(result))

@@ -68,6 +68,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
+    # Pin the session timezone HERE, not only in the queries()/
+    # register_views wrappers: the NTZ→LTZ cast below and every
+    # downstream unix_micros/date_trunc depends on it, and the
+    # invariant must hold on ANY call path that reaches corpus data
+    # (a bare builder call on a vanilla session on a non-UTC machine
+    # would otherwise silently shift event time).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:

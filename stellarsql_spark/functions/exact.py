@@ -103,3 +103,22 @@ def sql_csum(col: str) -> str:
     back down before the double division so both engines divide a
     64-bit integer)."""
     return f"CAST(CAST(SUM(CAST(ROUND({col} * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE)"
+
+
+def require_ansi(spark) -> None:
+    """Runtime guard for the scaled-integer money convention.
+
+    The cents/charge BIGINT sums rely on Spark ANSI mode to turn an
+    int64 overflow into a loud ARITHMETIC_OVERFLOW error instead of a
+    silent wraparound (DuckDB would keep summing in HUGEINT, so a
+    wrap would be a silent cross-engine divergence — the worst kind).
+    Spark 4 defaults ANSI on; this assertion makes the dependency a
+    hard precondition rather than a docstring, so a session that
+    disables ANSI fails fast at plan-build time, not at hash-compare
+    time.
+    """
+    if spark.conf.get("spark.sql.ansi.enabled", "true").lower() != "true":
+        raise RuntimeError(
+            "scaled-integer money sums require spark.sql.ansi.enabled=true "
+            "(overflow must throw, not wrap — see functions/exact.py)"
+        )

@@ -38,9 +38,13 @@ from stellarsql_spark.registry import register
 # double(int_sum) / scale with identical IEEE round-to-nearest, so
 # results stay bit-identical even where double(int_sum) itself is
 # inexact. Overflow headroom: the 1e-6-unit charge sum reaches
-# ~2e18 per group at the 30x probe corpus — inside int64; a 100 TB
+# ~2e18 per group at the 30x probe corpus — inside int64 but only
+# ~4.6x of headroom, shrinking linearly with corpus scale; a 100 TB
 # deployment would keep the decimal form (SQL_CHARGE) for this one
-# column or sum per-partition to DECIMAL(38,0).
+# column or sum per-partition to DECIMAL(38,0). The builder guards
+# the invariant at runtime (functions.exact.require_ansi): ANSI mode
+# must be ON so an overflow throws ARITHMETIC_OVERFLOW loudly
+# instead of wrapping into a silent cross-engine divergence.
 PRICING_SUMMARY_ORACLE = """
 SELECT
   l_returnflag,
@@ -63,6 +67,9 @@ GROUP BY l_returnflag, l_linestatus
 def b_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash group-by aggregate (sum/avg/count), TPC-H Q1 shape —
     money math as scaled-integer sums (see oracle comment above)."""
+    from stellarsql_spark.functions.exact import require_ansi
+
+    require_ansi(spark)
     li = load_table(spark, sf_dir, "lineitem")
     ep, dc, tx, qt = (cents(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
     return (

@@ -322,6 +322,11 @@ def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("label") != F.col("old"))
             .count()
         )
+        # the superseded round's checkpoint blocks are dead once the
+        # convergence count has consumed them — release eagerly, or
+        # block-manager storage grows by |nodes| per round for the
+        # session lifetime
+        lbl.unpersist()
         lbl = new_lbl
         if changed == 0:
             break

@@ -38,11 +38,22 @@ def b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Because the final grouping keys (r_name, n_name) are functionally
     determined by the join key, the fact side is aggregated down to
-    o_custkey granularity FIRST (map-side partial + one slim shuffle of
-    (key, count, cent-long) triples), so the customer join processes
-    |customer| rows instead of |orders| rows and the dims fold in
-    afterwards. At 100 TB this is the eager-aggregation rewrite that
-    turns a fact-×-dim shuffle join into a dim-×-dim join.
+    o_custkey granularity FIRST (one slim shuffle of (key, count,
+    cent-long) triples), so the customer join processes |customer|
+    rows instead of |orders| rows and the dims fold in afterwards. At
+    100 TB this is the eager-aggregation rewrite that turns a
+    fact-×-dim shuffle join into a dim-×-dim join.
+
+    Measured round-5 negative result, recorded so it isn't re-tried:
+    the hash-build-on-customer form (broadcast the slim
+    (c_custkey, c_nationkey) map, one pass over orders, partial agg to
+    25 nationkey groups — the embedded-engine plan shape) LOST to this
+    form at every tier (best-of-5 min, same session: base 0.27 vs
+    0.19 s, 30× 0.71 vs 0.61 s, 100× 2.05 vs 1.69 s) and its run
+    variance was far worse (per-execution TorrentBroadcast
+    build/cleanup churn).  What actually cleared the 100× ratio was
+    AQE-on at the ≥768 MiB tier plus a right-sized driver heap — see
+    session.tune_for_data_size and bench.py.
 
     Three measured hot-path choices (30×/100× probes, best-of-3):
     - money sums ride as integer cents (exact — see functions.exact):

@@ -123,16 +123,25 @@ FROM orders
 """
 
 
-@register("b_quality_observe", oracle=_OBSERVE_ORACLE, tags=("quality", "observe"))
+@register("b_quality_observe", oracle=_OBSERVE_ORACLE, tags=("quality", "observe", "eager"))
 def b_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline metrics via the Observation API: named aggregate
-    metrics ride ALONG a real write/consume pass (here: a count over
-    the filtered frame) and are harvested from the listener bus after
-    the action — zero extra scans, the production pattern for
-    data-quality counters on every batch a pipeline ships. The
-    returned one-row frame carries the observed metrics; the oracle
-    recomputes them relationally. Cents-exact money total (see
-    functions.exact)."""
+    metrics ride ALONG a real write/consume pass (here: a noop-sink
+    write over the observed frame) and are harvested from the
+    listener bus after the action — zero extra scans, the production
+    pattern for data-quality counters on every batch a pipeline
+    ships. The returned one-row frame carries the observed metrics;
+    the oracle recomputes them relationally. Cents-exact money total
+    (see functions.exact).
+
+    EAGER-ACTION CONTRACT (tag "eager", shared with the streaming
+    drain keys): the Observation pattern is definitionally
+    action-then-harvest, so the full scan executes at
+    DataFrame-BUILD time and the returned plan is a one-row literal.
+    Every ``queries()`` build pays the pass, and timing the returned
+    frame measures the literal, not the scan — benchmark harnesses
+    must time the builder call itself for this key (it is not in
+    bench.HEADLINE for exactly this reason)."""
     from pyspark.sql import Observation
 
     o = load_table(spark, sf_dir, "orders")

@@ -52,14 +52,20 @@ def tune_for_data_size(spark: SparkSession, sf_dir: str, cpus: int | None = None
       AQE off — task-scheduling and stage-re-optimization latency
       dominate sub-second queries, measured ~30% of wall-clock at
       sf0.1;
-    - mid-size inputs (256 MiB – 2 GiB): shuffle width grows with the
+    - mid-size inputs (256 – 768 MiB): shuffle width grows with the
       data (bytes/32 MiB, still AQE-off latency regime) — measured at
       the 100× probe (~1 GiB), 8 partitions leave the exchange-heavy
-      plans 25% slower than 32;
-    - large inputs: AQE on (skew splits, runtime coalescing) and
-      initial shuffle partitions = bytes/128 MiB target (AQE coalesces
-      down, never up, so the initial count is the ceiling). At 100 TB
-      that is ~800k partitions capped by cluster-size guidance.
+      plans 25% slower than 32, and at the 30× probe (~300 MiB)
+      AQE-off still wins (b_join_inner best-of-5 0.610 vs 0.669 s);
+    - large inputs (≥ 768 MiB): AQE on (skew splits, runtime
+      coalescing, join re-planning) and initial shuffle partitions =
+      bytes/128 MiB target floored at 2×cores (AQE coalesces down,
+      never up, so the initial count is the ceiling).  The boundary
+      was measured down from 2 GiB in round 5: at the 100× probe
+      (~1.2 GiB) AQE-on takes b_join_inner from 1.74 to 1.69 s min
+      and — the real win — cuts run variance (median 1.89 → 1.76 s).
+      At 100 TB this tier is ~800k initial partitions capped by
+      cluster-size guidance.
     """
     import glob
     import os
@@ -73,7 +79,7 @@ def tune_for_data_size(spark: SparkSession, sf_dir: str, cpus: int | None = None
     if nbytes < 256 << 20:
         spark.conf.set("spark.sql.shuffle.partitions", str(min(cpus, 8)))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-    elif nbytes < 2 << 30:
+    elif nbytes < 768 << 20:
         width = min(2 * cpus, max(8, nbytes // (32 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
         spark.conf.set("spark.sql.adaptive.enabled", "false")

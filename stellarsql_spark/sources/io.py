@@ -307,16 +307,38 @@ def b_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-file ingestion (the 5th built-in source, completing
     csv/json/parquet/orc): documents serialize to
     ``source\\x1fdoc_id\\x1ftext`` lines (unit-separator delimited —
-    the corpus text is verified newline- and tab-free, and \\x1f
-    can't occur in prose), round-trip through ``spark.read.text``,
-    and are re-parsed with substring_index — the classic
-    one-record-per-line raw-corpus ingestion path an LLM pipeline
-    starts from. Per-source line counts, char totals, and doc-id
-    ranges must reconstruct the parquet ground truth exactly."""
+    the corpus text is verified free of every line-break byte
+    ``spark.read.text`` splits on (\\n, \\r, \\r\\n) plus tab, and
+    \\x1f can't occur in prose), round-trip through
+    ``spark.read.text``, and are re-parsed with substring_index — the
+    classic one-record-per-line raw-corpus ingestion path an LLM
+    pipeline starts from. The invariant is ENFORCED, not assumed: any
+    document containing \\r or \\n fails the write loudly instead of
+    silently splitting into corrupt extra lines. Per-source line
+    counts, char totals, and doc-id ranges must reconstruct the
+    parquet ground truth exactly."""
     d = load_table(spark, sf_dir, "documents")
     out = _scratch("read_text")
     (
-        d.select(F.concat_ws("\x1f", "source", "doc_id", "text"))
+        d.select(
+            F.concat_ws(
+                "\x1f",
+                "source",
+                "doc_id",
+                # raise_error inside the row pipeline: zero extra
+                # scans, and a CR/LF document aborts the job instead
+                # of corrupting the line-oriented round trip
+                F.when(
+                    F.col("text").rlike("[\r\n]"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("b_read_text: line-break byte in doc_id="),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                ).otherwise(F.col("text")),
+            )
+        )
         .write.mode("overwrite")
         .text(out)
     )
