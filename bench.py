@@ -92,9 +92,11 @@ _PROBE_TABLES = {
 }
 
 
-def _duck_times(sf_dir: str, specs, names) -> dict[str, float]:
-    """Best-of-3 DuckDB latency for each query's oracle SQL over the
-    same parquet files (same warm-cache, repeat-execution protocol)."""
+def _duck_times(sf_dir: str, specs, names, runs: int = 3) -> dict[str, float]:
+    """Best-of-N DuckDB latency for each query's oracle SQL over the
+    same parquet files (same warm-cache, repeat-execution protocol —
+    pass the same ``runs`` both engines get, so the ratio stays a
+    fair min-vs-min under host-VM throughput noise)."""
     import duckdb
 
     from stellarsql_spark.catalog import TABLES, table_path
@@ -109,7 +111,7 @@ def _duck_times(sf_dir: str, specs, names) -> dict[str, float]:
         sql = specs[name].oracle
         if sql is None:
             continue
-        out[name] = round(_best_of(lambda: con.execute(sql).fetchall()), 4)
+        out[name] = round(_best_of(lambda: con.execute(sql).fetchall(), runs=runs), 4)
     con.close()
     return out
 
@@ -203,11 +205,16 @@ def main() -> None:
                 df.cache()
                 df.count()
             scaled: dict[str, float] = {}
+            # Deep tiers run min-of-5: the host VM's throughput swings
+            # ±50% on a minutes timescale (measured round 5), and a
+            # wider min is the cheapest robust floor estimator for
+            # multi-second queries.
+            runs = 5 if factor >= 100 else 3
             for name in names:
                 scaled[name] = round(
-                    _best_of(prepare(specs[name], spark, scaled_dir)), 4
+                    _best_of(prepare(specs[name], spark, scaled_dir), runs=runs), 4
                 )
-            duck = _duck_times(scaled_dir, specs, names)
+            duck = _duck_times(scaled_dir, specs, names, runs=runs)
             for t in tier_tables:  # release before the next tier caches
                 load_table(spark, scaled_dir, t).unpersist()
             return {

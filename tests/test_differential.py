@@ -5,9 +5,11 @@ and DuckDB over the same corpus tables must agree exactly.
 The fixed oracle matrix checks the operators we wrote; this tier
 checks the operators the generator composes, catching cross-engine
 semantic drift (null ordering, modulo sign, CASE fall-through,
-IN-list nulls, join duplicate semantics) across a much wider query
-space. The generator is SEEDED, so CI sees the same ~80 queries every
-run — failures are reproducible, not flaky.
+IN-list nulls, join duplicate semantics, outer-join null rows, window
+frame boundaries) across a much wider query space. The generator is
+SEEDED per round (base + 101 × round count), so any one round's ~180
+queries are exactly reproducible while successive rounds explore
+fresh query space.
 
 Determinism rules baked into the grammar:
 - integer and string columns only (no float aggregation order);
@@ -86,7 +88,7 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(6)
+    kind = rng.randrange(9)
     where = _pred(rng, t)
     if kind == 0:  # grouped aggregate
         g = rng.choice(strs)
@@ -133,13 +135,52 @@ def gen_query(rng) -> str:
             f"ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {e} DESC, {wkey}) AS rn "
             f"FROM {wt} WHERE {_pred(rng, wt)}) t WHERE rn <= {rng.randrange(2, 6)}"
         )
-    # joined aggregate (orders x customer fixed join, predicates random)
-    e = _int_expr(rng, ["o_orderkey", "o_custkey", "c_nationkey"])
+    if kind == 5:  # joined aggregate (orders x customer, predicates random)
+        e = _int_expr(rng, ["o_orderkey", "o_custkey", "c_nationkey"])
+        return (
+            "SELECT c_mktsegment AS g, COUNT(*) AS n, "
+            f"CAST(SUM({e}) AS BIGINT) AS s "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            f"WHERE {_pred(rng, 'orders')} GROUP BY c_mktsegment"
+        )
+    if kind == 6:  # LEFT outer join: the right side is FILTERED so
+        # unmatched rows genuinely exist (corpus FKs are complete)
+        return (
+            "SELECT o_orderkey AS k, o_custkey AS fk, c_nationkey AS nk, "
+            "c_mktsegment AS seg "
+            "FROM orders LEFT JOIN "
+            f"(SELECT * FROM customer WHERE {_pred(rng, 'customer')}) c "
+            "ON o_custkey = c_custkey "
+            f"WHERE {_pred(rng, 'orders')} "
+            f"ORDER BY k LIMIT {rng.randrange(20, 60)}"
+        )
+    if kind == 7:  # FULL outer join, both sides filtered, aggregated
+        return (
+            "SELECT COUNT(*) AS n, COUNT(o_orderkey) AS n_l, "
+            "COUNT(c_custkey) AS n_r, "
+            "CAST(SUM(COALESCE(c_nationkey, -1)) AS BIGINT) AS s "
+            f"FROM (SELECT * FROM orders WHERE {_pred(rng, 'orders')}) o "
+            "FULL OUTER JOIN "
+            f"(SELECT * FROM customer WHERE {_pred(rng, 'customer')}) c "
+            "ON o_custkey = c_custkey"
+        )
+    # windowed running frame over a unique-key table: ROWS frames need
+    # the (expr, unique key) total order; RANGE frames aggregate peers
+    # together so ties are deterministic by construction
+    wt = rng.choice(_UNIQUE_KEY_TABLES)
+    wints, wstrs, wkey = TABLES[wt]["int"], TABLES[wt]["str"], TABLES[wt]["key"]
+    g = rng.choice(wstrs)
+    e = rng.choice(wints)
+    if rng.randrange(2):
+        frame = f"ROWS BETWEEN {rng.randrange(1, 4)} PRECEDING AND CURRENT ROW"
+        order = f"{e}, {wkey}"
+    else:
+        frame = f"RANGE BETWEEN {rng.randrange(10, 500)} PRECEDING AND CURRENT ROW"
+        order = e
     return (
-        "SELECT c_mktsegment AS g, COUNT(*) AS n, "
-        f"CAST(SUM({e}) AS BIGINT) AS s "
-        "FROM orders JOIN customer ON o_custkey = c_custkey "
-        f"WHERE {_pred(rng, 'orders')} GROUP BY c_mktsegment"
+        f"SELECT {wkey} AS k, "
+        f"CAST(SUM({e}) OVER (PARTITION BY {g} ORDER BY {order} {frame}) AS BIGINT) AS w "
+        f"FROM {wt} WHERE {_pred(rng, wt)} ORDER BY k LIMIT {rng.randrange(30, 80)}"
     )
 
 
@@ -147,9 +188,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # engines surface string NULLs as None/NaN variants —
+            # normalize them to one sentinel before comparing
+            df[c] = df[c].map(lambda v: "<NULL>" if pd.isna(v) else str(v))
         else:
-            df[c] = df[c].astype("int64")
+            # outer-join branches produce NULL ints, which pandas
+            # widens to float64 NaN; nullable Int64 keeps them exact
+            # (all generated magnitudes are far below 2^53)
+            df[c] = df[c].astype("float64").astype("Int64")
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -164,13 +210,27 @@ def duck():
     con.close()
 
 
+def _round_seed(base: int) -> int:
+    """Rotate the fuzz seed per driver round (one CORRECTNESS_r*.json
+    lands per round), so every round explores fresh query space while
+    any single round stays fully reproducible — a failure's seed is
+    recoverable from the repo state that produced it."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_rounds = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    return base + 101 * n_rounds
+
+
 def test_differential_corpus(spark, duck):
     from stellarsql_spark.catalog import register_views
 
     register_views(spark, SF, tuple(TABLES))
-    rng = random.Random(20260814)
+    seed = _round_seed(20260814)
+    rng = random.Random(seed)
     mismatches = []
-    for i in range(80):
+    for i in range(120):
         q = gen_query(rng)
         s = _canon(spark.sql(q).toPandas())
         d = _canon(duck.execute(q).df())
@@ -179,7 +239,7 @@ def test_differential_corpus(spark, duck):
         # total-order tie-break means both engines returned the same
         # row SET, so sorted equality is the right check everywhere.
         if not s.equals(d):
-            mismatches.append((i, q, len(s), len(d)))
+            mismatches.append((i, seed, q, len(s), len(d)))
     assert not mismatches, mismatches[:3]
 
 
@@ -200,7 +260,18 @@ _NULL_TABLE = """
 
 
 def gen_null_query(rng) -> str:
-    kind = rng.randrange(6)
+    kind = rng.randrange(8)
+    if kind >= 6:  # nullable-key OUTER equi-join: NULL keys never
+        # match, so they surface as unmatched rows on their own side
+        jt = "LEFT JOIN" if kind == 6 else "FULL OUTER JOIN"
+        pred = rng.choice(["", f" AND a.x > {rng.randrange(0, 80)}"])
+        return (
+            f"SELECT a.id AS ida, b.id AS idb, a.x AS xa, b.x AS xb "
+            f"FROM {_NULL_TABLE.replace('nt(', 'a_t(').replace('AS a_t', 'AS a')} "
+            f"{jt} {_NULL_TABLE.replace('nt(', 'b_t(').replace('AS b_t', 'AS b')} "
+            f"ON a.g = b.g AND a.id <> b.id{pred} "
+            f"ORDER BY ida, idb"
+        )
     if kind == 0:  # NOT IN with a NULL in the list → empty unless x IS NULL handled
         lits = ", ".join(str(rng.randrange(0, 120)) for _ in range(3))
         neg = rng.choice(["", "NOT "])
@@ -240,12 +311,13 @@ def gen_null_query(rng) -> str:
 
 
 def test_differential_null_semantics(spark, duck):
-    rng = random.Random(20260815)
+    seed = _round_seed(20260815)
+    rng = random.Random(seed)
     mismatches = []
     for i in range(60):
         q = gen_null_query(rng)
         s = _canon(spark.sql(q).toPandas())
         d = _canon(duck.execute(q).df())
         if not s.equals(d):
-            mismatches.append((i, q, len(s), len(d)))
+            mismatches.append((i, seed, q, len(s), len(d)))
     assert not mismatches, mismatches[:3]
