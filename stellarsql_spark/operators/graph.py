@@ -336,3 +336,86 @@ def b_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lbl.groupBy(F.col("label").alias("comp_id")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+@register("b_graph_components_stars", oracle=_COMPONENTS_ORACLE, tags=("graph", "components", "iterative", "logn"))
+def b_graph_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83: connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log n)-round algorithm the
+    b_graph_components docstring promises for adversarial
+    (path-shaped, diameter ~n) graphs, where plain min-label
+    propagation needs diameter rounds.
+
+    One round = two node-keyed shuffles:
+    - LARGE-STAR at u: connect every strictly-larger neighbor to
+      m = min(N(u) ∪ {u});
+    - SMALL-STAR at u: connect every ≤-neighbor (and u itself) to m.
+    Each step only ever lowers a node's connection target, and small-
+    star's fixpoint is the star graph per component (every node edged
+    directly to its component minimum) — detected when a round leaves
+    the edge set unchanged.  Same answer as min-label propagation by
+    construction (both compute the component-min labeling), so it
+    shares the recursive-CTE hash oracle; iteration order cannot
+    matter.  Per-round localCheckpoint + eager unpersist of the
+    superseded frame, as in the label-propagation twin."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    first = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "m"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        bidir = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("mn")
+        )
+        nbr = bidir.join(m, "u")
+        if large:
+            out = nbr.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("mn").alias("v")
+            )
+        else:
+            out = nbr.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("mn").alias("v")
+            ).unionAll(m.select("u", F.col("mn").alias("v")))
+        return (
+            out.where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+
+    edges = first
+    while True:
+        new_edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        if edges is not first:
+            edges.unpersist()
+        edges = new_edges
+        if same:
+            break
+    # fixpoint: every non-min node carries exactly one edge (node,
+    # comp_min); min nodes and isolated nodes label themselves
+    member = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    selflbl = nodes.join(member, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    first.unpersist()
+    return (
+        member.unionByName(selflbl)
+        .groupBy(F.col("label").alias("comp_id"))
+        .agg(F.count("*").alias("n_nodes"))
+    )

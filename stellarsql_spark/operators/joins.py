@@ -297,3 +297,97 @@ def b_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("side") == 1) & F.col("click_ts").isNotNull())
         .select("event_id", "user_id", "ts", "click_ts")
     )
+
+
+# C82 — NEAREST-event join: each click pairs with the temporally
+# closest purchase by the same user, either direction; ties prefer
+# the earlier purchase, then the smaller purchase_id.  The backward
+# as-of join (b_join_asof) is the one-sided case; nearest needs both
+# candidates.  Scale shape: the same union-timeline construction —
+# one per-user sort each direction, never a pairwise click×purchase
+# blowup (the nearest purchase is by definition either the latest
+# ≤-click or the earliest ≥-click purchase, so two windowed
+# candidates suffice).  The DuckDB oracle IS the pairwise form —
+# fine at oracle SF, and exactly the blowup this operator avoids.
+_NEAREST_ORACLE = """
+WITH c AS (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT c.user_id, c.cid AS click_id, c.cts AS click_ts,
+         p.pid AS purchase_id, p.pts AS purchase_ts,
+         ABS(epoch_us(p.pts) - epoch_us(c.cts)) AS diff_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cid
+           ORDER BY ABS(epoch_us(p.pts) - epoch_us(c.cts)), p.pts, p.pid
+         ) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id
+)
+SELECT user_id, click_id, click_ts, purchase_id, purchase_ts, diff_us
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("b_join_nearest", oracle=_NEAREST_ORACLE, tags=("join", "asof", "nearest"))
+def b_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C82: nearest-neighbor time join via two union-timeline passes
+    (backward candidate + forward candidate), then a deterministic
+    pick: smaller |Δt| wins, ties to the earlier purchase.  Sort-key
+    construction: purchases order before clicks at equal ts (kind 0 <
+    1) so a same-microsecond purchase is eligible both directions,
+    and pid rides DESC so last() lands on the SMALLEST pid among
+    equal-ts candidates — matching the oracle's (diff, pts, pid)
+    tie-break exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("cid"),
+        F.lit(None).cast("bigint").alias("pid"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("cid"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    tl = clicks.unionByName(purch)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("pid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("kind").asc(), F.col("pid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = tl.select(
+        "user_id",
+        "kind",
+        "cid",
+        F.col("t").alias("cts"),
+        F.last("pid", ignorenulls=True).over(w_prev).alias("prev_pid"),
+        F.last("pts", ignorenulls=True).over(w_prev).alias("prev_pts"),
+        F.last("pid", ignorenulls=True).over(w_next).alias("next_pid"),
+        F.last("pts", ignorenulls=True).over(w_next).alias("next_pts"),
+    ).where(F.col("kind") == 1)
+    prev_diff = F.unix_micros("cts") - F.unix_micros("prev_pts")
+    next_diff = F.unix_micros("next_pts") - F.unix_micros("cts")
+    take_prev = F.col("prev_pid").isNotNull() & (
+        F.col("next_pid").isNull() | (prev_diff <= next_diff)
+    )
+    return (
+        cand.where(F.col("prev_pid").isNotNull() | F.col("next_pid").isNotNull())
+        .select(
+            "user_id",
+            F.col("cid").alias("click_id"),
+            F.col("cts").alias("click_ts"),
+            F.when(take_prev, F.col("prev_pid")).otherwise(F.col("next_pid")).alias("purchase_id"),
+            F.when(take_prev, F.col("prev_pts")).otherwise(F.col("next_pts")).alias("purchase_ts"),
+            F.when(take_prev, prev_diff).otherwise(next_diff).alias("diff_us"),
+        )
+    )

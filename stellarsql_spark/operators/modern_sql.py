@@ -120,3 +120,59 @@ def b_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY mixed COLLATE UTF8_LCASE
         """
     )
+
+
+# C79 — ordered LISTAGG (SQL:2023, new in Spark 4): deterministic
+# string aggregation via the mandatory WITHIN GROUP order.  The
+# DuckDB twin is string_agg(expr, sep ORDER BY ...).  The modulo
+# filter keeps per-group strings bounded (listagg of an unbounded
+# group is an anti-pattern at any scale — the aggregate state is the
+# concatenation itself).
+_LISTAGG_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       string_agg(c_name, '|' ORDER BY c_name) AS names
+FROM customer
+WHERE c_custkey % 97 = 0
+GROUP BY c_mktsegment
+"""
+
+
+@register("b_agg_listagg", oracle=_LISTAGG_ORACLE, tags=("agg", "listagg", "modern-sql"))
+def b_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79: LISTAGG ... WITHIN GROUP (ORDER BY ...) — the SQL:2023
+    ordered string aggregation, hash-exact because the order clause
+    makes the concatenation deterministic on both engines."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_custkey % 97 = 0
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# C80 — GROUP BY ALL (DuckDB-originated, adopted by Spark 4): the
+# grouping keys are inferred as every non-aggregate select item.
+# IDENTICAL SQL text runs on both engines — the strongest form of
+# cross-engine parity this suite checks.
+_GROUPBY_ALL_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_csum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register("b_sql_groupby_all", oracle=_GROUPBY_ALL_SQL, tags=("sql", "modern-sql", "groupby-all"))
+def b_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C80: GROUP BY ALL — the oracle IS the Spark query text,
+    byte-identical on both engines (key-inference semantics must
+    agree, not just results)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUPBY_ALL_SQL)

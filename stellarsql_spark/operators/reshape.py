@@ -182,3 +182,48 @@ def b_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_sampled") - F.col("mean")) <= 5 * F.col("sigma") + 1
         ).alias("within_5_sigma"),
     )
+
+
+# C78 — deterministic reservoir-equivalent sampling: exactly k rows
+# per stratum, engine-independent and stable under re-runs, corpus
+# appends notwithstanding for the surviving rows' ordering rule.
+# A true reservoir sample is stream-stateful; the batch equivalent at
+# any scale is "k smallest by a uniform hash" per stratum: md5 of the
+# unique key is a uniform 128-bit draw, so ranking by (md5, doc_id)
+# and keeping rank ≤ k is a uniform k-sample — ONE shuffle (the
+# per-stratum window), no RNG stream to disagree across engines, and
+# reproducible row-for-row (unlike sample(seed), whose stream is
+# engine-specific — see b_sample_seeded).  At 100 TB, skew-safe as
+# long as k × |strata| is bounded; the window sort is per-stratum.
+_RESERVOIR_K = 40
+
+_RESERVOIR_ORACLE = f"""
+SELECT source, doc_id, pick
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pick
+  FROM documents
+) t
+WHERE pick <= {_RESERVOIR_K}
+"""
+
+
+@register("b_sample_reservoir", oracle=_RESERVOIR_ORACLE, tags=("sample", "deterministic"))
+def b_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C78: exact-k-per-stratum deterministic sample (reservoir twin).
+    Hash-exact across engines because the 'random' order is
+    md5(doc_id) — both engines agree on every surviving row and its
+    pick rank, which is what makes this form auditable training-data
+    subsampling (the same corpus always yields the same sample)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("pick"))
+        .where(F.col("pick") <= _RESERVOIR_K)
+    )

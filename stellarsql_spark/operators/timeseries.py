@@ -267,3 +267,59 @@ def b_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.coalesce(F.lag("v", k).over(w), F.lit(0.0)) / F.lit(2 ** (k + 1))
         ewma = term if ewma is None else ewma + term
     return daily.select("day", "v", ewma.alias("ewma"))
+
+
+# C81 — incremental materialized-rollup maintenance: the lambda /
+# delta pattern every 100 TB pipeline runs nightly.  The hour-grain
+# rollup is MATERIALIZED to parquet from the "already ingested" slice
+# (event_id % 10 < 8 — a deterministic stand-in for "rows before the
+# high-water mark"), then the late-arriving delta (% 10 >= 8) is
+# aggregated alone and MERGED by re-aggregation.  Because count and
+# cent-sum are algebraically mergeable, the maintained rollup must
+# equal the from-scratch rollup bit-for-bit — which is exactly what
+# the oracle computes.  Cost model at scale: the nightly job touches
+# |delta| + |rollup| rows instead of |history|.
+_INCREMENTAL_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS total_value
+FROM events
+GROUP BY bucket, event_type
+"""
+
+
+@register("b_ts_rollup_incremental", oracle=_INCREMENTAL_ORACLE, tags=("timeseries", "rollup", "incremental"))
+def b_ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C81: delta-maintained hourly rollup == from-scratch rollup.
+    The base slice's rollup round-trips through a real parquet
+    materialization (the production artifact), the delta is
+    aggregated alone, and the union re-aggregates: SUM of partial
+    sums, SUM of partial counts."""
+    import os
+
+    from stellarsql_spark.sources.io import _scratch
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "event_type",
+        "event_id",
+        (F.round(F.col("value") * 100)).cast("bigint").alias("cts"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket", "event_type").agg(
+            F.count("*").alias("n_events"), F.sum("cts").alias("sum_cts")
+        )
+
+    base_dir = os.path.join(_scratch("rollup_incremental"), "base")
+    rollup(e.where(F.col("event_id") % 10 < 8)).write.mode("overwrite").parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+    delta = rollup(e.where(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sum_cts") / 100.0).cast("double").alias("total_value"),
+        )
+    )

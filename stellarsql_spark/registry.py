@@ -43,6 +43,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.graph",
     "stellarsql_spark.operators.skew",
     "stellarsql_spark.operators.merge",
+    "stellarsql_spark.operators.runtime_filters",
     "stellarsql_spark.sources.bucketed",
     "stellarsql_spark.operators.aggregates",
     "stellarsql_spark.operators.joins",

@@ -153,3 +153,20 @@ def test_sql_hints_bind_join_strategies(spark, sf_dir):
     plan = physical_plan(b_sql_hints(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
+    """The registered bloom key's plan must carry the runtime Bloom
+    (`bloom_filter_might_contain` probing the lineitem side), and the
+    conf pinning must be SCOPED: the same logical query built without
+    the pinned confs keeps a bloom-free plan, so other keys' audited
+    plan shapes are untouched."""
+    from stellarsql_spark.operators.runtime_filters import (
+        b_join_bloom_prune,
+        bloom_join,
+    )
+
+    pruned = physical_plan(b_join_bloom_prune(spark, sf_dir))
+    assert "might_contain" in pruned
+    vanilla = physical_plan(bloom_join(spark, sf_dir))
+    assert "might_contain" not in vanilla
