@@ -176,3 +176,112 @@ def b_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree, not just results)."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_GROUPBY_ALL_SQL)
+
+
+# C84 — XML surface: to_xml / from_xml round trip + XPath extraction.
+# DuckDB has no XML support, so the oracle recomputes the SAME values
+# relationally — the round trip must be lossless, which is the
+# property under test.  Map-only (no shuffle beyond the final agg);
+# XML parse/serialize run JVM-side, no UDF.
+_XML_ORACLE = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM orders
+WHERE o_orderkey % 53 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register("b_fn_xml", oracle=_XML_ORACLE, tags=("function", "xml", "semistructured"))
+def b_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C84: serialize rows to XML (`to_xml`), re-parse with
+    `from_xml` AND independently with `xpath_*`, then aggregate the
+    re-extracted values — both extraction paths must agree with the
+    relational ground truth the oracle computes."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 53 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    xml = o.select(
+        F.to_xml(F.struct("o_orderkey", "o_custkey", "o_orderstatus")).alias("x")
+    )
+    schema = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING"
+    parsed = xml.select(
+        F.from_xml("x", schema).alias("r"),
+        F.xpath_long("x", F.lit("/ROW/o_custkey")).alias("xp_cust"),
+        F.xpath_string("x", F.lit("/ROW/o_orderstatus")).alias("xp_status"),
+    )
+    return (
+        parsed.where(
+            (F.col("r.o_custkey") == F.col("xp_cust"))
+            & (F.col("r.o_orderstatus") == F.col("xp_status"))
+        )
+        .groupBy(F.col("r.o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xp_cust").cast("bigint").alias("sum_cust"),
+        )
+    )
+
+
+# C85 — lateral column aliases: a select item referencing a PRIOR
+# alias in the same SELECT (SQL:2023-adjacent; DuckDB pioneered it,
+# Spark adopted in 3.4).  Byte-identical text on both engines.
+_LCA_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(AVG(o_custkey)) AS BIGINT) AS avg_cust,
+       avg_cust * 2 AS double_avg,
+       double_avg + n AS combined
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_sql_lateral_alias", oracle=_LCA_SQL, tags=("sql", "modern-sql", "lateral-alias"))
+def b_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85: lateral column aliases — `double_avg` and `combined` are
+    defined from earlier select items, chained twice.  The oracle IS
+    the query text (alias-resolution semantics must agree, not just
+    the arithmetic)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_LCA_SQL)
+
+
+# C86 — parameterized SQL (Spark 4 named parameter markers): the
+# production path for injecting untrusted literals without string
+# concatenation.  The oracle is the same query with the parameters
+# substituted as literals — binding must be value-equivalent.
+_PARAM_STATUS = "F"
+_PARAM_MIN_PRICE = 150000.0
+
+_PARAM_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+FROM orders
+WHERE o_orderstatus = '{_PARAM_STATUS}' AND o_totalprice >= {_PARAM_MIN_PRICE}
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_sql_parameterized", oracle=_PARAM_ORACLE, tags=("sql", "modern-sql", "parameterized"))
+def b_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C86: named-parameter SQL — ``spark.sql(text, args=...)`` with
+    ``:status`` / ``:min_price`` markers.  Parameters bind as typed
+    literals into the plan (constant-folded, pushdown-eligible — NOT
+    string splicing)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": _PARAM_STATUS, "min_price": _PARAM_MIN_PRICE},
+    )

@@ -518,3 +518,79 @@ def b_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(resize_image_batch, schema=RESIZE_SCHEMA)
+
+
+# --- scene-cut detection over the video container --------------------
+#
+# C89: the shot-boundary primitive every video-curation pipeline runs
+# before captioning/sampling: adjacent-frame luma delta above a
+# threshold = a cut. Detection runs on EXACT integer luma sums
+# (0..1020 for the 2x2 Y plane) so the decision — and therefore the
+# hash — has no float tolerance anywhere.
+
+SCENE_CUT_THRESHOLD = 200
+SCENE_SCHEMA = "doc_id bigint, n_frames int, n_cuts int, first_cut int"
+
+
+def scene_cut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched shot-boundary detection: demux the REAL Y4M
+    stream, walk adjacent frames' integer Y-plane sums, flag
+    |Δ| ≥ threshold. One row out per doc (aggregate shape, unlike
+    sample_frames_batch's flatMap shape)."""
+    for pdf in batches:
+        ids, nf, nc, fc = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, frames = _y4m_decode(_y4m_encode(_fake_frames(payload)))
+            sums = [sum(f[: w * h]) for f in frames]
+            cuts = [
+                k
+                for k in range(1, len(sums))
+                if abs(sums[k] - sums[k - 1]) >= SCENE_CUT_THRESHOLD
+            ]
+            ids.append(doc_id)
+            nf.append(len(frames))
+            nc.append(len(cuts))
+            fc.append(cuts[0] if cuts else -1)
+        yield pd.DataFrame(
+            {"doc_id": ids, "n_frames": nf, "n_cuts": nc, "first_cut": fc}
+        )
+
+
+_SCENE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         8 + (CAST(concat('0x', substring(md5(text), 5, 2)) AS INT) % 56) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, n_frames, t.k,
+         (CAST(concat('0x', substring(h, 2 * ((t.k + 0) % 16) + 1, 2)) AS INT)
+        + CAST(concat('0x', substring(h, 2 * ((t.k + 1) % 16) + 1, 2)) AS INT)
+        + CAST(concat('0x', substring(h, 2 * ((t.k + 2) % 16) + 1, 2)) AS INT)
+        + CAST(concat('0x', substring(h, 2 * ((t.k + 3) % 16) + 1, 2)) AS INT)) AS s
+  FROM m, UNNEST(range(n_frames)) AS t(k)
+),
+deltas AS (
+  SELECT doc_id, n_frames, k,
+         ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY k)) AS d
+  FROM frames
+)
+SELECT doc_id,
+       CAST(MAX(n_frames) AS INT) AS n_frames,
+       CAST(COUNT(*) FILTER (WHERE d >= {SCENE_CUT_THRESHOLD}) AS INT) AS n_cuts,
+       CAST(COALESCE(MIN(k) FILTER (WHERE d >= {SCENE_CUT_THRESHOLD}), -1) AS INT) AS first_cut
+FROM deltas
+GROUP BY doc_id
+"""
+
+
+@register("b_mm_scene_cut", oracle=_SCENE_ORACLE, tags=("pipeline", "multimodal", "codec", "video"))
+def b_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C89: shot-boundary (scene-cut) detection over binary video
+    columns — Y4M demux → adjacent-frame integer luma deltas →
+    per-doc cut census. The oracle recomputes every frame sum and
+    delta arithmetically from the payload bytes; a framing,
+    plane-layout, or off-by-one-frame bug fails the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(scene_cut_batch, schema=SCENE_SCHEMA)

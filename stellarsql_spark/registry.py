@@ -45,6 +45,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.merge",
     "stellarsql_spark.operators.runtime_filters",
     "stellarsql_spark.sources.bucketed",
+    "stellarsql_spark.sources.python_ds",
     "stellarsql_spark.operators.aggregates",
     "stellarsql_spark.operators.joins",
     "stellarsql_spark.operators.windows",

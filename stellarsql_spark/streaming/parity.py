@@ -348,3 +348,45 @@ def b_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("n_events").alias("n_events"))
     )
+
+
+_RUN_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("b_stream_run_session", oracle=_RUN_SESSION_ORACLE, tags=("streaming", "runtime", "session"))
+def b_stream_run_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C88 through the real engine: gap-based session windows
+    (session_window, 30-min gap) driven by the streaming state store
+    — the MERGING session state implementation, not the batch
+    gaps-and-islands rewrite.  Session aggregations reject update
+    mode (sessions merge, so an update row could be superseded);
+    complete mode + one source file → one micro-batch: every session
+    reaches its final merged extent and the sink holds the whole
+    result, so the drain must equal the batch session computation
+    (same oracle as b_stream_session, which covers the batch twin).
+    """
+    from stellarsql_spark.streaming.windows import session_30m
+
+    streamed = session_30m(
+        events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    )
+    return run_to_memory(streamed, output_mode="complete")
