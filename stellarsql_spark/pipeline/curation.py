@@ -219,3 +219,138 @@ def b_llm_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.count("*").over(Window.partitionBy("lang")).alias("n_sampled_in_lang"),
     )
+
+
+# --- the curation funnel (composition key) ---------------------------
+#
+# C92: the end-to-end pre-training filter chain every corpus runs —
+# language ID → quality gate → exact dedup → benchmark
+# decontamination — with the KEPT count after each cumulative stage.
+# Every stage reuses the exact rule its standalone key tests
+# (b_llm_langid, b_llm_quality, b_llm_dedup_exact,
+# b_llm_contamination), so this key certifies the COMPOSITION:
+# stage predicates computed per-doc in one pass (map-side), dedup
+# canonicalization and gram membership as the same bounded joins the
+# standalone keys use, then a single 5-way conditional aggregate.
+
+_FUNNEL_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'on'], w))) AS sw_hits,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique,
+         md5(text) AS h
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, h,
+         CAST(sw_hits AS DOUBLE) / n_tokens >= 0.02 AS is_en,
+         (n_tokens >= 30 AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3) AS is_q
+  FROM base
+),
+canon AS (
+  SELECT h, MIN(doc_id) AS keeper FROM flags WHERE is_en AND is_q GROUP BY h
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(words[i:i+{_NGRAM - 1}], ' ')) AS g
+  FROM w, unnest(range(1, len(words) - {_NGRAM - 2})) t(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (g)),
+scored AS (
+  SELECT f.doc_id, f.is_en, f.is_q,
+         (c.keeper = f.doc_id) AS is_canon,
+         (f.doc_id % {_BENCH_MOD} != 0 AND ct.doc_id IS NULL) AS is_clean
+  FROM flags f
+  LEFT JOIN canon c ON f.h = c.h
+  LEFT JOIN contam ct ON f.doc_id = ct.doc_id
+),
+agg AS (
+  SELECT COUNT(*) AS s0,
+         COUNT(*) FILTER (WHERE is_en) AS s1,
+         COUNT(*) FILTER (WHERE is_en AND is_q) AS s2,
+         COUNT(*) FILTER (WHERE is_en AND is_q AND is_canon) AS s3,
+         COUNT(*) FILTER (WHERE is_en AND is_q AND is_canon AND is_clean) AS s4
+  FROM scored
+)
+SELECT 0 AS stage, 'total' AS stage_name, s0 AS n_kept FROM agg
+UNION ALL SELECT 1, 'langid', s1 FROM agg
+UNION ALL SELECT 2, 'quality', s2 FROM agg
+UNION ALL SELECT 3, 'exact_dedup', s3 FROM agg
+UNION ALL SELECT 4, 'decontaminated', s4 FROM agg
+"""
+
+
+@register("b_llm_curation_funnel", oracle=_FUNNEL_ORACLE, tags=("pipeline", "curation", "funnel", "composition"))
+def b_llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C92: cumulative kept-count after each curation stage (see the
+    module comment).  The decontamination stage drops benchmark
+    stand-in docs themselves AND anything sharing a 4-gram with them
+    — both are excluded from a training corpus."""
+    from stellarsql_spark.pipeline.textstats import _STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    n_tokens = F.size(words)
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_tokens
+    flags = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (hits.cast("double") / n_tokens >= 0.02).alias("is_en"),
+        ((n_tokens >= 30) & (ttr >= 0.3)).alias("is_q"),
+    )
+    canon = (
+        flags.where(F.col("is_en") & F.col("is_q"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    grams = (
+        d.withColumn("words", words)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(words) - {_NGRAM - 1}),"
+                        f" i -> md5(array_join(slice(words, i, {_NGRAM}), ' ')))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench = grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    contam = (
+        grams.join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    scored = (
+        flags.join(canon, "h", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "is_en",
+            "is_q",
+            (F.col("keeper") == F.col("doc_id")).alias("is_canon"),
+            (
+                (F.col("doc_id") % _BENCH_MOD != 0)
+                & F.col("is_contam").isNull()
+            ).alias("is_clean"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    agg = scored.agg(
+        F.count("*").alias("s0"),
+        cnt(F.col("is_en")).alias("s1"),
+        cnt(F.col("is_en") & F.col("is_q")).alias("s2"),
+        cnt(F.col("is_en") & F.col("is_q") & F.col("is_canon")).alias("s3"),
+        cnt(
+            F.col("is_en") & F.col("is_q") & F.col("is_canon") & F.col("is_clean")
+        ).alias("s4"),
+    )
+    stages = "stack(5, 0, 'total', s0, 1, 'langid', s1, 2, 'quality', s2, 3, 'exact_dedup', s3, 4, 'decontaminated', s4) AS (stage, stage_name, n_kept)"
+    return agg.selectExpr(stages)

@@ -390,3 +390,150 @@ def b_stream_run_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     )
     return run_to_memory(streamed, output_mode="complete")
+
+
+_STATE_READER_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+@register("b_stream_state_reader", oracle=_STATE_READER_ORACLE, tags=("streaming", "runtime", "state-source"))
+def b_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C90: the state data source (Spark 4 `statestore` format) —
+    offline introspection of a streaming checkpoint's state store as
+    a batch DataFrame, the operational tool for debugging / auditing
+    / migrating stateful pipelines without replaying them.
+
+    The builder runs a checkpointed per-user count aggregation to
+    completion, then reads the aggregation STATE back through
+    ``spark.read.format("statestore")`` — key struct, value struct,
+    and shard assignment — and the decoded state must equal the batch
+    GROUP BY (every key in exactly one store shard).  Idempotent per
+    corpus via the same fingerprint discipline as the late-drop split
+    dir."""
+    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.sources.io import SCRATCH_ROOT
+
+    src_stat = os.stat(table_path(sf_dir, "events"))
+    # Session id is part of the fingerprint: the statestore source
+    # resolves store providers through the session's
+    # StateStoreCoordinator RPC endpoint, which exists only once a
+    # streaming query has run in THIS session — a checkpoint inherited
+    # from a previous session must be rebuilt, not just re-read.
+    fingerprint = (
+        f"{spark.sparkContext.applicationId}:"
+        f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = os.path.join(SCRATCH_ROOT, f"state_reader{tag}")
+    ckpt = os.path.join(base, "ckpt")
+    done = os.path.join(base, "_DONE")
+    fresh = True
+    if os.path.exists(done):
+        with open(done) as f:
+            fresh = f.read() != fingerprint
+    if fresh:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        counted = events_stream(spark, sf_dir).groupBy("user_id").count()
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"state_reader_{abs(hash(fingerprint)) % 10**8}")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(done, "w") as f:
+            f.write(fingerprint)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+    )
+
+
+# Stream–stream LEFT OUTER join: the engine rules, established
+# empirically on this Spark (probe session, round 5):
+# - the query watermark is the MIN over both sides' (max event time −
+#   delay) — a side whose traffic ends early holds the whole join's
+#   watermark back;
+# - an unmatched left row emits its null-padded result once NO future
+#   right row could match it: cts + <upper bound> < watermark
+#   (strict), evaluated in the no-new-data flush batch
+#   processAllAvailable runs after the watermark advances;
+# - matched rows emit as they match, exactly like the inner join.
+_OUTER_JOIN_ORACLE = """
+WITH c AS (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+         - INTERVAL 30 MINUTE AS w
+),
+matched AS (
+  SELECT c.user_id, c.cid, c.cts, p.pid, p.pts
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+)
+SELECT user_id, cid AS click_id, cts AS click_ts,
+       pid AS purchase_id, pts AS purchase_ts
+FROM matched
+UNION ALL
+SELECT c.user_id, c.cid, c.cts,
+       CAST(NULL AS BIGINT) AS purchase_id,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts
+FROM c, wm
+WHERE c.cid NOT IN (SELECT cid FROM matched)
+  AND c.cts + INTERVAL 30 MINUTE < wm.w
+"""
+
+
+@register("b_stream_outer_join", oracle=_OUTER_JOIN_ORACLE, tags=("streaming", "runtime", "join", "outer"))
+def b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C91 through the real engine: watermarked stream–stream LEFT
+    OUTER interval join — clicks pair with a following-30-minute
+    purchase, and clicks provably unmatchable under the final
+    watermark emit null-padded rows from join state eviction.  The
+    oracle reproduces both emission rules in SQL (see the rule
+    comment above): matches = the batch interval join; null rows =
+    unmatched clicks whose match window closed strictly below the
+    min-of-sides watermark.  Clicks inside the watermark margin stay
+    buffered — exactly the bounded-state behavior that makes outer
+    stream joins safe on unbounded streams."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("cid"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "30 minutes")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("pid"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "30 minutes")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    return sink.select(
+        F.col("cu").alias("user_id"),
+        F.col("cid").alias("click_id"),
+        F.col("cts").alias("click_ts"),
+        F.col("pid").alias("purchase_id"),
+        F.col("pts").alias("purchase_ts"),
+    )
