@@ -547,3 +547,57 @@ def b_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("whole_within_5pct"),
         )
     )
+
+
+# C95 — approximate-quantile error contract: percentile_approx's
+# published guarantee (rank error <= n/accuracy) turned into a tested
+# property, the same discipline as the HLL key (b_agg_hll_merge).
+# The sketch values themselves are engine-specific (GK summaries
+# don't transfer), so the HASHED result is the per-group verdict:
+# each approx percentile must land between the EXACT percentiles at
+# rank p +/- 2/accuracy.  At 100 TB the approx form is the only
+# affordable one — a single pass with bounded sketch state per group
+# versus the exact form's full sort — which is why its error bound
+# deserves a standing test.
+_APPROXQ_ACCURACY = 100
+_APPROXQ_EPS = 2.0 / _APPROXQ_ACCURACY
+
+_APPROXQ_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       TRUE AS p50_in_band,
+       TRUE AS p90_in_band
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_agg_approx_quantile", oracle=_APPROXQ_ORACLE, tags=("agg", "approx", "quantile", "property"))
+def b_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C95: per-group percentile_approx(0.5/0.9, accuracy=100) checked
+    against exact-percentile bands at rank ±2/accuracy.  The oracle
+    asserts the verdicts (all TRUE) with the group sizes — an
+    accuracy regression or a broken sketch merge fails the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    approx = F.percentile_approx("o_totalprice", [0.5, 0.9], _APPROXQ_ACCURACY)
+    lo50 = F.expr(f"percentile(o_totalprice, {max(0.0, 0.5 - _APPROXQ_EPS)})")
+    hi50 = F.expr(f"percentile(o_totalprice, {min(1.0, 0.5 + _APPROXQ_EPS)})")
+    lo90 = F.expr(f"percentile(o_totalprice, {max(0.0, 0.9 - _APPROXQ_EPS)})")
+    hi90 = F.expr(f"percentile(o_totalprice, {min(1.0, 0.9 + _APPROXQ_EPS)})")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            approx.alias("ap"),
+            lo50.alias("lo50"),
+            hi50.alias("hi50"),
+            lo90.alias("lo90"),
+            hi90.alias("hi90"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias("p50_in_band"),
+            ((F.col("ap")[1] >= F.col("lo90")) & (F.col("ap")[1] <= F.col("hi90"))).alias("p90_in_band"),
+        )
+    )

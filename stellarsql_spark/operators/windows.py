@@ -178,3 +178,33 @@ def b_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(by_nation).alias("quartile"),
         F.ntile(10).over(global_w).alias("decile"),
     )
+
+
+# C94 — time-interval RANGE frame: "activity in the preceding hour"
+# per event, the time-based sliding aggregate that row-count frames
+# cannot express (event spacing is irregular).  RANGE frames
+# aggregate ORDER-BY peers together, so ties on ts are deterministic
+# by construction; the decimal cast keeps the money sum exact.
+_TIME_RANGE_ORACLE = """
+SELECT event_id,
+       user_id,
+       COUNT(*) OVER w AS n_prev_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_prev_hour
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("b_win_time_range", oracle=_TIME_RANGE_ORACLE, tags=("window", "range", "timeseries"))
+def b_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C94: RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW —
+    identical WINDOW clause text on both engines (Spark SQL and
+    DuckDB both accept the interval-bounded RANGE frame over a
+    timestamp order key)."""
+    from stellarsql_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_TIME_RANGE_ORACLE)

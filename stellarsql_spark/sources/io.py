@@ -360,3 +360,62 @@ def b_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# C93 — DYNAMIC partition pruning: the runtime twin of
+# b_layout_partition_prune. There the pruning literal is in the query
+# text; here it is only discoverable by executing the DIM side first
+# — Catalyst plants a DynamicPruning subquery on the fact scan's
+# partition column, the broadcast of the filtered dim doubles as the
+# pruning value set, and the fact scan lists only surviving
+# directories at runtime. At 100 TB this is what keeps star-schema
+# queries from scanning every date partition when the filter lives on
+# the dimension table.
+_DPP_ORACLE = """
+WITH dim(prio, tier) AS (
+  VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+         ('3-MEDIUM', 'std'), ('4-NOT SPECIFIED', 'std'), ('5-LOW', 'lazy')
+)
+SELECT tier,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN dim ON o_orderpriority = dim.prio
+WHERE dim.tier = 'rush'
+GROUP BY tier
+"""
+
+
+@register("b_layout_dpp", oracle=_DPP_ORACLE, tags=("io", "layout", "pruning", "dpp"))
+def b_layout_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C93: dynamic partition pruning — fact partitioned by
+    o_orderpriority, dim filter on a DIFFERENT column (tier), join on
+    the partition column. The pruning set exists only at runtime
+    (plan-asserted: `dynamicpruning` in the fact scan's
+    PartitionFilters, tests/test_plans.py). The oracle computes the
+    same join on the unpartitioned source."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = _scratch("dpp_layout")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "rush"),
+            ("2-HIGH", "rush"),
+            ("3-MEDIUM", "std"),
+            ("4-NOT SPECIFIED", "std"),
+            ("5-LOW", "lazy"),
+        ],
+        schema="prio string, tier string",
+    ).where(F.col("tier") == "rush")
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

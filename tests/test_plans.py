@@ -170,3 +170,13 @@ def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
     assert "might_contain" in pruned
     vanilla = physical_plan(bloom_join(spark, sf_dir))
     assert "might_contain" not in vanilla
+
+
+def test_dpp_runtime_pruning_in_plan(spark, sf_dir):
+    """The DPP key's fact scan must carry a dynamic-pruning subquery
+    on the partition column — pruning values discovered from the dim
+    side at runtime, not present in the query text."""
+    from stellarsql_spark.sources.io import b_layout_dpp
+
+    plan = physical_plan(b_layout_dpp(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
