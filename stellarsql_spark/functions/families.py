@@ -468,3 +468,180 @@ def b_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS name_masked,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+         AS name_custom,
+       regexp_replace(c_name, '[0-9]', '9', 'g') AS digits_only,
+       regexp_replace(regexp_replace(c_mktsegment,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g') AS seg_masked
+FROM customer
+WHERE c_custkey % 17 = 0
+"""
+
+
+@register("b_fn_mask", oracle=_MASK_ORACLE, tags=("function", "mask", "privacy"))
+def b_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C96: data-masking family (`mask`, Spark 3.4+ / SQL:2023-era
+    privacy surface). Default mask (upper→X, lower→x, digit→n, other
+    kept), a custom character set, digit-only masking (upper/lower
+    passed NULL = keep), and masking a pure-alpha column. JVM-side
+    per-row work inside codegen — the PII-redaction twin of
+    b_llm_scrub's regexp pipeline, and the oracle reproduces each
+    variant with explicit regexp_replace chains (the corpus is ASCII,
+    so the character classes agree across engines)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 17 == 0)
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_name, 'U', 'l', '#')").alias("name_custom"),
+        F.expr("mask(c_name, NULL, NULL, '9')").alias("digits_only"),
+        F.expr("mask(c_mktsegment)").alias("seg_masked"),
+    )
+
+
+_TSARITH_ORACLE = """
+SELECT event_id,
+       date_diff('hour',  TIMESTAMP '2024-01-01 00:00:00', ts) AS h_elapsed,
+       date_diff('day',   TIMESTAMP '2024-01-01 00:00:00', ts) AS d_elapsed,
+       ts + INTERVAL 90 MINUTE  AS plus_90m,
+       ts - INTERVAL 36 HOUR    AS minus_36h,
+       ts + INTERVAL 1500 MILLISECOND AS plus_1500ms
+FROM events
+WHERE event_id % 83 = 0
+"""
+
+
+@register("b_fn_tsarith", oracle=_TSARITH_ORACLE, tags=("function", "datetime", "interval"))
+def b_fn_tsarith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C97: SQL:2016 timestamp arithmetic — `timestampdiff` full
+    units elapsed, `timestampadd` forward/backward, and sub-second
+    day-time interval addition (`make_dt_interval`, exact at the
+    corpus's µs resolution). The diff origin (2024-01-01 00:00, ≤
+    min(ts)) sits ON the hour/day boundary, where Spark's
+    elapsed-full-units semantics and DuckDB's boundary-crossing
+    `date_diff` provably coincide: crossings from an aligned origin =
+    floor(elapsed/unit). All six expressions are JVM codegen — no
+    shuffle, scan + project only."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 83 == 0)
+    return e.select(
+        "event_id",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("h_elapsed"),
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("d_elapsed"),
+        F.expr("timestampadd(MINUTE, 90, ts)").alias("plus_90m"),
+        F.expr("timestampadd(HOUR, -36, ts)").alias("minus_36h"),
+        (F.col("ts") + F.expr("make_dt_interval(0, 0, 0, 1.5)")).alias("plus_1500ms"),
+    )
+
+
+_STRING3_ORACLE = """
+SELECT p_partkey,
+       split_part(p_name, ' ', 2) AS name_second,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS vowel_runs,
+       CAST(CASE WHEN regexp_extract(p_name, 'o[a-z]') = '' THEN 0
+            ELSE instr(p_name, regexp_extract(p_name, 'o[a-z]')) END AS INT)
+         AS first_ox,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                       w -> upper(w[1]) || substr(w, 2)), ' ') AS name_title,
+       substr(p_type, 1, 2) || 'XX' || substr(p_type, 5) AS type_patched
+FROM part
+WHERE p_partkey % 13 = 0
+"""
+
+
+@register("b_fn_string3", oracle=_STRING3_ORACLE, tags=("function", "string"))
+def b_fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C104: third string family — the SQL:2023/warehouse-parity
+    functions beyond B34/C22: split_part (field extraction),
+    regexp_count, regexp_instr (match position), initcap (title
+    case), overlay (in-place splice). The oracle rebuilds each from
+    DuckDB primitives (regexp_instr via instr-of-first-match — exact
+    because regexp_extract returns the LEFTMOST match, so that
+    substring's first occurrence IS the match position for
+    self-contained patterns; initcap via per-word upper+substr —
+    exact on the single-space-separated corpus)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    return p.select(
+        "p_partkey",
+        F.expr("split_part(p_name, ' ', 2)").alias("name_second"),
+        F.expr("regexp_count(p_name, '[aeiou]+')").alias("vowel_runs"),
+        F.expr("regexp_instr(p_name, 'o[a-z]')").alias("first_ox"),
+        F.initcap("p_name").alias("name_title"),
+        F.expr("overlay(p_type, 'XX', 3, 2)").alias("type_patched"),
+    )
+
+
+# Map built per-row from order amounts (integer cents — exact), then
+# pushed through every map higher-order function.  Keys are chosen so
+# plain string sort of 'key=value' entries equals key order: base <
+# disc < tax (and BASE < DISC < TAX).
+_MAP_HOF_ENTRY = (
+    "map('base', c, 'disc', c div 50, 'tax', (c * 7) div 100)"
+)
+
+_MAP_HOF_ORACLE = """
+WITH m AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 29 = 0
+),
+v AS (
+  SELECT o_orderkey, c, c // 50 AS disc, (c * 7) // 100 AS tax FROM m
+)
+SELECT o_orderkey,
+       'base=' || c || ',disc=' || disc || ',tax=' || tax AS m_str,
+       'base=' || (2*c) || ',disc=' || (2*disc) || ',tax=' || (2*tax) AS doubled,
+       'BASE=' || c || ',DISC=' || disc || ',TAX=' || tax AS upper_keys,
+       concat_ws(',',
+         CASE WHEN c    > 100000 THEN 'base=' || c    END,
+         CASE WHEN disc > 100000 THEN 'disc=' || disc END,
+         CASE WHEN tax  > 100000 THEN 'tax='  || tax  END) AS big_only,
+       'base=' || c || ',disc=' || disc || ',tax=' || tax AS rediff
+FROM v
+"""
+
+
+@register("b_fn_map_hof", oracle=_MAP_HOF_ORACLE, tags=("function", "map", "hof"))
+def b_fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C105: map higher-order functions — transform_values,
+    transform_keys, map_filter, map_zip_with (the map twin of C41's
+    array HOF family). Each result map is rendered as a sorted
+    'key=value' entry string (key prefixes fix the sort order), which
+    the oracle reconstructs arithmetically from the same integer-cents
+    inputs — DuckDB needs no map type at all. map_zip_with recombines
+    the doubled map with the original (b - a == v), proving the zip
+    aligns keys, not positions. All JVM codegen; per-row constant-size
+    maps, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 29 == 0)
+    base = o.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
+    ).selectExpr("o_orderkey", f"{_MAP_HOF_ENTRY} AS m")
+
+    def entry_str(expr: str) -> F.Column:
+        return F.expr(
+            "array_join(sort_array(transform(map_entries("
+            + expr
+            + "), e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')"
+        )
+
+    return base.select(
+        "o_orderkey",
+        entry_str("m").alias("m_str"),
+        entry_str("transform_values(m, (k, v) -> v * 2)").alias("doubled"),
+        entry_str("transform_keys(m, (k, v) -> upper(k))").alias("upper_keys"),
+        entry_str("map_filter(m, (k, v) -> v > 100000)").alias("big_only"),
+        entry_str(
+            "map_zip_with(m, transform_values(m, (k, v) -> v * 3), (k, a, b) -> b - 2 * a)"
+        ).alias("rediff"),
+    )

@@ -601,3 +601,87 @@ def b_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("ap")[1] >= F.col("lo90")) & (F.col("ap")[1] <= F.col("hi90"))).alias("p90_in_band"),
         )
     )
+
+
+_GROUPING_ID_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("b_agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("aggregate", "rollup", "grouping"))
+def b_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C99: GROUPING()/GROUPING_ID() provenance labels on a ROLLUP —
+    the standard way a consumer distinguishes a real NULL key from a
+    subtotal row. Both engines compute the same bit vector (first
+    grouping column = most-significant bit). Plan shape is the
+    b_agg_rollup expansion (grouping-set duplication AFTER map-side
+    partials); the labels are virtual columns on the expanded rows,
+    costing nothing extra at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            F.col("gid").cast("int").alias("gid"),
+            "n_orders",
+        )
+    )
+
+
+_BITMAP_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("b_agg_bitmap", oracle=_BITMAP_ORACLE, tags=("aggregate", "bitmap", "distinct"))
+def b_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C106: bitmap-accelerated exact distinct count (Spark 3.5
+    bitmap_construct_agg / bitmap_count) — the warehouse pattern for
+    repeated COUNT(DISTINCT) over dense integer keys. Keys are bucketed
+    (bitmap_bucket_number), each bucket aggregates to a fixed 4 KB
+    bitmap (bitmap_bit_position sets one bit per key), and the final
+    rollup sums per-bucket popcounts. Unlike HLL (b_agg_approx_cd)
+    the answer is EXACT, and unlike the expand-based COUNT(DISTINCT)
+    plan the shuffle carries constant-size bitmaps instead of one row
+    per distinct value — at 100 TB the pre-aggregated bitmaps also
+    materialize as a reusable accelerator table. The oracle is plain
+    COUNT(DISTINCT): equality proves the whole bucket/bit round
+    trip."""
+    o = load_table(spark, sf_dir, "orders")
+    buckets = (
+        o.groupBy(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return (
+        buckets.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_cust"),
+            F.sum("n_rows").alias("n_orders"),
+        )
+    )

@@ -419,3 +419,101 @@ def b_graph_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("comp_id"))
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+# Hop cap: part of the operator's declared contract (both engines walk
+# exactly MAX_HOPS rounds), so results agree even if some node's true
+# distance exceeds the cap.
+_BFS_MAX_HOPS = 6
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m FROM events
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+  WHERE a.user_id < c.user_id
+),
+bidir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+nodes AS (SELECT DISTINCT user_id AS n FROM events),
+walk AS (
+  SELECT n AS node, 0 AS d FROM nodes WHERE n % 100 = 0
+  UNION
+  SELECT bd.v AS node, w.d + 1 AS d
+  FROM walk w JOIN bidir bd ON bd.u = w.node
+  WHERE w.d < {_BFS_MAX_HOPS}
+),
+best AS (SELECT node, MIN(d) AS hops FROM walk GROUP BY node),
+lab AS (
+  SELECT nodes.n, COALESCE(best.hops, -1) AS hops
+  FROM nodes LEFT JOIN best ON best.node = nodes.n
+)
+SELECT hops, COUNT(*) AS n_users FROM lab GROUP BY hops
+"""
+
+
+@register("b_graph_bfs", oracle=_BFS_ORACLE, tags=("graph", "bfs", "iterative"))
+def b_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C102: multi-source BFS — shortest hop distance from a seed set
+    (every user with user_id % 100 == 0) over the minute-level
+    co-occurrence graph, reported as a reach histogram (hops →
+    users; -1 = unreached within the cap). The influence-radius /
+    blast-radius primitive next to the components keys.
+
+    Frontier expansion: round d joins ONLY the frontier (nodes first
+    reached at d-1) against the adjacency list, anti-joins already-
+    visited nodes, and stamps survivors with d — each round shuffles
+    O(frontier × avg-degree) rows, never the whole distance table,
+    and stops early when a frontier comes back empty. The
+    {_BFS_MAX_HOPS}-hop cap is part of the contract (the oracle's
+    recursive CTE walks the same bound), so both engines agree even
+    on graphs deeper than the cap. Per-round localCheckpoint +
+    unpersist of the superseded frontier, as in the components
+    twins."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "m"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    bidir = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    dist = (
+        nodes.where(F.col("node") % 100 == 0)
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            bidir.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).alias("hops"))
+            .localCheckpoint()
+        )
+        if frontier is not dist:
+            frontier.unpersist()  # consumed by nxt's checkpoint
+        frontier = nxt
+        if nxt.limit(1).count() == 0:
+            break
+        prev = dist
+        dist = prev.unionByName(nxt).localCheckpoint()
+        prev.unpersist()  # the union copied its rows; blocks are dead
+    frontier.unpersist()
+    bidir.unpersist()
+    labeled = nodes.join(dist, "node", "left").select(
+        F.coalesce("hops", F.lit(-1)).alias("hops")
+    )
+    return labeled.groupBy("hops").agg(F.count("*").alias("n_users"))

@@ -285,3 +285,41 @@ def b_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": _PARAM_STATUS, "min_price": _PARAM_MIN_PRICE},
     )
+
+
+_QUALIFY_ORACLE = """
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+FROM orders
+QUALIFY rk <= 3
+"""
+
+
+@register("b_sql_qualify", oracle=_QUALIFY_ORACLE, tags=("sql", "modern-sql", "qualify"))
+def b_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C98: QUALIFY-equivalent window filtering. Spark has no QUALIFY
+    clause (DuckDB/Snowflake/BigQuery do), so the engine provides the
+    canonical lowering — QUALIFY <pred over window fns> ==
+    project(window) → filter — which is exactly what those engines'
+    planners do internally. The oracle runs DuckDB's native QUALIFY
+    so the key certifies the lowering against a real implementation,
+    deterministic via the (price DESC, orderkey) total order. The
+    filter-on-rank rides Spark's WindowGroupLimit pushdown (top-k per
+    group without materializing full ranks), the same plan shape as
+    b_topk_per_group."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )

@@ -99,3 +99,47 @@ def b_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersectAll(s)
+
+
+_UNION_BYNAME_ORACLE = """
+SELECT * FROM (
+  SELECT c_custkey AS id, 'customer' AS src, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 37 = 0
+  UNION ALL BY NAME
+  SELECT s_suppkey AS id, 'supplier' AS src, CAST(s_nationkey AS INT) AS nat
+  FROM supplier WHERE s_suppkey % 11 = 0
+)
+"""
+
+
+@register("b_set_union_byname", oracle=_UNION_BYNAME_ORACLE, tags=("setop", "union", "byname"))
+def b_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C107: schema-evolution union — UNION ALL BY NAME over relations
+    with different column sets (Spark `unionByName(
+    allowMissingColumns=True)`, DuckDB's native `UNION ALL BY NAME`).
+    Columns align by NAME, missing ones null-fill, and the output
+    schema is the first input's columns followed by the second's
+    extras — the operation every multi-generation data lake needs
+    when old and new file schemas meet in one query. Pure map-side
+    projection + concat: no shuffle at any scale."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 37 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("customer").alias("src"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 11 == 0)
+        .select(
+            F.col("s_suppkey").alias("id"),
+            F.lit("supplier").alias("src"),
+            F.col("s_nationkey").cast("int").alias("nat"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True)

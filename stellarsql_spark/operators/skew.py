@@ -54,3 +54,106 @@ def b_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("gross"),
         )
     )
+
+
+# One synthetic hot key carrying ~90% of rows (the remaining 10%
+# spread over 97 cold keys) — the distribution AQE's skew detector is
+# built for: hot-partition size >> max(threshold, factor × median).
+_SKEW_KEY = (
+    "CASE WHEN event_id % 10 < 9 THEN 'hot' "
+    "ELSE 'cold_' || CAST(event_id % 97 AS VARCHAR) END"
+)
+
+# The 98 keys the synthetic CASE can produce.  A SUPERSET of the keys
+# actually present at any SF is equivalent to DISTINCT-from-fact under
+# an inner join (unmatched dim rows drop out) — and a literal dim whose
+# shuffle feeds the join DIRECTLY is required for the skew rule to
+# fire: OptimizeSkewedJoin pattern-matches SMJ over two bare shuffle
+# stages, so a dim built by distinct() (HashAggregate above the
+# exchange) is invisible to it.  Measured, not guessed.
+_SKEW_DIM_KEYS = ["hot"] + [f"cold_{i}" for i in range(97)]
+
+_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # sf-corpus partitions are KBs; drop the production thresholds so
+    # the same skew geometry triggers the same split decision here
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    # skew splitting only applies to shuffle joins — pin away the
+    # broadcast the tiny dim would otherwise get
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+_SKEW_AQE_ORACLE = f"""
+WITH fact AS (
+  SELECT {_SKEW_KEY} AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+dim AS (SELECT DISTINCT k FROM fact)
+SELECT LENGTH(f.k) AS klen,
+       COUNT(*) AS n_events,
+       CAST(SUM(f.v_cents) AS DOUBLE) / 100.0 AS sum_value
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY LENGTH(f.k)
+"""
+
+
+@register("b_join_skew_aqe", oracle=_SKEW_AQE_ORACLE, tags=("join", "skew", "aqe"))
+def b_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C101: AQE skew-join splitting — the AUTOMATIC layer above
+    b_join_salted's manual salt. The fact side is keyed so one key
+    holds ~90% of rows; a shuffle join on that key puts ~90% of the
+    data in one task, the exact pathology that serializes a
+    1000-executor cluster behind one straggler. With skew splitting
+    on, AQE carves the oversized partition into advisory-sized
+    slices at runtime — splitting at MAP-output granularity — and
+    replicates the matching build rows per slice
+    (`SortMergeJoin(skew=true)`, asserted post-execution in tests):
+    same results, straggler gone, zero query rewrite.
+
+    Three construction requirements, each found by measurement:
+    - the dim must reach the join as a bare shuffle stage (see
+      _SKEW_DIM_KEYS note) — an aggregate above the dim exchange
+      defeats the rule's pattern match;
+    - the fact side must arrive from MANY map tasks: a skewed reduce
+      partition is split at mapper boundaries, and the sf corpus is
+      one parquet row group = one mapper, unsplittable. The
+      repartition(12) emulates the thousands of natural mappers a
+      100 TB fact scan has (on the cluster it is not needed);
+    - the final aggregate groups by a DERIVED key (klen), not the
+      join key: a same-key aggregate's required distribution pins the
+      join output partitioning and Spark (correctly) refuses the
+      split even under forceOptimizeSkewedJoin.
+
+    The skew confs live on a CLONED SparkSession (`newSession`:
+    shared SparkContext + cached data, independent SQLConf), because
+    AQE re-reads conf at stage-re-optimization time — a set/restore
+    around plan build would be lost before execution. The clone also
+    keeps the lowered thresholds from leaking into other keys' audited
+    plans. Oracle = the same join unsplit: splitting is a physical
+    repartitioning, provably result-identical."""
+    s2 = spark.newSession()
+    for k, v in _SKEW_CONFS.items():
+        s2.conf.set(k, v)
+    fact = (
+        load_table(s2, sf_dir, "events")
+        .repartition(12)
+        .selectExpr(
+            f"{_SKEW_KEY.replace('VARCHAR', 'STRING')} AS k",
+            "CAST(ROUND(value * 100) AS BIGINT) AS v_cents",
+        )
+    )
+    dim = s2.createDataFrame([(k,) for k in _SKEW_DIM_KEYS], "dk string")
+    return (
+        fact.join(dim, fact.k == dim.dk)
+        .groupBy(F.length("k").cast("int").alias("klen"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("v_cents") / 100.0).cast("double").alias("sum_value"),
+        )
+    )

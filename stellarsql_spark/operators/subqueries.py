@@ -118,3 +118,34 @@ def b_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     data span (~80 months), far under Spark's recursion-level limit."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_ORACLE)
+
+
+# Identical ANSI text runs on BOTH engines — the oracle IS the query
+# (the b_sql_groupby_all pattern).
+_EXISTS_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+      )
+"""
+
+
+@register("b_sql_exists", oracle=_EXISTS_ORACLE, tags=("sql", "subquery", "exists"))
+def b_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C108: correlated EXISTS / NOT EXISTS predicates — the remaining
+    subquery quantifiers next to IN (b_sql_in_subquery), scalar, and
+    correlated-scalar. Byte-identical SQL text on both engines.
+    Catalyst rewrites EXISTS to a LEFT SEMI join and NOT EXISTS to a
+    LEFT ANTI join on the correlation key (plan-asserted in tests) —
+    both hash-shuffle joins carrying only the correlation columns, so
+    the pattern scales like any equi-join: no per-row re-execution of
+    the subquery, which is what a naive nested-loop interpretation
+    would do at 100 TB."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_EXISTS_ORACLE)

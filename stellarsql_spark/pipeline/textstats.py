@@ -467,3 +467,67 @@ def b_llm_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("is_rare").cast("double") / n).alias("rare_frac"),
         (F.sum("in_top").cast("double") / n).alias("top1k_frac"),
     )
+
+
+_BIGRAM_NOVELTY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS b
+  FROM t
+),
+df AS (SELECT b, COUNT(*) AS n_docs FROM bg GROUP BY b)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+FROM bg JOIN df ON bg.b = df.b
+GROUP BY bg.doc_id
+"""
+
+
+@register("b_llm_bigram_novelty", oracle=_BIGRAM_NOVELTY_ORACLE, tags=("pipeline", "text", "dedup"))
+def b_llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C103: per-document bigram novelty — of a doc's distinct word
+    bigrams, how many appear in NO other document (corpus document
+    frequency 1). The integer-exact unigram-LM companion at the
+    phrase level: a low unique fraction marks boilerplate/template
+    text (every phrase seen elsewhere), a high one marks novel
+    content — one of the standard cheap curation signals between
+    exact dedup (identical text) and MinHash (near-identical text).
+
+    Scale shape: bigrams explode map-side from the token array
+    (distinct WITHIN doc first, shrinking the shuffle), the document
+    frequency is one bigram-keyed aggregation, and the per-doc rollup
+    joins the exploded bigrams back to their df — every shuffle is
+    keyed by bigram or doc_id, nothing quadratic, and a df cap (as in
+    the Jaccard inverted index) would bound hot-bigram fan-in at
+    100 TB. Counts are integers; the oracle recomputes them verbatim
+    in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                        "transform(sequence(0, size(split(text, ' ')) - 2), "
+                        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
+                        "ELSE array() END"
+                    )
+                )
+            ).alias("b"),
+        )
+    )
+    df_counts = bg.groupBy("b").agg(F.count("*").alias("n_docs"))
+    return (
+        bg.join(df_counts, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )

@@ -419,3 +419,65 @@ def b_layout_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+_PQ_BLOOM_KEYS = (7, 107, 207, 307, 407)
+
+_PQ_BLOOM_ORACLE = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS spend
+FROM orders
+WHERE o_custkey IN {_PQ_BLOOM_KEYS}
+GROUP BY o_custkey
+"""
+
+
+@register("b_layout_parquet_bloom", oracle=_PQ_BLOOM_ORACLE, tags=("source", "layout", "bloom"))
+def b_layout_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C100: parquet bloom-filter layout — the point-lookup companion
+    to min/max row-group stats. Sorted layout + min/max
+    (b_layout_sorted_scan) prunes RANGE predicates, but a point IN
+    probe on an UNSORTED high-cardinality column hits every row group
+    (each group's [min,max] spans the key space). Writing a bloom
+    filter on that column (`parquet.bloom.filter.enabled#o_custkey`)
+    lets parquet-mr's row-group filter drop groups whose bloom
+    provably excludes all probe keys — at 100 TB a needle query reads
+    a handful of row groups instead of the table, with no re-sort of
+    the data. The write pins a small row-group size so the sf corpus
+    actually spans many groups; the read path keeps filter pushdown
+    on, and the result must hash-match the same probe against the
+    original table (bloom filtering only ever skips groups with no
+    matching rows — false positives cost IO, never correctness)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    base = _scratch("pq_bloom")
+    path = f"{base}/orders_bloom"
+    # Measured against this build's parquet-mr: the global
+    # `parquet.bloom.filter.enabled` and `...max.bytes` writer options
+    # take effect (bloom bytes appear in the files, asserted in
+    # tests); the per-column `#o_custkey` and `expected.ndv` forms are
+    # silently ignored, so the write projects down to the two needed
+    # columns first — blooms on exactly the probe key + payload, the
+    # column-pruned equivalent of per-column enablement.
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.max.bytes", 64 * 1024)
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    keys = list(_PQ_BLOOM_KEYS)
+    return (
+        back.where(F.col("o_custkey").isin(keys))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+            ).cast("double").alias("spend"),
+        )
+    )

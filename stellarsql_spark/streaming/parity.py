@@ -537,3 +537,66 @@ def b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("purchase_id"),
         F.col("pts").alias("purchase_ts"),
     )
+
+
+_AVAILABLE_NOW_ORACLE = """
+SELECT (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS run1_rows,
+       (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1) AS run2_new_rows,
+       COUNT(*) AS total_rows
+FROM events
+"""
+
+
+@register("b_stream_available_now", oracle=_AVAILABLE_NOW_ORACLE, tags=("streaming", "runtime", "incremental"))
+def b_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C109: Trigger.AvailableNow incremental ingestion — the
+    scheduled-batch streaming pattern (Spark 3.3+): each run drains
+    everything currently available, commits the checkpoint, and
+    EXITS. Between the two runs here a second generation of files
+    lands in the source directory; the restarted query's file-source
+    log discovers exactly the new files, so run 2 writes only the new
+    rows (asserted: run1 + run2_new == total, each half exact). This
+    is how a 100 TB lake runs "streaming" pipelines on a cron — same
+    incremental source/sink/checkpoint machinery as the always-on
+    query, rate-limits respected, zero always-on cluster.
+
+    Differs from b_stream_exactly_once (restart over an UNCHANGED
+    source proves idempotent replay): here the source GROWS between
+    runs and the check is incremental pickup."""
+    from stellarsql_spark.sources.io import _scratch
+
+    base = _scratch("available_now")
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros(F.col("ts"))  # BIGINT micros: EVENTS_DDL schema
+    )
+
+    def land(pred, tag: str) -> None:
+        part = os.path.join(base, f"_gen_{tag}")
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part)
+        f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        shutil.copyfile(os.path.join(part, f), os.path.join(src, f"{tag}.parquet"))
+
+    def drain() -> int:
+        q = (
+            spark.readStream.schema(EVENTS_DDL)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    land(F.col("event_id") % 2 == 0, "gen1")
+    n1 = drain()
+    land(F.col("event_id") % 2 == 1, "gen2")
+    n_total = drain()
+    return spark.createDataFrame(
+        [(n1, n_total - n1, n_total)],
+        schema="run1_rows bigint, run2_new_rows bigint, total_rows bigint",
+    )
