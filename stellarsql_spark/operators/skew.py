@@ -137,11 +137,19 @@ def b_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the lowered thresholds from leaking into other keys' audited
     plans. Oracle = the same join unsplit: splitting is a physical
     repartitioning, provably result-identical."""
+    from stellarsql_spark.catalog import _read_table
+
     s2 = spark.newSession()
     for k, v in _SKEW_CONFS.items():
         s2.conf.set(k, v)
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    # _read_table, not load_table: the table cache is keyed by
+    # applicationId (shared with the parent session), so a cached hit
+    # would hand back a DataFrame BOUND TO THE PARENT session — whose
+    # execution ignores the clone's skew confs entirely (found by the
+    # full-suite run: standalone green, in-suite no split).
     fact = (
-        load_table(s2, sf_dir, "events")
+        _read_table(s2, sf_dir, "events")
         .repartition(12)
         .selectExpr(
             f"{_SKEW_KEY.replace('VARCHAR', 'STRING')} AS k",

@@ -377,3 +377,53 @@ def b_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ivf_hit").cast("int")) >= F.lit(0.7) * F.count("*")
         ).alias("ivf_recall_ge_07"),
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {COSINE_NEARDUP_THRESHOLD}
+),
+drops AS (SELECT DISTINCT id2 FROM p)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN vec_id IN (SELECT id2 FROM drops) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN vec_id IN (SELECT id2 FROM drops) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_kept
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("b_llm_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("pipeline", "dedup", "embedding", "semantic"))
+def b_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C110: semantic deduplication (SemDedup-style, Abbas et al.
+    2023 arXiv:2303.09540): drop every embedding that has a
+    LOWER-vec_id near-duplicate at cosine >= threshold, keep the
+    rest; report the per-label census. The keep rule is "similar to
+    ANY lower id" (not only to kept ids) — fully deterministic, no
+    iteration, and the pair set is exactly b_llm_embed_neardup's
+    hash-verified output, so this key certifies the composed
+    pipeline: banded-LSH candidates → exact JVM cosine → greedy
+    keep-lowest → census.
+
+    Scale shape: the only new work beyond the near-dup key is one
+    distinct on drop ids and one broadcast-sized anti-join flag —
+    the pair graph never materializes beyond the >=-threshold pairs,
+    and the census shuffles |labels| rows. (The paper's variant
+    dedups within k-means clusters; here the LSH bucketing plays the
+    cluster role with a verified-recall candidate superset.)"""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = b_llm_embed_neardup(spark, sf_dir)
+    drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    flagged = e.join(
+        drops.withColumn("is_drop", F.lit(1)), "vec_id", "left"
+    ).select("label", F.coalesce("is_drop", F.lit(0)).alias("is_drop"))
+    return flagged.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("is_drop").cast("bigint").alias("n_dropped"),
+        (F.count("*") - F.sum("is_drop")).cast("bigint").alias("n_kept"),
+    )

@@ -320,3 +320,23 @@ class TestAvailableNow:
         even = ev.where(F.col("event_id") % 2 == 0).count()
         odd = ev.where(F.col("event_id") % 2 == 1).count()
         assert (r.run1_rows, r.run2_new_rows, r.total_rows) == (even, odd, even + odd)
+
+
+class TestSemDedup:
+    def test_census_consistent_with_pairs(self, spark):
+        """Every dropped vec must have a lower-id >=threshold pair;
+        kept + dropped must partition the corpus."""
+        from stellarsql_spark.pipeline.similarity import (
+            b_llm_embed_neardup,
+            b_llm_semdedup,
+        )
+        from stellarsql_spark.catalog import load_table
+
+        census = b_llm_semdedup(spark, SF).collect()
+        total = sum(r.n_vecs for r in census)
+        assert total == load_table(spark, SF, "embeddings").count()
+        for r in census:
+            assert r.n_kept + r.n_dropped == r.n_vecs
+        n_dropped = sum(r.n_dropped for r in census)
+        drop_ids = {r.id2 for r in b_llm_embed_neardup(spark, SF).collect()}
+        assert n_dropped == len(drop_ids)
