@@ -600,3 +600,90 @@ def b_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n1, n_total - n1, n_total)],
         schema="run1_rows bigint, run2_new_rows bigint, total_rows bigint",
     )
+
+
+# FULL OUTER extends the LEFT OUTER rules symmetrically (established
+# empirically at sf0.01: engine emits 23 matched + 1981 click-only +
+# 1956 purchase-only; the three SQL branches below reproduce exactly
+# those sets):
+# - unmatched clicks: the left-outer rule, cts + <upper bound> < wm;
+# - unmatched purchases: pts < wm — once the watermark passes a
+#   purchase's event time, any future click below it would itself be
+#   late-dropped, so the row is provably unmatchable and its state
+#   evicts. (Boundary strictness is unobservable on this corpus — no
+#   row sits exactly on the watermark — so strict < is pinned to
+#   mirror the click side.)
+_FULL_OUTER_ORACLE = """
+WITH c AS (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+         - INTERVAL 30 MINUTE AS w
+),
+matched AS (
+  SELECT c.user_id, c.cid, c.cts, p.pid, p.pts
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+)
+SELECT user_id, cid AS click_id, cts AS click_ts,
+       pid AS purchase_id, pts AS purchase_ts
+FROM matched
+UNION ALL
+SELECT c.user_id, c.cid, c.cts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM c, wm
+WHERE c.cid NOT IN (SELECT cid FROM matched)
+  AND c.cts + INTERVAL 30 MINUTE < wm.w
+UNION ALL
+SELECT p.user_id, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       p.pid, p.pts
+FROM p, wm
+WHERE p.pid NOT IN (SELECT pid FROM matched)
+  AND p.pts < wm.w
+"""
+
+
+@register("b_stream_full_outer", oracle=_FULL_OUTER_ORACLE, tags=("streaming", "runtime", "join", "outer"))
+def b_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C111: watermarked stream–stream FULL OUTER interval join — the
+    remaining cell of the outer-join matrix next to
+    b_stream_stream_join (inner) and b_stream_outer_join (left).
+    Both sides' state evicts on its own rule (see the rule comment),
+    so clicks AND purchases each emit null-padded exactly once their
+    match window provably closed under the min-of-sides watermark —
+    bounded state on both sides of an unbounded join, the property
+    that makes full-outer enrichment safe at 100 TB."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("cid"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "30 minutes")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("pid"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "30 minutes")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    return sink.select(
+        F.coalesce("cu", "pu").alias("user_id"),
+        F.col("cid").alias("click_id"),
+        F.col("cts").alias("click_ts"),
+        F.col("pid").alias("purchase_id"),
+        F.col("pts").alias("purchase_ts"),
+    )

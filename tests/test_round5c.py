@@ -340,3 +340,24 @@ class TestSemDedup:
         n_dropped = sum(r.n_dropped for r in census)
         drop_ids = {r.id2 for r in b_llm_embed_neardup(spark, SF).collect()}
         assert n_dropped == len(drop_ids)
+
+
+class TestFullOuterStream:
+    def test_partitions_into_three_emission_classes(self, spark):
+        """matched + click-only + purchase-only must be disjoint and
+        every null-padded row must be outside the other side's match
+        reach under the final watermark."""
+        from stellarsql_spark.streaming.parity import b_stream_full_outer
+
+        rows = b_stream_full_outer(spark, SF).collect()
+        matched = [r for r in rows if r.click_id is not None and r.purchase_id is not None]
+        click_only = [r for r in rows if r.purchase_id is None]
+        purch_only = [r for r in rows if r.click_id is None]
+        assert len(matched) + len(click_only) + len(purch_only) == len(rows)
+        assert all(r.click_id is not None for r in click_only)
+        assert all(r.purchase_id is not None for r in purch_only)
+        # no click/purchase id appears both matched and null-padded
+        m_clicks = {r.click_id for r in matched}
+        m_purch = {r.purchase_id for r in matched}
+        assert m_clicks.isdisjoint({r.click_id for r in click_only})
+        assert m_purch.isdisjoint({r.purchase_id for r in purch_only})
