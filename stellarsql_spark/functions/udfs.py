@@ -199,3 +199,78 @@ def b_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _reconcile,
         schema="o_orderkey long, n_lines long, o_totalprice double, gross double",
     )
+
+
+_ARROW_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_orderkey % 101 = 0
+GROUP BY l_returnflag
+"""
+
+
+@register("b_udf_arrow", oracle=_ARROW_ORACLE, tags=("udf", "arrow"))
+def b_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C114: the Arrow-native Python boundary — mapInArrow (per-batch
+    pyarrow.compute, zero pandas conversion) feeding applyInArrow
+    (per-group (key, pa.Table) -> pa.Table aggregation, Spark 4.0).
+    Completes the Python-API ladder next to the row UDF (anti-pattern
+    parity), pandas UDF, grouped/cogrouped pandas, and UDTF keys: for
+    numeric batch work, Arrow-native skips the pandas materialization
+    entirely — one fewer copy per batch than a pandas UDF, which is
+    the fastest Python path Spark offers when the logic is expressible
+    in pyarrow.compute kernels. Money stays exact: 2-decimal inputs
+    scale to integer cents inside the batch (integer-valued floats, so
+    the kernel's rounding mode cannot matter), and the per-group sums
+    are int64 all the way. The oracle is the plain SQL aggregate."""
+    import pyarrow as pa  # noqa: F401 — document the dependency at def site
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 101 == 0
+    ).select("l_returnflag", "l_extendedprice", "l_quantity")
+
+    def to_cents(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            qty = pc.cast(b.column("l_quantity"), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), cents, qty],
+                names=["l_returnflag", "cents", "qty"],
+            )
+
+    centsed = li.mapInArrow(
+        to_cents, "l_returnflag string, cents long, qty long"
+    )
+
+    def agg_group(key, table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": pa.array([key[0]], pa.string()),
+                "n_items": pa.array([table.num_rows], pa.int64()),
+                "cents": pa.array([pc.sum(table.column("cents")).as_py() or 0], pa.int64()),
+                "total_qty": pa.array([pc.sum(table.column("qty")).as_py() or 0], pa.int64()),
+            }
+        )
+
+    grouped = centsed.groupBy("l_returnflag").applyInArrow(
+        agg_group, "l_returnflag string, n_items long, cents long, total_qty long"
+    )
+    return grouped.select(
+        "l_returnflag",
+        "n_items",
+        (F.col("cents") / 100.0).cast("double").alias("revenue"),
+        "total_qty",
+    )

@@ -327,3 +327,81 @@ def b_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("attributed_value"),
         )
     )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         date_diff('day', MAX(ts),
+                   (SELECT MAX(ts) FROM events)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS monetary
+  FROM events
+  GROUP BY user_id
+),
+scored AS (
+  SELECT *,
+         NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(ROUND(monetary * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("b_ev_rfm", oracle=_RFM_ORACLE, tags=("events", "analytics", "rfm"))
+def b_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113: RFM segmentation — the classic customer-value rollup:
+    per user recency (days since last event, against the corpus max),
+    frequency (event count), monetary (integer-cents value sum), each
+    quartiled with NTILE (ties broken on user_id, so every score is
+    deterministic), then a census per (R,F,M) cell. Plan shape: one
+    user-keyed aggregate, three window passes over the SAME
+    user-level frame (tiny vs the fact table — |users| rows), one
+    final cell rollup; the fact scan is touched exactly once. The
+    corpus-max recency anchor is a scalar subquery → broadcast, not a
+    per-row re-aggregation. NTILE needs a total order, so the window
+    is global over the user frame — acceptable to ~10^8 users; past
+    that, production swaps to approx_percentile cutoffs (the C95 GK
+    contract) joined map-side, same scores within sketch error."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    max_ts = ev.agg(F.max("ts").alias("mx"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            (F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")) / 100.0)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_ts))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("mx"), F.to_date("last_ts")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "user_id",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        (F.sum(F.expr("CAST(ROUND(monetary * 100) AS BIGINT)")) / 100.0)
+        .cast("double")
+        .alias("segment_value"),
+    )

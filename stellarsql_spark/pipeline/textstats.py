@@ -531,3 +531,57 @@ def b_llm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_unique"),
         )
     )
+
+
+# Sliding token-window chunking: window CHUNK_W tokens, stride
+# CHUNK_S (CHUNK_W - CHUNK_S tokens of overlap between neighbors) —
+# the standard pre-embedding / pre-training document splitter.
+CHUNK_W = 64
+CHUNK_S = 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, l, n, unnest(range(1, n + 1, {CHUNK_S})) AS s
+  FROM t
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_S} AS INT) AS chunk_idx,
+       CAST(len(l[s : s + {CHUNK_W} - 1]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(l[s : s + {CHUNK_W} - 1], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@register("b_llm_chunking", oracle=_CHUNK_ORACLE, tags=("pipeline", "text", "chunking"))
+def b_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C112: sliding-window document chunking — every doc splits into
+    64-token windows at a 48-token stride (16 tokens of overlap), the
+    shape every embedding/pre-training pipeline feeds its encoder.
+    Implementation is one generate-and-slice projection: sequence()
+    emits the start offsets, posexplode yields (chunk_idx, start),
+    slice() clamps the final partial window — pure map-side JVM work,
+    rows fan out by ~n_tokens/stride with NO shuffle, so at 100 TB
+    chunking rides the ingest scan for free. Chunks are verified by
+    md5 (identical hex in both engines), token count, and index, so
+    the oracle certifies the exact text of every chunk without
+    shipping it."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    chunked = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(1, size(split(text, ' ')), {CHUNK_S})")
+        ).alias("chunk_idx", "s"),
+        arr.alias("l"),
+    )
+    piece = F.slice(F.col("l"), F.col("s"), CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

@@ -361,3 +361,68 @@ class TestFullOuterStream:
         m_purch = {r.purchase_id for r in matched}
         assert m_clicks.isdisjoint({r.click_id for r in click_only})
         assert m_purch.isdisjoint({r.purchase_id for r in purch_only})
+
+
+class TestChunking:
+    def test_windows_cover_and_overlap(self, spark):
+        """Chunks must tile each doc with the declared stride/window:
+        reconstruct token coverage from (chunk_idx, n_chunk_tokens)."""
+        from stellarsql_spark.pipeline.textstats import (
+            CHUNK_S,
+            CHUNK_W,
+            b_llm_chunking,
+        )
+        from stellarsql_spark.catalog import load_table
+
+        per_doc: dict[int, list] = {}
+        for r in b_llm_chunking(spark, SF).collect():
+            per_doc.setdefault(r.doc_id, []).append(r)
+        toks = {
+            r.doc_id: len(r.text.split(" "))
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        assert set(per_doc) == set(toks)
+        for doc, chunks in per_doc.items():
+            n = toks[doc]
+            chunks.sort(key=lambda r: r.chunk_idx)
+            expect_chunks = (max(n - 1, 0)) // CHUNK_S + 1
+            assert len(chunks) == expect_chunks
+            for i, c in enumerate(chunks):
+                assert c.chunk_idx == i
+                start = i * CHUNK_S
+                assert c.n_chunk_tokens == min(CHUNK_W, n - start)
+
+
+class TestRfm:
+    def test_quartiles_partition_users(self, spark):
+        from stellarsql_spark.operators.events_analytics import b_ev_rfm
+        from stellarsql_spark.catalog import load_table
+
+        cells = b_ev_rfm(spark, SF).collect()
+        n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+        assert sum(r.n_users for r in cells) == n_users
+        for r in cells:
+            assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+
+
+class TestArrowUdf:
+    def test_matches_jvm_aggregate(self, spark):
+        from stellarsql_spark.functions.udfs import b_udf_arrow
+        from stellarsql_spark.catalog import load_table
+
+        got = {
+            r.l_returnflag: (r.n_items, round(r.revenue, 2), r.total_qty)
+            for r in b_udf_arrow(spark, SF).collect()
+        }
+        li = load_table(spark, SF, "lineitem").where(F.col("l_orderkey") % 101 == 0)
+        want = {
+            r.l_returnflag: (r.n, round(r.rev, 2), r.q)
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0).alias("rev"),
+                F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+            )
+            .collect()
+        }
+        assert got == want
