@@ -6,8 +6,10 @@ The fixed oracle matrix checks the operators we wrote; this tier
 checks the operators the generator composes, catching cross-engine
 semantic drift (null ordering, modulo sign, CASE fall-through,
 IN-list nulls, join duplicate semantics, outer-join null rows, window
-frame boundaries) across a much wider query space. The generator is
-SEEDED per round (base + 101 × round count), so any one round's ~180
+frame boundaries, set-op multiset semantics, correlated-EXISTS
+decorrelation, scalar-subquery thresholds) across a much wider query
+space. The generator is
+SEEDED per round (base + 101 × round count), so any one round's ~220
 queries are exactly reproducible while successive rounds explore
 fresh query space.
 
@@ -88,8 +90,36 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(9)
+    kind = rng.randrange(12)
     where = _pred(rng, t)
+    if kind == 9:  # set operation between two filtered projections
+        op = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+        )
+        m = rng.randrange(3, 12)
+        e1, e2 = _int_expr(rng, ints), _int_expr(rng, ints)
+        g = rng.choice(strs)
+        return (
+            f"SELECT ({e1}) % {m} AS v, {g} AS g FROM {t} WHERE {where} "
+            f"{op} "
+            f"SELECT ({e2}) % {m} AS v, {g} AS g FROM {t} WHERE {_pred(rng, t)}"
+        )
+    if kind == 10:  # correlated EXISTS / NOT EXISTS
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT c_custkey AS k, c_mktsegment AS g FROM customer c "
+            f"WHERE {neg}EXISTS (SELECT 1 FROM orders o "
+            f"WHERE o.o_custkey = c.c_custkey AND {_pred(rng, 'orders')}) "
+            f"ORDER BY k LIMIT {rng.randrange(20, 60)}"
+        )
+    if kind == 11:  # scalar-aggregate subquery threshold
+        e = rng.choice(ints)
+        g = rng.choice(strs)
+        return (
+            f"SELECT {g} AS g, COUNT(*) AS n FROM {t} "
+            f"WHERE {e} > (SELECT MIN({e}) + {rng.randrange(1, 500)} FROM {t}) "
+            f"GROUP BY {g}"
+        )
     if kind == 0:  # grouped aggregate
         g = rng.choice(strs)
         e = _int_expr(rng, ints)
@@ -230,7 +260,7 @@ def test_differential_corpus(spark, duck):
     seed = _round_seed(20260814)
     rng = random.Random(seed)
     mismatches = []
-    for i in range(120):
+    for i in range(160):
         q = gen_query(rng)
         s = _canon(spark.sql(q).toPandas())
         d = _canon(duck.execute(q).df())
