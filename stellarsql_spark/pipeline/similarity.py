@@ -427,3 +427,94 @@ def b_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_drop").cast("bigint").alias("n_dropped"),
         (F.count("*") - F.sum("is_drop")).cast("bigint").alias("n_kept"),
     )
+
+
+KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vid, nid, sim,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, nid) AS rk
+  FROM p
+)
+SELECT vid AS vec_id, CAST(rk AS INT) AS rank, nid AS neighbor_id, sim
+FROM r WHERE rk <= {KNN_K}
+"""
+
+
+@register("b_llm_knn_graph", oracle=_KNN_ORACLE, tags=("pipeline", "similarity", "knn"))
+def b_llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C115: exact k-NN graph construction — every vector's top-{KNN_K}
+    cosine neighbors, the substrate for graph-based semantic dedup,
+    cluster discovery, and kNN-classification of curation labels.
+
+    Shape: the neighbor matrix is loaded ONCE driver-side (pyarrow)
+    and shipped in the task closure; each corpus partition computes
+    one GEMM of its rows against the complete matrix and emits each
+    row's exact top-k directly — because the broadcast side is
+    COMPLETE, no global re-rank stage is needed at all (simpler than
+    b_llm_cosine_topk, whose corpus side is the streamed one). Flat
+    brute force is exact and GEMM-bound to ~10^6 vectors (a few GB
+    broadcast, n²/p flops); past that the LSH-bucketed candidates
+    (b_llm_ann_lsh) with per-bucket GEMM (b_llm_embed_gemm) are the
+    same graph at sketch recall — the recall contract key
+    (b_llm_ann_recall) measures exactly that trade. Similarities
+    rounded to 6 dp before ranking so GEMM summation order can't flip
+    a tie against the oracle's sequential fold."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tab = (
+        ds.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_table(columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    all_ids = tab["vec_id"].to_numpy()
+    mat = np.stack(tab["embedding"].to_numpy(zero_copy_only=False)).astype("float64")
+    mnorm = np.sqrt((mat * mat).sum(axis=1))
+
+    def knn_partition(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            n = len(ids)
+            if n == 0:
+                continue
+            q = np.concatenate(pdf["embedding"].to_numpy()).reshape(n, -1).astype("float64")
+            qnorm = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ mat.T) / np.outer(qnorm, mnorm), 6)
+            sims[ids[:, None] == all_ids[None, :]] = -np.inf  # no self-edge
+            k = min(KNN_K, sims.shape[1] - 1)
+            out_v, out_r, out_n, out_s = [], [], [], []
+            for i in range(n):
+                row = sims[i]
+                part = np.argpartition(-row, k - 1)[:k]
+                thresh = row[part].min()
+                cand = np.flatnonzero(row >= thresh)
+                order = np.lexsort((all_ids[cand], -row[cand]))[:k]
+                sel = cand[order]
+                out_v.append(np.full(k, ids[i], dtype="int64"))
+                out_r.append(np.arange(1, k + 1, dtype="int32"))
+                out_n.append(all_ids[sel].astype("int64"))
+                out_s.append(row[sel])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "rank": np.concatenate(out_r),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        knn_partition, "vec_id long, rank int, neighbor_id long, sim double"
+    )

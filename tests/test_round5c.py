@@ -426,3 +426,39 @@ class TestArrowUdf:
             .collect()
         }
         assert got == want
+
+
+class TestKnnGraph:
+    def test_exact_against_numpy(self, spark):
+        """Recompute the full similarity matrix in-process and compare
+        every (vec, rank) edge."""
+        import numpy as np
+
+        from stellarsql_spark.pipeline.similarity import KNN_K, b_llm_knn_graph
+        from stellarsql_spark.catalog import load_table
+
+        rows = b_llm_knn_graph(spark, SF).collect()
+        emb = (
+            load_table(spark, SF, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in emb])
+        m = np.array([r.embedding for r in emb], dtype="float64")
+        norm = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((m @ m.T) / np.outer(norm, norm), 6)
+        np.fill_diagonal(sims, -np.inf)
+        got = {}
+        for r in rows:
+            got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.sim))
+        assert len(rows) == len(ids) * KNN_K
+        order = np.argsort(ids)
+        for pos in order[:50]:  # spot-check 50 vectors exhaustively
+            vid = ids[pos]
+            row = sims[pos]
+            want = sorted(
+                ((row[j], ids[j]) for j in range(len(ids)) if j != pos),
+                key=lambda t: (-t[0], t[1]),
+            )[:KNN_K]
+            mine = sorted(got[vid])
+            assert [(n, s) for _, n, s in mine] == [(n, s) for s, n in want]
