@@ -570,6 +570,14 @@ def b_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle certifies the exact text of every chunk without
     shipping it."""
     d = load_table(spark, sf_dir, "documents")
+    # Form chosen by interleaved A/B at the 100× probe (min-of-4):
+    # explode-the-starts-then-slice = 5.26 s beats building the
+    # (n, md5) structs inside a transform() lambda = 6.55 s — the
+    # higher-order-function lambda dispatch costs more than carrying
+    # the token array into the generator output (the array column is
+    # a pointer-sized attribute inside one codegen stage, not a
+    # per-chunk copy). DuckDB on the same corpus/shape: 3.76 s →
+    # ~1.4× at the data-dominated tier.
     arr = F.split("text", " ")
     chunked = d.select(
         "doc_id",
