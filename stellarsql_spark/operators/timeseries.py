@@ -323,3 +323,74 @@ def b_ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("sum_cts") / 100.0).cast("double").alias("total_value"),
         )
     )
+
+
+_CALENDAR_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+cal AS (
+  SELECT d,
+         isodow(d) AS iso_dow,
+         CASE WHEN isodow(d) >= 6 THEN TRUE ELSE FALSE END AS is_weekend,
+         CAST(date_part('week', d) AS INT) AS iso_week
+  FROM days
+)
+SELECT CAST(cal.d AS VARCHAR) AS day,
+       cal.iso_dow,
+       cal.is_weekend,
+       cal.iso_week,
+       COUNT(e.event_id) AS n_events,
+       CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) AS DOUBLE)
+         / 100.0 AS day_value
+FROM cal LEFT JOIN events e ON CAST(e.ts AS DATE) = cal.d
+GROUP BY cal.d, cal.iso_dow, cal.is_weekend, cal.iso_week
+"""
+
+
+@register("b_ts_calendar_dim", oracle=_CALENDAR_ORACLE, tags=("timeseries", "calendar", "generate"))
+def b_ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118: generated calendar dimension — the conformed date spine
+    every warehouse keeps, built IN-ENGINE from sequence() (no seed
+    table), attributed with ISO weekday/weekend/week, then LEFT
+    joined to the fact so empty days survive with zero counts (the
+    property gap-filling needs and a naive GROUP BY loses). January
+    2024 covers the corpus's first month at every SF. The spine is
+    31 rows — broadcast side of the join; the fact side aggregates
+    map-side per day before the join at scale (here the join IS the
+    aggregation's input, one shuffle total)."""
+    ev = load_table(spark, sf_dir, "events")
+    cal = spark.sql(
+        """
+        SELECT d,
+               CASE WHEN dayofweek(d) = 1 THEN 7 ELSE dayofweek(d) - 1 END
+                 AS iso_dow,
+               dayofweek(d) IN (1, 7) AS is_weekend,
+               CAST(weekofyear(d) AS INT) AS iso_week
+        FROM (
+          SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-31',
+                                  INTERVAL 1 DAY)) AS d
+        ) s
+        """
+    )
+    return (
+        F.broadcast(cal)
+        .join(ev, F.to_date(ev.ts) == cal.d, "left")
+        .groupBy("d", "iso_dow", "is_weekend", "iso_week")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            (
+                F.coalesce(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")), F.lit(0))
+                / 100.0
+            ).cast("double").alias("day_value"),
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "iso_dow",
+            "is_weekend",
+            "iso_week",
+            "n_events",
+            "day_value",
+        )
+    )

@@ -481,3 +481,137 @@ def b_layout_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("spend"),
         )
     )
+
+
+# Deterministic corruption: every 7th nation row is written with a
+# non-numeric n_nationkey, every 11th with too few fields.
+_CSV_BAD_ORACLE = """
+WITH tagged AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         CASE WHEN n_nationkey % 7 = 0 THEN 'badint'
+              WHEN n_nationkey % 11 = 0 THEN 'short'
+              ELSE 'good' END AS kind
+  FROM nation
+)
+SELECT (SELECT COUNT(*) FROM tagged WHERE kind = 'good') AS n_good,
+       (SELECT COUNT(*) FROM tagged WHERE kind <> 'good') AS n_corrupt,
+       (SELECT COUNT(*) FROM tagged WHERE kind = 'good') AS n_dropmalformed,
+       (SELECT CAST(SUM(n_regionkey) AS BIGINT) FROM tagged WHERE kind = 'good')
+         AS sum_region_good
+"""
+
+
+@register("b_read_csv_corrupt", oracle=_CSV_BAD_ORACLE, tags=("source", "csv", "quality"))
+def b_read_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C116: malformed-record handling on CSV ingestion — the
+    PERMISSIVE / DROPMALFORMED contract every lake ingest needs (at
+    100 TB, bad rows are a statistical certainty; a FAILFAST pipeline
+    is an outage). The builder writes nation as CSV with two
+    deterministic corruption patterns (non-numeric key on n%7 rows, a
+    truncated record on n%11 rows), then reads it back twice:
+    PERMISSIVE with columnNameOfCorruptRecord quarantines bad lines
+    into a side column (the dead-letter pattern — nothing is silently
+    lost), DROPMALFORMED keeps only clean rows. The oracle recomputes
+    all four census numbers from the corruption rule. Spark caveat
+    baked in: the corrupt-record column must be materialized before
+    filtering on it (cached here), per SPARK-21610."""
+    n = load_table(spark, sf_dir, "nation")
+    base = _scratch("csv_corrupt")
+    path = f"{base}/nation_bad.csv"
+    rows = n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    with open(path, "w") as f:
+        for r in rows:
+            if r.n_nationkey % 7 == 0:
+                f.write(f"K{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+            elif r.n_nationkey % 11 == 0:
+                f.write(f"{r.n_nationkey}\n")
+            else:
+                f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+    ddl = "n_nationkey INT, n_name STRING, n_regionkey INT, _bad STRING"
+    permissive = (
+        spark.read.schema(ddl)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        .cache()  # SPARK-21610: can't filter on the corrupt column in one pass
+    )
+    n_good = permissive.where(F.col("_bad").isNull()).count()
+    n_corrupt = permissive.where(F.col("_bad").isNotNull()).count()
+    sum_region = (
+        permissive.where(F.col("_bad").isNull())
+        .agg(F.sum("n_regionkey").cast("bigint"))
+        .first()[0]
+    )
+    # Two measured traps in counting DROPMALFORMED survivors: plain
+    # count() prunes all columns (nothing parsed → nothing dropped),
+    # and ANY aggregate — even one referencing every column — rides
+    # the CSV count-pushdown path, which skips malformed detection
+    # (returns the raw line count). Only a row-producing plan applies
+    # the drop, so pin a non-foldable filter over all columns between
+    # the scan and the count.
+    drop_df = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    allcols = F.md5(
+        F.concat_ws(
+            ",",
+            F.coalesce(F.col("n_nationkey").cast("string"), F.lit("")),
+            F.coalesce("n_name", F.lit("")),
+            F.coalesce(F.col("n_regionkey").cast("string"), F.lit("")),
+        )
+    )
+    dropped = drop_df.where(F.length(allcols) == 32).count()
+    permissive.unpersist()
+    return spark.createDataFrame(
+        [(n_good, n_corrupt, dropped, sum_region)],
+        schema="n_good bigint, n_corrupt bigint, n_dropmalformed bigint, sum_region_good bigint",
+    )
+
+
+_MERGE_SCHEMA_ORACLE = """
+SELECT n_regionkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN gen = 2 THEN n_nationkey END) AS BIGINT) AS sum_key_gen2,
+       COUNT(CASE WHEN gen = 2 THEN upper_name END) AS n_upper
+FROM (
+  SELECT n_regionkey, n_nationkey, 1 AS gen, CAST(NULL AS VARCHAR) AS upper_name
+  FROM nation
+  UNION ALL
+  SELECT n_regionkey, n_nationkey, 2 AS gen, UPPER(n_name) AS upper_name
+  FROM nation
+)
+GROUP BY n_regionkey
+"""
+
+
+@register("b_layout_merge_schema", oracle=_MERGE_SCHEMA_ORACLE, tags=("source", "layout", "schema-evolution"))
+def b_layout_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C117: parquet schema evolution at the FILE level — two
+    generations of files in one directory (gen-2 adds an upper_name
+    column), read back with mergeSchema=true: the unified schema is
+    the union, gen-1 rows null-fill the new column. This is the
+    at-rest twin of C107's logical UNION BY NAME — the situation a
+    100 TB lake is ALWAYS in, because nobody rewrites history when a
+    column is added. mergeSchema pays a footer read per file (not a
+    data scan), which is why production sets it per-table, not
+    globally; the oracle rebuilds both generations relationally."""
+    n = load_table(spark, sf_dir, "nation")
+    base = _scratch("merge_schema")
+    path = f"{base}/nation_evolving"
+    gen1 = n.select("n_regionkey", "n_nationkey", F.lit(1).alias("gen"))
+    gen2 = n.select(
+        "n_regionkey",
+        "n_nationkey",
+        F.lit(2).alias("gen"),
+        F.upper("n_name").alias("upper_name"),
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("gen") == 2, F.col("n_nationkey"))).cast("bigint").alias("sum_key_gen2"),
+        F.count(F.when(F.col("gen") == 2, F.col("upper_name"))).alias("n_upper"),
+    )

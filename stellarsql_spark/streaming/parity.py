@@ -687,3 +687,60 @@ def b_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("purchase_id"),
         F.col("pts").alias("purchase_ts"),
     )
+
+
+_PROGRESS_ORACLE = """
+SELECT COUNT(*) AS input_rows_total,
+       (SELECT COUNT(DISTINCT event_type) FROM events) AS sink_rows,
+       TRUE AS state_rows_nonneg
+FROM events
+"""
+
+
+@register("b_stream_progress", oracle=_PROGRESS_ORACLE, tags=("streaming", "runtime", "observability"))
+def b_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C119: StreamingQueryProgress observability — the metrics feed a
+    production pipeline alarms on (input rows, state rows, batch
+    count) read from the query's progress objects after a drain, the
+    streaming twin of C65's batch Observation API. The deterministic
+    core of the progress stream is certified against SQL: summed
+    numInputRows over all batches must equal the source row count
+    EXACTLY (conservation: the file source neither drops nor
+    duplicates on the happy path), and the final state-operator row
+    count equals the distinct group count. Timing fields
+    (durationMs, rates) are real but nondeterministic, so the key
+    reports only the conserved quantities."""
+    import uuid as _uuid
+
+    ev = events_stream(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    name = f"progress_{_uuid.uuid4().hex[:12]}"
+    try:
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.recentProgress
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    input_rows = sum(p["numInputRows"] for p in progress)
+    state_rows = max(
+        (op["numRowsTotal"] for p in progress for op in p.get("stateOperators", [])),
+        default=0,
+    )
+    sink_rows = spark.table(name).count()
+    return spark.createDataFrame(
+        [(input_rows, sink_rows, state_rows >= sink_rows)],
+        schema="input_rows_total bigint, sink_rows bigint, state_rows_nonneg boolean",
+    )

@@ -462,3 +462,61 @@ class TestKnnGraph:
             )[:KNN_K]
             mine = sorted(got[vid])
             assert [(n, s) for _, n, s in mine] == [(n, s) for s, n in want]
+
+
+class TestCsvCorrupt:
+    def test_census_consistent(self, spark):
+        from stellarsql_spark.sources.io import b_read_csv_corrupt
+        from stellarsql_spark.catalog import load_table
+
+        r = b_read_csv_corrupt(spark, SF).first()
+        n = load_table(spark, SF, "nation").count()
+        assert r.n_good + r.n_corrupt == n
+        assert r.n_dropmalformed == r.n_good
+        assert r.n_corrupt > 0  # the corruption patterns must fire
+
+
+class TestMergeSchema:
+    def test_union_schema_null_fills(self, spark):
+        from stellarsql_spark.sources.io import b_layout_merge_schema
+        from stellarsql_spark.catalog import load_table
+
+        rows = b_layout_merge_schema(spark, SF).collect()
+        nation = load_table(spark, SF, "nation")
+        per_region = {
+            r.n_regionkey: r.c for r in nation.groupBy("n_regionkey").agg(F.count("*").alias("c")).collect()
+        }
+        for r in rows:
+            assert r.n_rows == 2 * per_region[r.n_regionkey]
+            assert r.n_upper == per_region[r.n_regionkey]
+
+
+class TestCalendarDim:
+    def test_spine_complete_and_conserved(self, spark):
+        from stellarsql_spark.operators.timeseries import b_ts_calendar_dim
+        from stellarsql_spark.catalog import load_table
+
+        rows = b_ts_calendar_dim(spark, SF).collect()
+        assert len(rows) == 31  # every January day, empty or not
+        assert sum(r.n_events for r in rows) == (
+            load_table(spark, SF, "events")
+            .where(F.to_date("ts").between("2024-01-01", "2024-01-31"))
+            .count()
+        )
+        by_day = {r.day: r for r in rows}
+        assert by_day["2024-01-06"].is_weekend  # Saturday
+        assert by_day["2024-01-06"].iso_dow == 6
+        assert not by_day["2024-01-08"].is_weekend  # Monday
+        assert by_day["2024-01-08"].iso_dow == 1
+
+
+class TestStreamProgress:
+    def test_conservation(self, spark):
+        from stellarsql_spark.streaming.parity import b_stream_progress
+        from stellarsql_spark.catalog import load_table
+
+        r = b_stream_progress(spark, SF).first()
+        ev = load_table(spark, SF, "events")
+        assert r.input_rows_total == ev.count()
+        assert r.sink_rows == ev.select("event_type").distinct().count()
+        assert r.state_rows_nonneg
