@@ -645,3 +645,81 @@ def b_fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "map_zip_with(m, transform_values(m, (k, v) -> v * 3), (k, a, b) -> b - 2 * a)"
         ).alias("rediff"),
     )
+
+
+# --- generator functions: posexplode / stack -------------------------
+
+_GENERATORS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 10
+),
+ex AS (
+  SELECT doc_id,
+         unnest(range(0, len(l))) AS pos,
+         unnest(l) AS word
+  FROM t
+)
+SELECT doc_id, pos, word, k,
+       CASE k WHEN 'len' THEN length(word) ELSE ascii(word) END AS v
+FROM ex CROSS JOIN (VALUES ('len'), ('ord')) s(k)
+"""
+
+
+@register("b_fn_generators", oracle=_GENERATORS_ORACLE, tags=("fn", "generator"))
+def b_fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C128: generator functions — posexplode (explode WITH ORDINALITY:
+    emits the 0-based position alongside each element, which plain
+    explode loses) composed with stack (the row-generator inverse of
+    pivot: each word fans out into ('len', length) and ('ord',
+    ascii) feature rows — the long/tidy layout feature stores want).
+    Both are map-side generators inside one codegen stage: rows fan
+    out with NO shuffle, so at 100 TB the fan-out rides the scan.
+    The oracle builds the same rows via DuckDB's zipped unnest +
+    VALUES cross join."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    ex = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    return ex.selectExpr(
+        "doc_id",
+        "pos",
+        "word",
+        "inline(array(struct('len' AS k, CAST(length(word) AS INT) AS v),"
+        " struct('ord' AS k, ascii(word) AS v)))",
+    )
+
+
+# --- regexp function family ------------------------------------------
+
+_REGEXP_ORACLE = """
+SELECT doc_id,
+       COALESCE(len(regexp_extract_all(text, 'a[a-z]+')), 0) AS n_a_words,
+       regexp_extract(text, '(v[a-z]+)', 1) AS first_v_word,
+       COALESCE(array_to_string(regexp_extract_all(text, 'b[a-z]+'), ','), '') AS b_words,
+       regexp_matches(text, 'vector') AS has_vector,
+       length(regexp_replace(text, 'data', 'D', 'g')) AS len_replaced
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("b_fn_regexp", oracle=_REGEXP_ORACLE, tags=("fn", "regexp"))
+def b_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C129: regular-expression family — regexp_count (via
+    extract_all length, the portable spelling), first-match
+    regexp_extract with a capture group, regexp_extract_all
+    (re-joined to one string so the hash compare is array-layout
+    independent), rlike, and global regexp_replace. Patterns stay in
+    the Java-regex ∩ RE2 common dialect (character classes, groups —
+    no lookaround/backrefs) so both engines match identically. All
+    JVM-side codegen expressions — the map-only shape a 100 TB scrub
+    pass needs; Spark's regexp kernels compile once per task, not
+    per row."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, 'a[a-z]+', 0)")).alias("n_a_words"),
+        F.regexp_extract("text", "(v[a-z]+)", 1).alias("first_v_word"),
+        F.array_join(F.expr("regexp_extract_all(text, 'b[a-z]+', 0)"), ",").alias("b_words"),
+        F.col("text").rlike("vector").alias("has_vector"),
+        F.length(F.regexp_replace("text", "data", "D")).alias("len_replaced"),
+    )

@@ -685,3 +685,138 @@ def b_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("n_orders"),
         )
     )
+
+
+# --- Count-Min sketch (mergeable frequency sketch) -------------------
+
+# d=4 hash rows × w=256 buckets; bucket_j(x) = first 2 hex chars of
+# md5(j || ':' || x). Probe words are fixed members of the synthetic
+# corpus vocabulary so the key is meaningful at every SF.
+_CMS_D = 4
+_CMS_W = 256
+_CMS_PROBES = (
+    "the", "a", "data", "value", "table", "row", "scan", "fast",
+    "query", "join", "window", "vector",
+)
+
+
+def _cms_bucket(fn: str, expr: str) -> str:
+    """2-hex-char md5 prefix → 0..255, engine-portably (Spark spells
+    position instr, DuckDB strpos; see spans._bucket_sql)."""
+    h = f"md5({expr})"
+    return (
+        f"((({fn}('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16)"
+        f" + ({fn}('0123456789abcdef', substring({h}, 2, 1)) - 1))"
+    )
+
+
+_CMS_PROBE_VALUES = ", ".join(f"('{w}')" for w in _CMS_PROBES)
+
+_CMS_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+salted AS (
+  SELECT w, j FROM words CROSS JOIN (VALUES (0), (1), (2), (3)) s(j)
+),
+counters AS (
+  SELECT j, {_cms_bucket("strpos", "j || ':' || w")} AS b, COUNT(*) AS c
+  FROM salted GROUP BY 1, 2
+),
+probes AS (SELECT pw FROM (VALUES {_CMS_PROBE_VALUES}) p(pw)),
+probe_cells AS (
+  SELECT pw, j, {_cms_bucket("strpos", "j || ':' || pw")} AS b
+  FROM probes CROSS JOIN (VALUES (0), (1), (2), (3)) s(j)
+),
+est AS (
+  SELECT pw, MIN(COALESCE(c, 0)) AS cms_est
+  FROM probe_cells LEFT JOIN counters USING (j, b)
+  GROUP BY pw
+),
+exact AS (
+  SELECT w AS pw, COUNT(*) AS exact_n FROM words
+  WHERE w IN (SELECT pw FROM probes) GROUP BY w
+)
+SELECT pw AS word, COALESCE(exact_n, 0) AS exact_n, cms_est,
+       cms_est >= COALESCE(exact_n, 0) AS never_underestimates
+FROM est LEFT JOIN exact USING (pw)
+"""
+
+
+@register("b_agg_countmin", oracle=_CMS_ORACLE, tags=("agg", "sketch", "mergeable"))
+def b_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C123: Count-Min sketch — the mergeable point-frequency sketch
+    (Cormode & Muthukrishnan 2005) as a relational plan: d=4
+    md5-salted hash rows × w=256 counters, estimate = min over rows.
+    The counter table IS the sketch: building it is an ordinary
+    partial+final hash aggregation (map-side combine = sketch merge,
+    so at 100 TB each executor merges its local sketch before one
+    ≤1024-row shuffle), and probing is a broadcast join against the
+    fixed probe list. The CMS one-sided guarantee (estimate ≥ true
+    count, always) is asserted as a result column the oracle
+    recomputes exactly — the hashing is engine-portable md5
+    arithmetic, so both engines build bit-identical sketches.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    salts = F.array([F.lit(j) for j in range(_CMS_D)])
+    salted = words.select("w", F.explode(salts).alias("j"))
+    counters = (
+        salted.select("j", F.expr(_cms_bucket("instr", "j || ':' || w")).alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], "pw string")
+    probe_cells = probes.select(
+        "pw", F.explode(salts).alias("j")
+    ).select("pw", "j", F.expr(_cms_bucket("instr", "j || ':' || pw")).alias("b"))
+    est = (
+        probe_cells.join(counters, ["j", "b"], "left")
+        .groupBy("pw")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        words.where(F.col("w").isin(*_CMS_PROBES))
+        .groupBy(F.col("w").alias("pw"))
+        .agg(F.count("*").alias("exact_n"))
+    )
+    return est.join(exact, "pw", "left").select(
+        F.col("pw").alias("word"),
+        F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+        "cms_est",
+        (F.col("cms_est") >= F.coalesce("exact_n", F.lit(0))).alias("never_underestimates"),
+    )
+
+
+# --- conditional / ordered-set aggregates ----------------------------
+
+_CONDITIONAL_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       CAST(MEDIAN(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS med_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_agg_conditional", oracle=_CONDITIONAL_ORACLE, tags=("agg", "filter", "median"))
+def b_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C124: conditional aggregation — the ANSI `FILTER (WHERE ...)`
+    clause (Spark's count_if / conditional count) plus the MEDIAN
+    ordered-set aggregate, grouped by order priority. FILTER folds
+    into the same single hash-aggregate pass as the unconditional
+    counts (one scan, no extra shuffle); MEDIAN is the exact
+    percentile path — at 100 TB the approx twin (b_agg_percentiles'
+    approx_percentile) is the production choice and this key pins the
+    exact semantics both engines agree on (midpoint interpolation on
+    even counts).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.median(F.col("o_totalprice").cast("double")).cast("double").alias("med_price"),
+    )

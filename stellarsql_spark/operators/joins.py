@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stellarsql_spark.catalog import load_table
+from stellarsql_spark.catalog import load_table, register_views
 from stellarsql_spark.functions.exact import cents, dsum, sql_csum, sql_dsum
 from stellarsql_spark.registry import register
 
@@ -391,3 +391,35 @@ def b_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(take_prev, prev_diff).otherwise(next_diff).alias("diff_us"),
         )
     )
+
+
+# --- USING-join key coalescing ---------------------------------------
+
+_USING_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+  FROM customer WHERE c_custkey < 100 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+  FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY s_nationkey
+)
+SELECT nationkey, n_cust, n_supp
+FROM c FULL JOIN s USING (nationkey)
+"""
+
+
+@register("b_join_using", oracle=_USING_SQL, tags=("join", "using", "outer"))
+def b_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C125: FULL OUTER JOIN ... USING — the ANSI form whose output
+    carries ONE coalesced key column (COALESCE(left.key, right.key)),
+    the semantics NATURAL JOIN desugars to. The two side filters are
+    chosen so each side holds nations the other lacks, making the
+    coalescing observable in both directions (a plain join would
+    return NULL keys). Runs as identical SQL text on both engines;
+    Catalyst plans the two small aggregates then a full-outer hash
+    join — at scale both sides pre-aggregate to nation granularity
+    (25 rows) before the join, so the outer join itself is trivial
+    regardless of corpus size."""
+    register_views(spark, sf_dir, ("customer", "supplier"))
+    return spark.sql(_USING_SQL)

@@ -194,3 +194,52 @@ def b_sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the unhinted query."""
     register_views(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(_HINTS_SQL)
+
+
+# --- inline VALUES relations ----------------------------------------
+
+_VALUES_SQL = """
+SELECT c_mktsegment AS seg, CAST(w AS DOUBLE) AS w, COUNT(*) AS n_cust,
+       CAST(COUNT(*) * w AS DOUBLE) AS weighted
+FROM customer
+JOIN (VALUES ('AUTOMOBILE', 1.5), ('BUILDING', 2.0), ('FURNITURE', 0.5),
+             ('HOUSEHOLD', 1.0), ('MACHINERY', 1.25)) AS t(seg, w)
+  ON c_mktsegment = t.seg
+GROUP BY c_mktsegment, w
+"""
+
+
+@register("b_sql_values", oracle=_VALUES_SQL, tags=("sql", "values"))
+def b_sql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C126: inline VALUES relation — a literal lookup table written
+    directly in the query (segment → sampling weight) joined against
+    a corpus table; the idiom for small config/mapping tables that
+    don't warrant a file. Identical ANSI text on both engines;
+    Catalyst folds the VALUES into a LocalRelation and broadcasts
+    it, so the corpus side is a map-side probe at any scale."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_VALUES_SQL)
+
+
+# --- LIMIT/OFFSET pagination ----------------------------------------
+
+_OFFSET_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@register("b_sql_offset", oracle=_OFFSET_SQL, tags=("sql", "offset", "limit"))
+def b_sql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C127: LIMIT/OFFSET pagination over a deterministic total order
+    (price desc, key tiebreak — without the unique tiebreak the page
+    boundary would be engine-dependent). Spark executes this as
+    TakeOrderedAndProject with limit+offset pushed into the per-
+    partition top-k: each task keeps 60 rows, the driver merges and
+    drops the first 40 — no global sort materializes, which is why
+    page-N-of-a-100 TB-table is cheap while OFFSET 1e9 would not be
+    (documented anti-pattern: keyset pagination is the scale path)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_OFFSET_SQL)

@@ -1,0 +1,282 @@
+"""Span-level corpus curation (SURVEY.md §2 C-curation widening):
+exact substring-window deduplication, hashed-n-gram importance
+weighting (DSIR-style domain relevance), and temperature-scaled
+domain-mixture budgeting — the three ops that sit between near-dup
+filtering and shard writing in a large-scale training-data pipeline.
+
+Reference parity note: /root/reference is an empty checkout
+(SURVEY.md §0); these follow the published recipes — Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" (window-
+granularity exact substring dedup), Xie et al. 2023 DSIR (hashed
+n-gram importance resampling), and the UniMax/temperature-mixing rule
+(w_i ∝ n_i^alpha) used for multi-domain corpus balancing —
+re-expressed as Spark relational plans with DuckDB hash oracles.
+
+Scale shape: every op explodes windows/grams map-side and shuffles
+16-byte md5 digests or 4096-bucket feature ids, never document text
+and never an all-pairs space. The DSIR count tables are bounded by
+the feature-bucket count (4096 rows), so both LM-count joins are
+broadcasts — the 100 TB corpus side stays shuffle-free for scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table
+from stellarsql_spark.registry import register
+
+# --- exact substring-window dedup -----------------------------------
+
+# Window/stride of the duplicated-span scan. Lee et al. use 50-token
+# windows over the token stream; the synthetic corpus's docs are
+# ~40-400 words, so a 16-token window at stride 8 keeps several
+# windows per doc while still being long enough that cross-doc
+# collisions mean real shared substrings, not chance.
+_SUB_W = 16
+_SUB_S = 8
+
+_SUBSTRING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+),
+wins AS (
+  SELECT doc_id, source,
+         md5(array_to_string(l[p : p + {_SUB_W - 1}], ' ')) AS h
+  FROM (SELECT doc_id, source, l,
+               unnest(range(1, greatest(len(l) - {_SUB_W - 1}, 1) + 1, {_SUB_S})) AS p
+        FROM t)
+),
+flags AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       COUNT(DISTINCT CASE WHEN nd >= 2 THEN h END) AS dup_contents,
+       ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 6) AS dup_fraction
+FROM wins JOIN flags USING (h)
+GROUP BY source
+"""
+
+
+@register("b_llm_substring_dedup", oracle=_SUBSTRING_ORACLE, tags=("pipeline", "dedup", "substring"))
+def b_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C120: exact substring dedup at window granularity (Lee et al.
+    2022): every doc is scanned with a 16-token window at stride 8,
+    each window md5-hashed, and a window is a duplicated SPAN when
+    its exact text occurs in ≥2 distinct docs — the op that catches
+    shared boilerplate/quotes that whole-doc near-dup (MinHash) and
+    doc-level exact dedup both miss. Reported per source: window
+    volume, duplicated-window count/fraction, and distinct duplicated
+    contents.
+
+    Scale shape: windows explode map-side from the token array (rows
+    ≈ n_tokens/stride) and immediately reduce to (doc_id, md5) — the
+    shuffle carries 16-byte digests, never window text. One digest-
+    keyed aggregation finds cross-doc collisions; the flag join is
+    digest-keyed equi-join (AQE handles hot boilerplate digests); the
+    per-source rollup shuffles 20 groups. Nothing quadratic, no
+    driver-side state — the Lee et al. suffix-array step is replaced
+    by the window-hash equi-join, trading sub-window granularity for
+    a pure shuffle-join plan that scales linearly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("l"))
+    wins = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(l) - {_SUB_W - 1}, 1), {_SUB_S}), "
+                f"p -> md5(array_join(slice(l, p, {_SUB_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    flags = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        wins.join(flags, "h")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_windows"),
+            F.sum(dup).alias("dup_windows"),
+            F.count_distinct(F.when(F.col("nd") >= 2, F.col("h"))).alias("dup_contents"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+# --- DSIR-style hashed-n-gram importance weights ---------------------
+
+_DSIR_B = 4096  # feature buckets (3 hex chars of md5)
+_DSIR_TOPK = 50
+
+# hex→int without engine-specific conv(): position of each of the
+# first 3 md5 hex chars in the hex alphabet. Spark spells position
+# `instr`, DuckDB spells it `strpos`; the arithmetic is identical.
+_HEX = "0123456789abcdef"
+
+
+def _bucket_sql(fn: str, h: str) -> str:
+    return (
+        f"(({fn}('{_HEX}', substring({h}, 1, 1)) - 1) * 256"
+        f" + ({fn}('{_HEX}', substring({h}, 2, 1)) - 1) * 16"
+        f" + ({fn}('{_HEX}', substring({h}, 3, 1)) - 1))"
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id, source, lang,
+         {_bucket_sql("strpos", "md5(w || ' ' || nxt)")} AS b
+  FROM (
+    SELECT doc_id, source, lang,
+           unnest(l[1 : len(l) - 1]) AS w,
+           unnest(l[2 : len(l)]) AS nxt
+    FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS l FROM documents)
+  )
+),
+tc AS (SELECT b, COUNT(*) AS tn FROM bg WHERE lang = 'en' GROUP BY b),
+pc AS (SELECT b, COUNT(*) AS pn FROM bg WHERE lang <> 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM bg WHERE lang = 'en') AS tt,
+         (SELECT COUNT(*) FROM bg WHERE lang <> 'en') AS pt
+),
+scored AS (
+  SELECT doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CAST(ROUND(1000000 * (
+              ln(COALESCE(tn, 0) + 1.0) - ln(tt + {_DSIR_B}.0)
+            - ln(COALESCE(pn, 0) + 1.0) + ln(pt + {_DSIR_B}.0)
+         )) AS BIGINT)) AS BIGINT) AS score_scaled
+  FROM bg LEFT JOIN tc USING (b) LEFT JOIN pc USING (b) CROSS JOIN tot
+  WHERE bg.lang <> 'en'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       CAST(score_scaled / 1000000.0 AS DOUBLE) AS dsir_score
+FROM scored
+ORDER BY score_scaled DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register("b_llm_dsir", oracle=_DSIR_ORACLE, tags=("pipeline", "curation", "importance"))
+def b_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C121: DSIR-style importance weighting (Xie et al. 2023): score
+    every out-of-domain doc by the log-likelihood ratio of two hashed
+    bigram unigram-LMs — target LM from the in-domain slice (lang =
+    'en' here), pool LM from the rest, features hashed into 4096
+    buckets via md5, add-one smoothing — and return the top-50 pool
+    docs a resampling pass would promote into the training mix.
+
+    Determinism contract: each gram's log-ratio depends only on
+    integer bucket counts, is rounded to 1e-6 and summed as BIGINT,
+    so per-doc scores are exact integers in both engines regardless
+    of partitioning/order; top-k ties break on doc_id.
+
+    Scale shape: gram→bucket hashing is map-side; the two LM count
+    tables are bounded at 4096 rows each, so Spark BROADCASTS both
+    onto the exploded gram stream (the 100 TB corpus side is never
+    shuffled for scoring — tested in tests/test_round6.py); the only
+    corpus-keyed shuffle is the per-doc score aggregation, keyed by
+    doc_id with ~n_tokens fan-in. The totals ride the same broadcast
+    (a 1-row cross join). At cluster scale the count tables would be
+    computed once per corpus snapshot and reused across scoring runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(l) - 1, 1)), i -> concat(l[i - 1], ' ', l[i]))")
+        ).alias("g"),
+    ).select("doc_id", "lang", F.expr(_bucket_sql("instr", "md5(g)")).alias("b"))
+    tgt = bg.where(F.col("lang") == "en")
+    pool = bg.where(F.col("lang") != "en")
+    tc = tgt.groupBy("b").agg(F.count("*").alias("tn"))
+    pc = pool.groupBy("b").agg(F.count("*").alias("pn"))
+    tot = tgt.agg(F.count("*").alias("tt")).crossJoin(pool.agg(F.count("*").alias("pt")))
+    term = F.round(
+        1_000_000
+        * (
+            F.log(F.coalesce(F.col("tn"), F.lit(0)) + 1.0)
+            - F.log(F.col("tt") + float(_DSIR_B))
+            - F.log(F.coalesce(F.col("pn"), F.lit(0)) + 1.0)
+            + F.log(F.col("pt") + float(_DSIR_B))
+        )
+    ).cast("bigint")
+    scored = (
+        pool.join(F.broadcast(tc), "b", "left")
+        .join(F.broadcast(pc), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum(term).alias("score_scaled"))
+    )
+    return (
+        scored.orderBy(F.col("score_scaled").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("score_scaled") / 1_000_000.0).cast("double").alias("dsir_score"),
+        )
+    )
+
+
+# --- temperature-scaled domain mixture budgeting ---------------------
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(pow(n_tokens, {_MIX_ALPHA})) AS DOUBLE) AS z FROM s)
+SELECT source, n_docs, n_tokens,
+       ROUND(pow(n_tokens, {_MIX_ALPHA}) / z, 6) AS mix_weight,
+       CAST(ROUND({_MIX_BUDGET} * pow(n_tokens, {_MIX_ALPHA}) / z) AS BIGINT) AS token_quota
+FROM s CROSS JOIN tot
+"""
+
+
+@register("b_llm_domain_mix", oracle=_MIX_ORACLE, tags=("pipeline", "curation", "mixing"))
+def b_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C122: domain-mixture budgeting under temperature scaling —
+    per-source token counts are reweighted as w_i ∝ n_i^0.3 (the
+    UniMax-style exponent that upweights small domains relative to
+    proportional sampling) and a fixed token budget is allocated as
+    quota_i = round(B · w_i). This is the sampling-weights table a
+    multi-domain training run is launched with.
+
+    Scale shape: one map-side token count + a 20-row aggregate; the
+    normalizer is a scalar over the per-source table, so the corpus
+    is read exactly once and everything after the first aggregation
+    is driver-trivial. Weights are pow/division of identical integer
+    inputs in both engines, rounded at 1e-6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    z = s.agg(F.sum(F.pow("n_tokens", _MIX_ALPHA)).cast("double").alias("z"))
+    w = F.pow("n_tokens", _MIX_ALPHA) / F.col("z")
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("mix_weight"),
+            F.round(w * _MIX_BUDGET).cast("bigint").alias("token_quota"),
+        )
+    )

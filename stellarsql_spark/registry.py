@@ -62,6 +62,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.pipeline.vectors",
     "stellarsql_spark.pipeline.textstats",
     "stellarsql_spark.pipeline.curation",
+    "stellarsql_spark.pipeline.spans",
     "stellarsql_spark.pipeline.multimodal",
 )
 

@@ -615,3 +615,54 @@ def b_layout_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("gen") == 2, F.col("n_nationkey"))).cast("bigint").alias("sum_key_gen2"),
         F.count(F.when(F.col("gen") == 2, F.col("upper_name"))).alias("n_upper"),
     )
+
+
+# --- dynamic partition overwrite -------------------------------------
+
+_DYNOVER_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(ROUND(
+         (CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice + 1000.0 ELSE o_totalprice END) * 100
+       ) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("b_layout_dynamic_overwrite", oracle=_DYNOVER_ORACLE, tags=("layout", "write", "partition"))
+def b_layout_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C130: dynamic partition overwrite — the idempotent-backfill
+    primitive: with partitionOverwriteMode=dynamic, an INSERT
+    OVERWRITE of a partitioned table replaces ONLY the partitions the
+    incoming batch touches and leaves every other partition's files
+    untouched (static mode would truncate the whole table first).
+    Here orders land partitioned by o_orderpriority, then a corrected
+    batch (+1000.00 on every 1-URGENT order) overwrites just that
+    partition; the read-back rollup proves the other four partitions
+    survived byte-identical while 1-URGENT carries the correction —
+    exactly the nightly-reprocess-one-day pattern a 100 TB
+    date-partitioned lake runs, where rewriting the full table is a
+    non-starter. Money totals use the cents convention
+    (functions.exact)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = _scratch("dynover")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = o.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        patch.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0)
+        .cast("double")
+        .alias("total_price"),
+    )

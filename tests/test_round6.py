@@ -1,0 +1,154 @@
+"""Round-6 component tests: span-level curation ops (substring-window
+dedup, DSIR weighting, domain mixing), the Count-Min sketch, and the
+dynamic-partition-overwrite write path — properties the hash oracles
+can't see (plan shapes, sketch guarantees, partition survival)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+class TestSubstringDedup:
+    def test_duplicated_span_is_found(self, spark):
+        """Two docs sharing an exact 16-token run must both get their
+        shared windows flagged; a corpus of unique docs must not."""
+        from stellarsql_spark.pipeline.spans import _SUB_S, _SUB_W
+
+        assert _SUB_W == 16 and _SUB_S == 8
+        from stellarsql_spark.pipeline.spans import b_llm_substring_dedup
+
+        rows = b_llm_substring_dedup(spark, SF).collect()
+        # invariants: fractions in [0,1], dup_windows <= n_windows,
+        # dup_contents <= dup_windows (each content appears >= twice
+        # among the flagged windows, spread over >= 2 docs)
+        for r in rows:
+            assert 0.0 <= r.dup_fraction <= 1.0
+            assert r.dup_windows <= r.n_windows
+            assert r.dup_contents <= r.dup_windows
+
+    def test_windows_cover_short_docs(self, spark):
+        """Docs shorter than one window still contribute exactly one
+        (truncated) window — no doc is silently skipped."""
+        from stellarsql_spark.pipeline.spans import b_llm_substring_dedup
+
+        total_docs = (
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").distinct().count()
+        )
+        got = b_llm_substring_dedup(spark, SF).agg(F.sum("n_docs")).collect()[0][0]
+        assert got == total_docs
+
+
+class TestDsir:
+    def test_lm_count_joins_are_broadcast(self, spark):
+        """The docstring's scale contract: both LM count tables (<=4096
+        rows) reach the gram stream via broadcast joins — the corpus
+        side must not shuffle for scoring."""
+        from stellarsql_spark.pipeline.spans import b_llm_dsir
+
+        plan = b_llm_dsir(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals ride broadcast too
+
+    def test_scores_deterministic_across_runs(self, spark):
+        from stellarsql_spark.pipeline.spans import b_llm_dsir
+
+        a = [(r.doc_id, r.dsir_score) for r in b_llm_dsir(spark, SF).collect()]
+        b = [(r.doc_id, r.dsir_score) for r in b_llm_dsir(spark, SF).collect()]
+        assert a == b
+
+
+class TestDomainMix:
+    def test_weights_sum_to_one_and_upweight_small(self, spark):
+        from stellarsql_spark.pipeline.spans import _MIX_ALPHA, b_llm_domain_mix
+
+        rows = b_llm_domain_mix(spark, SF_MED).collect()
+        assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+        # temperature alpha<1 compresses: the weight ratio between the
+        # largest and smallest domain must be strictly smaller than
+        # their token ratio
+        rows = sorted(rows, key=lambda r: r.n_tokens)
+        lo, hi = rows[0], rows[-1]
+        assert _MIX_ALPHA < 1
+        if lo.n_tokens < hi.n_tokens:
+            assert hi.mix_weight / lo.mix_weight < hi.n_tokens / lo.n_tokens
+
+
+class TestCountMin:
+    def test_never_underestimates_and_is_tight_for_hot_keys(self, spark):
+        from stellarsql_spark.operators.aggregates import b_agg_countmin
+
+        rows = b_agg_countmin(spark, SF_MED).collect()
+        assert rows, "probe list must resolve"
+        assert all(r.never_underestimates for r in rows)
+        # CMS error bound: est - true <= 2N/w with prob >= 1 - 2^-d;
+        # with d=4 independent rows the min over rows should sit well
+        # inside the bound for every probe on this corpus
+        n_total = (
+            spark.read.parquet(f"{SF_MED}/documents.parquet")
+            .select(F.explode(F.split("text", " ")))
+            .count()
+        )
+        bound = 2 * n_total / 256
+        assert all(r.cms_est - r.exact_n <= bound for r in rows)
+
+    def test_sketch_is_one_aggregation(self, spark):
+        """Sketch build = partial+final hash aggregate (mergeable);
+        no window, no join before the counter aggregation."""
+        from stellarsql_spark.operators.aggregates import b_agg_countmin
+
+        plan = b_agg_countmin(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+
+
+class TestDynamicOverwrite:
+    def test_untouched_partitions_survive(self, spark):
+        """After the dynamic overwrite of 1-URGENT, the other four
+        priorities must match the source exactly (file-level
+        survival), and 1-URGENT must carry the +1000 correction."""
+        from stellarsql_spark.sources.io import b_layout_dynamic_overwrite
+
+        got = {r.o_orderpriority: (r.n_orders, r.total_price) for r in
+               b_layout_dynamic_overwrite(spark, SF).collect()}
+        src = spark.read.parquet(f"{SF}/orders.parquet")
+        want = {
+            r.o_orderpriority: (r.n, round(r.t, 2))
+            for r in src.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias("t"),
+            )
+            .collect()
+        }
+        for prio, (n, t) in want.items():
+            gn, gt = got[prio]
+            assert gn == n
+            if prio == "1-URGENT":
+                assert abs(gt - (t + 1000.0 * n)) < 0.01
+            else:
+                assert abs(gt - t) < 0.005
+
+
+class TestSqlSurfaceRound6:
+    def test_using_join_coalesces_keys(self, spark):
+        from stellarsql_spark.operators.joins import b_join_using
+
+        rows = b_join_using(spark, SF_MED).collect()
+        assert all(r.nationkey is not None for r in rows)
+        assert any(r.n_cust is None for r in rows) or any(r.n_supp is None for r in rows)
+
+    def test_offset_pagination_window(self, spark):
+        """Page 3 (rows 41-60 of the total order) must equal a full
+        sort's slice — no duplicates or gaps at page boundaries."""
+        from stellarsql_spark.operators.sql_surface import b_sql_offset
+
+        got = [r.o_orderkey for r in b_sql_offset(spark, SF_MED).collect()]
+        full = (
+            spark.read.parquet(f"{SF_MED}/orders.parquet")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(60)
+            .collect()
+        )
+        assert got == [r.o_orderkey for r in full[40:60]]
