@@ -820,3 +820,81 @@ def b_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.median(F.col("o_totalprice").cast("double")).cast("double").alias("med_price"),
     )
+
+
+# --- one-pass pairwise correlation matrix ----------------------------
+
+_CORRMATRIX_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS spd
+  FROM lineitem
+)
+SELECT n,
+       ROUND((n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS corr_qty_price,
+       ROUND((n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6) AS corr_qty_disc,
+       ROUND((n * spd - sp * sd) / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6) AS corr_price_disc
+FROM s
+"""
+
+
+@register("b_agg_corrmatrix", oracle=_CORRMATRIX_ORACLE, tags=("agg", "stats", "corr"))
+def b_agg_corrmatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C133: pairwise Pearson correlation matrix over three measures
+    in ONE scan — the sufficient-statistics form (n, Σx, Σx², Σxy for
+    every pair) rather than one corr() pass per pair. All nine
+    statistics are EXACT integer sums of cents-scaled values (per-row
+    products ≤1e14 fit int64; the sums accumulate as DECIMAL(38,0)/
+    HUGEINT, order-independent), cast to double only once, so both
+    engines derive bit-identical correlations from bit-identical
+    sufficient statistics — the same trick that makes the money sums
+    hash-stable, extended to second moments. Scale shape: one
+    partial+final hash aggregate over the fact table, no shuffle of
+    anything but the 9 partial sums per task — the textbook
+    single-pass design a 100 TB feature-stats job needs (and the
+    sufficient statistics are mergeable across corpus shards, like
+    the CMS counters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cq, cp, cd = (cents(c) for c in ("l_quantity", "l_extendedprice", "l_discount"))
+
+    def dsum38(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        dsum38(cq).alias("sq"),
+        dsum38(cp).alias("sp"),
+        dsum38(cd).alias("sd"),
+        dsum38(cq * cq).alias("sqq"),
+        dsum38(cp * cp).alias("spp"),
+        dsum38(cd * cd).alias("sdd"),
+        dsum38(cq * cp).alias("sqp"),
+        dsum38(cq * cd).alias("sqd"),
+        dsum38(cp * cd).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return s.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

@@ -86,3 +86,57 @@ def b_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).isNull().alias("is_current"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+# --- full-snapshot sync MERGE (with BY SOURCE delete) ----------------
+
+_SYNC_ORACLE = """
+WITH tgt AS (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey < 300
+),
+src AS (
+  SELECT c_custkey, CAST(c_acctbal + 10.0 AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey >= 100 AND c_custkey < 400
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'updated'
+            WHEN s.c_custkey IS NOT NULL THEN 'inserted'
+            ELSE 'deleted' END AS action,
+       s.bal AS bal
+FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+@register("b_merge_sync", oracle=_SYNC_ORACLE, tags=("merge", "sync", "delete"))
+def b_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C131: full-snapshot dimension sync — the three-way MERGE
+    (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT MATCHED
+    BY SOURCE DELETE) that reconciles a warehouse dimension against a
+    complete upstream snapshot. Emulated as ONE full-outer join on
+    the key with per-row action classification; deleted keys are
+    emitted (bal NULL) as the audit trail a production MERGE writes
+    to its change log. One key-partitioned shuffle per side at any
+    scale — with both snapshots bucketed on the key (sources/
+    bucketed.py) the exchange disappears entirely; on Delta/Iceberg
+    this collapses to MERGE INTO with the same plan underneath."""
+    c = load_table(spark, sf_dir, "customer")
+    tgt = c.where(F.col("c_custkey") < 300).select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    src = c.where((F.col("c_custkey") >= 100) & (F.col("c_custkey") < 400)).select(
+        "c_custkey", (F.col("c_acctbal") + 10.0).cast("double").alias("bal")
+    )
+    t = tgt.alias("t")
+    s = src.alias("s")
+    j = t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.when(
+            F.col("s.c_custkey").isNotNull() & F.col("t.c_custkey").isNotNull(), "updated"
+        )
+        .when(F.col("s.c_custkey").isNotNull(), "inserted")
+        .otherwise("deleted")
+        .alias("action"),
+        F.col("s.bal").alias("bal"),
+    )

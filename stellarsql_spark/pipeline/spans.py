@@ -280,3 +280,92 @@ def b_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(w * _MIX_BUDGET).cast("bigint").alias("token_quota"),
         )
     )
+
+
+# --- bigram-LM perplexity scoring (CCNet-style quality) --------------
+
+_PPL_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, source, lang,
+         unnest(l[1 : len(l) - 1]) AS prev,
+         unnest(l[2 : len(l)]) AS w
+  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS l FROM documents)
+),
+ref AS (SELECT prev, w FROM grams WHERE lang = 'en'),
+bgc AS (SELECT prev, w, COUNT(*) AS cbg FROM ref GROUP BY prev, w),
+ugc AS (SELECT prev, COUNT(*) AS cu FROM ref GROUP BY prev),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM ref),
+terms AS (
+  SELECT g.source,
+         CAST(ROUND(1000000 * ln(
+           (COALESCE(cbg, 0) + 1.0) / (COALESCE(cu, 0) + v)
+         )) AS BIGINT) AS t
+  FROM grams g
+  LEFT JOIN bgc USING (prev, w)
+  LEFT JOIN ugc USING (prev)
+  CROSS JOIN vocab
+)
+SELECT source,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(-SUM(t) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS mean_nll
+FROM terms
+GROUP BY source
+"""
+
+
+@register("b_llm_perplexity", oracle=_PPL_ORACLE, tags=("pipeline", "curation", "lm"))
+def b_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C132: LM-perplexity quality scoring (the CCNet recipe: score
+    crawl text under a reference-corpus language model; low
+    perplexity ⇒ fluent). The reference LM is an add-one-smoothed
+    bigram model trained on the in-domain slice (lang='en'); every
+    source's text is scored as mean negative log-likelihood
+    P(w|prev) = (c(prev,w)+1)/(c(prev)+V).
+
+    Determinism contract: each gram's log-prob depends only on
+    integer counts, is rounded at 1e-6 and summed as BIGINT, so the
+    per-source totals are exact integers in both engines; the only
+    doubles are the final two divisions of identical operands.
+
+    Scale shape: the LM tables are vocabulary-bounded (|V| unigram
+    contexts, observed-bigram count table) — small enough to
+    BROADCAST here; at web scale the bigram join flips to a gram-
+    keyed shuffle with a document-frequency cap (the dedup.py df_cap
+    pattern) while the plan is otherwise unchanged. Scoring itself is
+    map-side: explode grams, probe the broadcast maps, aggregate by
+    source."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", "lang", F.split("text", " ").alias("l"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(l) - 1, 1)), i -> struct(l[i - 1] AS prev, l[i] AS w))")
+        ).alias("g"),
+    ).select("doc_id", "source", "lang", F.col("g.prev").alias("prev"), F.col("g.w").alias("w"))
+    ref = grams.where(F.col("lang") == "en")
+    bgc = ref.groupBy("prev", "w").agg(F.count("*").alias("cbg"))
+    ugc = ref.groupBy("prev").agg(F.count("*").alias("cu"))
+    vocab = ref.agg(F.count_distinct("w").alias("v"))
+    term = F.round(
+        1_000_000
+        * F.log(
+            (F.coalesce(F.col("cbg"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+        )
+    ).cast("bigint")
+    return (
+        grams.join(F.broadcast(bgc), ["prev", "w"], "left")
+        .join(F.broadcast(ugc), ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(term).alias("t"))
+        .select(
+            "source",
+            "n_bigrams",
+            F.round((-F.col("t")).cast("double") / (1_000_000.0 * F.col("n_bigrams")), 6).alias(
+                "mean_nll"
+            ),
+        )
+    )

@@ -152,3 +152,64 @@ class TestSqlSurfaceRound6:
             .collect()
         )
         assert got == [r.o_orderkey for r in full[40:60]]
+
+
+class TestMergeSync:
+    def test_action_census_and_delete_audit(self, spark):
+        from stellarsql_spark.operators.merge import b_merge_sync
+
+        rows = b_merge_sync(spark, SF_MED).collect()
+        by_action = {}
+        for r in rows:
+            by_action.setdefault(r.action, []).append(r)
+        assert set(by_action) == {"updated", "inserted", "deleted"}
+        assert all(r.bal is None for r in by_action["deleted"])
+        assert all(r.c_custkey < 100 for r in by_action["deleted"])
+        assert all(100 <= r.c_custkey < 300 for r in by_action["updated"])
+        assert all(300 <= r.c_custkey < 400 for r in by_action["inserted"])
+
+
+class TestPerplexity:
+    def test_reference_slice_scores_lower_on_average(self, spark):
+        """The 'en' reference slice is scored by a model trained on
+        itself, so across sources mean_nll must be finite and
+        positive, and deterministic across runs."""
+        from stellarsql_spark.pipeline.spans import b_llm_perplexity
+
+        a = {r.source: r.mean_nll for r in b_llm_perplexity(spark, SF).collect()}
+        b = {r.source: r.mean_nll for r in b_llm_perplexity(spark, SF).collect()}
+        assert a == b
+        assert all(v > 0 for v in a.values())
+
+    def test_lm_tables_are_broadcast(self, spark):
+        from stellarsql_spark.pipeline.spans import b_llm_perplexity
+
+        plan = b_llm_perplexity(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestCorrMatrix:
+    def test_matches_numpy(self, spark):
+        """The sufficient-statistics correlations must agree with
+        numpy's corrcoef on the cents-rounded columns."""
+        import numpy as np
+
+        from stellarsql_spark.operators.aggregates import b_agg_corrmatrix
+
+        r = b_agg_corrmatrix(spark, SF).collect()[0]
+        pdf = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        ).toPandas()
+        c = np.corrcoef(np.stack([pdf.q, pdf.p, pdf.d]))
+        assert abs(r.corr_qty_price - c[0, 1]) < 1e-5
+        assert abs(r.corr_qty_disc - c[0, 2]) < 1e-5
+        assert abs(r.corr_price_disc - c[1, 2]) < 1e-5
+
+    def test_single_aggregate_no_shuffle_of_rows(self, spark):
+        from stellarsql_spark.operators.aggregates import b_agg_corrmatrix
+
+        plan = b_agg_corrmatrix(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2  # partial + final
+        assert "SortAggregate" not in plan
