@@ -163,3 +163,68 @@ def b_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_seen"], m["nonpositive_price"], m["bad_status"], m["total_price"])],
         schema="rows_seen bigint, nonpositive_price bigint, bad_status bigint, total_price double",
     )
+
+
+# --- declarative expectations suite ----------------------------------
+
+_EXPECT_ORACLE = """
+SELECT 'positive_price' AS rule,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orderdate_not_null', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_references_customer', COUNT(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'orderkey_unique', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+"""
+
+_EXPECT_WRAPPED = f"""
+SELECT rule, n_violations, n_violations = 0 AS ok
+FROM ({_EXPECT_ORACLE}) t
+"""
+
+
+@register("b_quality_expectations", oracle=_EXPECT_WRAPPED, tags=("quality", "expectations"))
+def b_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C134: declarative expectations suite (the Great-Expectations /
+    dbt-test pattern): five rule families — value bound, NOT NULL,
+    domain membership, referential integrity, key uniqueness — each
+    reduced to a violation count + pass flag in one result table, the
+    gate a production pipeline evaluates before publishing a batch.
+    Scale shape: the three row-level rules fold into ONE shared scan
+    (a single aggregate emits all three counters); the referential
+    rule is a broadcast-able anti-join on the key; uniqueness is one
+    count-distinct. Nothing is collected driver-side — the suite
+    composes as a 5-row DataFrame a foreachBatch hook can write
+    next to every shard."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    row_rules = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("positive_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("orderdate_not_null"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+    ).selectExpr(
+        "stack(3, 'positive_price', positive_price, "
+        "'orderdate_not_null', orderdate_not_null, "
+        "'status_in_domain', status_in_domain) AS (rule, n_violations)"
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("custkey_references_customer").alias("rule"), "n_violations")
+    )
+    unique = o.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orderkey_unique").alias("rule"), "n_violations")
+    suite = row_rules.unionByName(orphans).unionByName(unique)
+    return suite.select("rule", "n_violations", (F.col("n_violations") == 0).alias("ok"))

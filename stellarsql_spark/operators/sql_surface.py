@@ -243,3 +243,30 @@ def b_sql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented anti-pattern: keyset pagination is the scale path)."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_OFFSET_SQL)
+
+
+# --- named WINDOW clause ---------------------------------------------
+
+_WINDOW_CLAUSE_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(o_orderkey) OVER w AS prev_key,
+       CAST(o_totalprice - AVG(o_totalprice) OVER w2 AS DOUBLE) AS price_vs_cust_avg
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (PARTITION BY o_custkey)
+"""
+
+
+@register("b_sql_window_clause", oracle=_WINDOW_CLAUSE_SQL, tags=("sql", "window", "named"))
+def b_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C135: named WINDOW clause — one window definition referenced by
+    several functions (plus a second frameless window for the
+    whole-partition average), the ANSI feature that keeps multi-
+    function analytic queries from repeating their OVER specs.
+    Identical SQL text on both engines. Catalyst plans the two
+    specs as ONE exchange (same partition key) with the ordered
+    functions sharing a sort — renaming the window changes nothing
+    physically, which is the point: it's resolution-time sugar."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_WINDOW_CLAUSE_SQL)

@@ -213,3 +213,28 @@ class TestCorrMatrix:
         plan = b_agg_corrmatrix(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("HashAggregate") >= 2  # partial + final
         assert "SortAggregate" not in plan
+
+
+class TestExpectations:
+    def test_clean_corpus_passes_suite(self, spark):
+        from stellarsql_spark.operators.quality import b_quality_expectations
+
+        rows = b_quality_expectations(spark, SF).collect()
+        assert len(rows) == 5
+        assert all(r.ok for r in rows), [r.rule for r in rows if not r.ok]
+
+    def test_violations_detected(self, spark):
+        """Inject a bad batch through the same rule expressions and
+        confirm each row-level rule fires."""
+        import pyspark.sql.functions as Fn
+
+        bad = spark.createDataFrame(
+            [(1, -5.0, None, "X", 999999)],
+            "o_orderkey long, o_totalprice double, o_orderdate date, o_orderstatus string, o_custkey long",
+        )
+        v = bad.agg(
+            Fn.sum(Fn.when(Fn.col("o_totalprice") <= 0, 1).otherwise(0)).alias("p"),
+            Fn.sum(Fn.when(Fn.col("o_orderdate").isNull(), 1).otherwise(0)).alias("d"),
+            Fn.sum(Fn.when(~Fn.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias("s"),
+        ).collect()[0]
+        assert (v.p, v.d, v.s) == (1, 1, 1)
