@@ -517,3 +517,49 @@ def b_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("hops", F.lit(-1)).alias("hops")
     )
     return labeled.groupBy("hops").agg(F.count("*").alias("n_users"))
+
+
+# --- degree distribution ---------------------------------------------
+
+_DEGREE_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m FROM events
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+  WHERE a.user_id < c.user_id
+),
+bidir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS node, COUNT(*) AS degree FROM bidir GROUP BY u)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("b_graph_degree", oracle=_DEGREE_ORACLE, tags=("graph", "degree"))
+def b_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C138: degree distribution of the co-occurrence graph (same
+    edge semantics as b_graph_components: users sharing an
+    (event_type, minute) bucket) — the first diagnostic a graph
+    pipeline computes, because the tail of this histogram decides
+    every later algorithm's skew strategy (hub nodes ⇒ salting /
+    star contraction). Isolated nodes have no bidir rows and drop
+    out, exactly as in the oracle. Scale shape: the bucket self-join
+    is bounded per bucket (the components docstring's skew guard
+    applies); degree is one node-keyed count, the histogram one
+    degree-keyed count — both with map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "m"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    bidir = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

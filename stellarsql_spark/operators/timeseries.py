@@ -394,3 +394,64 @@ def b_ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_value",
         )
     )
+
+
+# --- robust outlier detection (median / MAD) -------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, CAST(MEDIAN(CAST(value AS DOUBLE)) AS DOUBLE) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(CAST(e.value AS DOUBLE) - m.med) AS d, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, CAST(MEDIAN(d) AS DOUBLE) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       ROUND(MIN(d.med), 6) AS med_value,
+       ROUND(MIN(m.mad), 6) AS mad_value,
+       CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("b_ts_outlier_mad", oracle=_MAD_ORACLE, tags=("timeseries", "robust", "outlier"))
+def b_ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C136: robust outlier detection via median/MAD — the
+    breakdown-resistant twin of b_ev_anomaly's z-score (one far
+    outlier inflates a stddev but moves a median by at most one rank,
+    so MAD keeps flagging when moments saturate). Flags values beyond
+    3 scaled MADs (×1.4826 = consistency constant for normal data).
+
+    Determinism: medians over the same multiset of doubles agree
+    across engines (both midpoint-interpolate even counts); every
+    derived number is arithmetic on those identical doubles.
+
+    Scale shape: two median passes + one census, each a per-type
+    aggregation; the 5-row median tables re-join the stream as
+    BROADCASTs, so the events table is scanned map-side three times
+    and never shuffled on anything but event_type. At 100 TB the
+    exact medians swap for approx_percentile(0.5) (b_agg_percentiles'
+    t-digest path) with the identical plan shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(F.median("v").cast("double").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").cast("double").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("med"), 6).alias("med_value"),
+        F.round(F.min("mad"), 6).alias("mad_value"),
+        F.sum(F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+    )

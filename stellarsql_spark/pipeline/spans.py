@@ -369,3 +369,59 @@ def b_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- unigram entropy / lexical diversity -----------------------------
+
+_ENTROPY_ORACLE = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w),
+s AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(SUM(c * CAST(ROUND(1000000 * ln(c)) AS BIGINT)) AS BIGINT) AS t
+  FROM wc GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       ROUND(ln(n_tokens) - CAST(t AS DOUBLE) / (1000000.0 * n_tokens), 6) AS entropy,
+       ROUND(n_types / n_tokens, 6) AS type_token_ratio
+FROM s
+"""
+
+
+@register("b_llm_entropy", oracle=_ENTROPY_ORACLE, tags=("pipeline", "text", "entropy"))
+def b_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C137: unigram Shannon entropy + type-token ratio per source —
+    the lexical-diversity features quality filters threshold on
+    (machine-generated or template text shows depressed entropy;
+    Gopher's repetition rules are the n-gram cousin). Uses the
+    algebraic identity H = ln(n) − (Σ c·ln c)/n so the per-type terms
+    are integers (c × round(1e6·ln c)), summed exactly — both engines
+    derive the entropy from identical integer sufficient statistics.
+    Scale shape: one word-keyed count aggregation (map-side combine
+    does the heavy lifting on repeated words) then a 20-row rollup;
+    nothing but (source, word) counts ever shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    t = F.col("c") * F.round(1_000_000 * F.log("c")).cast("bigint")
+    s = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(t).alias("t"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log("n_tokens") - F.col("t").cast("double") / (1_000_000.0 * F.col("n_tokens")), 6
+        ).alias("entropy"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )

@@ -666,3 +666,67 @@ def b_layout_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# --- deterministic training-shard writer -----------------------------
+
+_N_SHARDS = 8
+
+# shard = (first two md5 hex chars of the doc id) mod N — engine-
+# portable (instr/strpos hex arithmetic, see pipeline/spans.py) and
+# STABLE: re-running the writer years later yields byte-identical
+# shard membership, unlike hash-partitioning by engine-internal hash.
+_SHARD_EXPR = (
+    "((({fn}('0123456789abcdef', substring(md5(CAST(doc_id AS {sty})), 1, 1)) - 1) * 16"
+    " + ({fn}('0123456789abcdef', substring(md5(CAST(doc_id AS {sty})), 2, 1)) - 1)) % {n})"
+)
+
+_SHARD_ORACLE = f"""
+WITH sharded AS (
+  SELECT {_SHARD_EXPR.format(fn="strpos", sty="VARCHAR", n=_N_SHARDS)} AS shard,
+         doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS fp
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(fp) AS BIGINT) AS content_checksum
+FROM sharded GROUP BY shard
+"""
+
+
+@register("b_llm_shard_writer", oracle=_SHARD_ORACLE, tags=("pipeline", "write", "shards"))
+def b_llm_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C139: deterministic training-shard writer — every doc is
+    assigned a shard by a content-stable md5 rule (NOT engine-hash
+    partitioning: the assignment must be re-derivable across engines
+    and years, the same argument as b_llm_stratified), written as
+    shard-partitioned parquet, and the read-back census (doc count,
+    token total, an order-independent md5-prefix checksum per shard)
+    must reconstruct the source exactly — proving the lake round trip
+    dropped and duplicated nothing. Scale shape: shard assignment is
+    map-side; the write's repartition("shard") gives one task per
+    shard writing sequentially (at 100 TB: repartition(shard, n) for
+    parallelism within shards + maxRecordsPerFile for bounded file
+    sizes — the knobs are on the same writer)."""
+    d = load_table(spark, sf_dir, "documents")
+    sharded = d.select(
+        F.expr(_SHARD_EXPR.format(fn="instr", sty="STRING", n=_N_SHARDS)).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16"
+            " + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)"
+        ).alias("fp"),
+    )
+    out = _scratch("shards")
+    sharded.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("fp").alias("content_checksum"),
+    )

@@ -238,3 +238,50 @@ class TestExpectations:
             Fn.sum(Fn.when(~Fn.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias("s"),
         ).collect()[0]
         assert (v.p, v.d, v.s) == (1, 1, 1)
+
+
+class TestMadOutliers:
+    def test_mad_resists_contamination(self, spark):
+        """Replace 1% of one type's values with huge spikes via a
+        synthetic frame: the median/MAD of the clean 99% must barely
+        move while mean/std would explode — the reason this op exists
+        next to b_ev_anomaly."""
+        import pyspark.sql.functions as Fn
+
+        base = spark.range(1000).select(
+            Fn.lit("t").alias("event_type"), (Fn.col("id") % 100).cast("double").alias("v")
+        )
+        spiked = base.union(
+            spark.range(10).select(Fn.lit("t").alias("event_type"), Fn.lit(1e9).alias("v"))
+        )
+        med = spiked.agg(Fn.median("v")).collect()[0][0]
+        assert med < 200  # the spikes moved the median by < one rank bucket
+
+    def test_outlier_flags_match_oracle_shape(self, spark):
+        from stellarsql_spark.operators.timeseries import b_ts_outlier_mad
+
+        rows = b_ts_outlier_mad(spark, SF).collect()
+        assert rows and all(r.mad_value >= 0 and r.n_outliers >= 0 for r in rows)
+
+
+class TestEntropy:
+    def test_entropy_bounds(self, spark):
+        """0 <= H <= ln(n_types) for every source (uniform dist is the
+        max-entropy case)."""
+        import math
+
+        from stellarsql_spark.pipeline.spans import b_llm_entropy
+
+        for r in b_llm_entropy(spark, SF).collect():
+            assert -1e-6 <= r.entropy <= math.log(r.n_types) + 1e-6
+            assert 0 < r.type_token_ratio <= 1
+
+
+class TestShardWriter:
+    def test_shards_partition_the_corpus(self, spark):
+        from stellarsql_spark.sources.io import b_llm_shard_writer
+
+        rows = b_llm_shard_writer(spark, SF).collect()
+        n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+        assert sum(r.n_docs for r in rows) == n_docs
+        assert len(rows) <= 8 and all(0 <= r.shard < 8 for r in rows)
