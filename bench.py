@@ -116,6 +116,48 @@ def _duck_times(sf_dir: str, specs, names, runs: int = 3) -> dict[str, float]:
     return out
 
 
+def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
+    """min-of-N for BOTH engines with engine-interleaved trials:
+    [spark q1..qk, duckdb q1..qk] × N. Round-6 measurement: host-VM
+    throughput swings 3-4× BETWEEN sessions (DuckDB's own tumbling
+    oracle: 0.24 s vs 0.92 s minutes apart) while within-session mins
+    are stable, so timing the engines in separate phases makes the
+    ratio compare two different machines. Interleaving samples both
+    engines across the same minutes; min-vs-min then cancels the
+    common drift."""
+    import duckdb
+
+    from stellarsql_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(scaled_dir, t)
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    sfns = {n: prepare(specs[n], spark, scaled_dir) for n in names}
+    dsqls = {n: specs[n].oracle for n in names if specs[n].oracle}
+    for fn in sfns.values():  # warm: plan + codegen + page cache
+        fn()
+    for q in dsqls.values():
+        con.execute(q).fetchall()
+    s_best = {n: float("inf") for n in names}
+    d_best = {n: float("inf") for n in dsqls}
+    for _ in range(runs):
+        for n in names:
+            t0 = time.perf_counter()
+            sfns[n]()
+            s_best[n] = min(s_best[n], time.perf_counter() - t0)
+        for n in dsqls:
+            t0 = time.perf_counter()
+            con.execute(dsqls[n]).fetchall()
+            d_best[n] = min(d_best[n], time.perf_counter() - t0)
+    con.close()
+    return (
+        {n: round(v, 4) for n, v in s_best.items()},
+        {n: round(v, 4) for n, v in d_best.items()},
+    )
+
+
 def prepare(spec, spark, sf_dir: str):
     """Build the query's logical plan once; timed runs re-execute it.
     (`count()` fully re-materializes every run — only the analyzed
@@ -200,23 +242,22 @@ def main() -> None:
                     for t in _PROBE_TABLES.get(name, TABLES)
                 )
             )
+            # Warm the OS page cache ONLY (one throwaway count per
+            # table) — no df.cache(): Spark's InMemoryColumnar read
+            # path measured 7× SLOWER than the vectorized parquet
+            # scan at 300× (Q1: 3.87 s cached vs 0.556 s direct,
+            # round 6), so caching at the data-dominated tiers
+            # benchmarks the cache, not the query. Reading parquet
+            # from the page cache is also engine-fair: it is exactly
+            # what the DuckDB timings get.
             for t in tier_tables:
-                df = load_table(spark, scaled_dir, t)
-                df.cache()
-                df.count()
-            scaled: dict[str, float] = {}
-            # Deep tiers run min-of-5: the host VM's throughput swings
-            # ±50% on a minutes timescale (measured round 5), and a
-            # wider min is the cheapest robust floor estimator for
-            # multi-second queries.
+                load_table(spark, scaled_dir, t).count()
+            # Deep tiers run min-of-5 with ENGINE-INTERLEAVED trials
+            # (see _interleaved_times): the host VM's throughput
+            # swings 3-4× between sessions, and interleaving is what
+            # keeps the cross-engine ratio meaningful under it.
             runs = 5 if factor >= 100 else 3
-            for name in names:
-                scaled[name] = round(
-                    _best_of(prepare(specs[name], spark, scaled_dir), runs=runs), 4
-                )
-            duck = _duck_times(scaled_dir, specs, names, runs=runs)
-            for t in tier_tables:  # release before the next tier caches
-                load_table(spark, scaled_dir, t).unpersist()
+            scaled, duck = _interleaved_times(spark, scaled_dir, specs, names, runs)
             return {
                 "factor": factor,
                 "queries": scaled,

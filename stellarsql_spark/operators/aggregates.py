@@ -11,7 +11,7 @@ and hash-match the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
@@ -897,4 +897,70 @@ def b_agg_corrmatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# --- Gini concentration ----------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+),
+ranked AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS i
+  FROM spend
+)
+SELECT seg,
+       COUNT(*) AS n_cust,
+       CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) / 100.0 AS DOUBLE) AS total_spend,
+       ROUND(
+         2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE)
+           / (COUNT(*) * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+         - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+GROUP BY seg
+"""
+
+
+@register("b_agg_gini", oracle=_GINI_ORACLE, tags=("agg", "stats", "gini"))
+def b_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C140: Gini coefficient of customer spend per market segment —
+    the rank-weighted concentration index (G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over ascending-ranked spend), the one-number answer to
+    "is revenue concentrated in a few whales?". All inputs are exact:
+    cents-integer spends, deterministic dense ranks (spend, custkey
+    tiebreak), DECIMAL(38)/HUGEINT rank-weighted sums — both engines
+    compute the identical double at the end. Scale shape: one
+    fact-side aggregation to customer granularity, one per-segment
+    window rank (partition-local sort bounded by segment size), one
+    rollup — the window is the only sort and it's keyed by the
+    5-way segment split; at 100 TB the rank pass parallelizes per
+    segment-hash range exactly as written."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("seg", "c_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+    ranked = spend.select("seg", "cents", F.row_number().over(w).alias("i"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    n = F.count("*")
+    tot = F.sum(dec("cents"))
+    return ranked.groupBy("seg").agg(
+        n.alias("n_cust"),
+        (tot.cast("bigint") / 100.0).cast("double").alias("total_spend"),
+        F.round(
+            2.0 * F.sum(dec("i") * F.col("cents")).cast("double")
+            / (n * tot.cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
     )

@@ -405,3 +405,55 @@ def b_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+# --- DAU / MAU / stickiness ------------------------------------------
+
+_DAU_MAU_ORACLE = """
+WITH dau AS (
+  SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+),
+mau AS (
+  SELECT date_trunc('month', ts) AS month, COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d.month, COUNT(*) AS n_days, MIN(m.mau) AS mau,
+       ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*), 6) AS avg_dau,
+       ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / MIN(m.mau), 6) AS stickiness
+FROM dau d JOIN mau m ON d.month = m.month
+GROUP BY d.month
+"""
+
+
+@register("b_ev_dau_mau", oracle=_DAU_MAU_ORACLE, tags=("events", "engagement"))
+def b_ev_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C141: DAU/MAU engagement rollup — daily and monthly distinct
+    actives plus the stickiness ratio (avg DAU / MAU), the standard
+    product-engagement gauge. Two distinct-count aggregations at
+    different time grains + a month-keyed join; at 100 TB both
+    distinct counts swap for HLL sketches (b_agg_hll_merge's
+    mergeable path) with the same plan shape, and the month join is
+    a broadcast of a 12-row table. Timestamps ride the pinned-UTC
+    session (catalog.load_table), so day/month boundaries agree with
+    the oracle on any host."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    mau = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("mau").alias("mau"),
+            F.round(F.sum("dau").cast("double") / F.count("*"), 6).alias("avg_dau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count("*") / F.min("mau"), 6
+            ).alias("stickiness"),
+        )
+    )

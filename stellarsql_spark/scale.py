@@ -45,7 +45,9 @@ _SHIFT_COLS: dict[str, tuple[str, ...]] = {
 
 
 def _base_fingerprint(base_sf_dir: str, factor: int) -> str:
-    parts = [str(factor)]
+    # "v2": layout version — bump invalidates caches built with the
+    # old single-file-per-table writer (see target-file sizing below).
+    parts = ["v2", str(factor)]
     for t in TABLES:
         st = os.stat(table_path(base_sf_dir, t))
         parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
@@ -85,8 +87,28 @@ def ensure_scaled_corpus(
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         scaled = replicate_table(load_table(spark, base_sf_dir, t), t, factor)
-        # one file per ~32 MiB keeps scan parallelism reasonable for a
-        # corpus this size without a small-files explosion
+        # One file per ~32 MiB of estimated output, like a real lake's
+        # many-file layout. This is a measured fix (round 6): the
+        # single-file writer produced orders@300× as ONE 500 MiB file
+        # with FOUR 12M-row row groups, capping Spark's scan at 4-way
+        # parallelism on 32 cores (b_join_inner 3.8 s; DuckDB, which
+        # parallelizes inside a row group, was unaffected). File-level
+        # parallelism is the layout knob a 100 TB lake actually has —
+        # maxPartitionBytes can't split below row-group granularity.
+        est_bytes = os.path.getsize(table_path(base_sf_dir, t)) * factor
+        n_files = int(max(1, min(512, est_bytes // (32 << 20))))
+        if n_files > 1:
+            # Parallelize the EXPLOSION, not its output: repartition
+            # the small base table into n_files slices BEFORE the
+            # replica cross-join, so each task independently explodes
+            # and writes its slice ×factor — the only shuffle is the
+            # megabyte-sized base table (a post-explosion repartition
+            # would funnel the full factor× volume through one
+            # single-task shuffle write: measured 16+ min for
+            # lineitem@300× vs ~2 min this way).
+            scaled = replicate_table(
+                load_table(spark, base_sf_dir, t).repartition(n_files), t, factor
+            )
         scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     with open(marker, "w") as f:
         f.write(fingerprint)

@@ -285,3 +285,37 @@ class TestShardWriter:
         n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
         assert sum(r.n_docs for r in rows) == n_docs
         assert len(rows) <= 8 and all(0 <= r.shard < 8 for r in rows)
+
+
+class TestGini:
+    def test_gini_bounds_and_uniform_case(self, spark):
+        """0 <= G < 1; a synthetic perfectly-uniform spend vector must
+        give G ~= 0 through the same formula."""
+        import pyspark.sql.functions as Fn
+        from pyspark.sql import Window as W
+
+        from stellarsql_spark.operators.aggregates import b_agg_gini
+
+        rows = b_agg_gini(spark, SF).collect()
+        assert rows and all(0.0 <= r.gini < 1.0 for r in rows)
+
+        u = spark.range(100).select(Fn.lit("u").alias("seg"), Fn.lit(500).alias("cents"),
+                                    Fn.col("id").alias("k"))
+        w = W.partitionBy("seg").orderBy("cents", "k")
+        ranked = u.select("seg", "cents", Fn.row_number().over(w).alias("i"))
+        g = ranked.groupBy("seg").agg(
+            (2.0 * Fn.sum(Fn.col("i") * Fn.col("cents")) / (Fn.count("*") * Fn.sum("cents"))
+             - (Fn.count("*") + 1.0) / Fn.count("*")).alias("g")
+        ).collect()[0].g
+        assert abs(g) < 1e-9
+
+
+class TestDauMau:
+    def test_stickiness_bounds(self, spark):
+        from stellarsql_spark.operators.events_analytics import b_ev_dau_mau
+
+        rows = b_ev_dau_mau(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.stickiness <= 1.0
+            assert r.avg_dau <= r.mau
