@@ -211,7 +211,13 @@ def main() -> None:
 
     from stellarsql_spark.catalog import TABLES, load_table
 
-    for t in TABLES:  # warm the cache once for the whole matrix
+    # Base tier KEEPS df.cache() while the scale probes drop it — an
+    # A/B'd asymmetry (round 6): at sf0.1 the cache wins (headline sum
+    # 1.53 s cached vs 2.29 s direct — file-open/footer fixed costs
+    # dominate 17 MiB of data), while at the GiB tiers the
+    # InMemoryColumnar decode path loses 7× to the vectorized parquet
+    # scan (see probe()).
+    for t in TABLES:
         df = load_table(spark, sf_dir, t)
         df.cache()
         df.count()
@@ -256,7 +262,7 @@ def main() -> None:
             # (see _interleaved_times): the host VM's throughput
             # swings 3-4× between sessions, and interleaving is what
             # keeps the cross-engine ratio meaningful under it.
-            runs = 5 if factor >= 100 else 3
+            runs = 7 if factor >= 300 else 5 if factor >= 100 else 3
             scaled, duck = _interleaved_times(spark, scaled_dir, specs, names, runs)
             return {
                 "factor": factor,
