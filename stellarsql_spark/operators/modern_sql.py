@@ -323,3 +323,25 @@ def b_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+_ORDER_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("b_sql_order_all", oracle=_ORDER_ALL_SQL, tags=("sql", "modern", "orderall"))
+def b_sql_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C142: ORDER BY ALL (+ GROUP BY ALL) — the modern-SQL shorthand
+    pair: group on every non-aggregate select item, then order by
+    every select item left-to-right, identical text on both engines
+    (Spark 4 and DuckDB both ship it). The ordering includes the
+    aggregate columns, so the result order is total and deterministic
+    without naming a single column — resolution-time sugar over the
+    same hash-agg + TakeOrdered plan the explicit form produces."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_ORDER_ALL_SQL)
