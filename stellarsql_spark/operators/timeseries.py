@@ -455,3 +455,61 @@ def b_ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+# --- seasonal-naive forecast backbone --------------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+forecast AS (
+  SELECT event_type, day, cents,
+         LAG(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM daily
+)
+SELECT event_type,
+       COUNT(pred) AS n_scored_days,
+       CAST(CAST(SUM(ABS(cents - pred)) AS BIGINT) / 100.0 / COUNT(pred) AS DOUBLE) AS mae,
+       ROUND(CAST(SUM(ABS(cents - pred)) AS BIGINT)
+             / CAST(SUM(CASE WHEN pred IS NOT NULL THEN ABS(cents) END) AS BIGINT), 6) AS wape
+FROM forecast
+GROUP BY event_type
+"""
+
+
+@register("b_ts_seasonal_naive", oracle=_SEASONAL_ORACLE, tags=("timeseries", "forecast"))
+def b_ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C143: seasonal-naive forecast backbone — predict each day's
+    per-type total with the same weekday last week (lag-7 over the
+    daily series) and score the forecast historically with MAE and
+    WAPE. This is the baseline every production forecast must beat,
+    and the backtest scaffolding (daily rollup → lagged join →
+    error rollup) is the same plan a real model's evaluation runs.
+    Exactness: daily totals are integer cents, lag differences are
+    integers, and both error metrics divide exact integer sums — no
+    float accumulation anywhere. Scale shape: one fact rollup to
+    (type, day) granularity (tiny), one partition-local window, one
+    5-row rollup; the fact scan is the only data-sized pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.select(
+        "event_type", "cents", F.lag("cents", 7).over(w).alias("pred")
+    )
+    err = F.abs(F.col("cents") - F.col("pred"))
+    return fc.groupBy("event_type").agg(
+        F.count("pred").alias("n_scored_days"),
+        (F.sum(err).cast("bigint") / 100.0 / F.count("pred")).cast("double").alias("mae"),
+        F.round(
+            F.sum(err).cast("bigint")
+            / F.sum(F.when(F.col("pred").isNotNull(), F.abs(F.col("cents")))).cast("bigint"),
+            6,
+        ).alias("wape"),
+    )

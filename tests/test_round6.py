@@ -319,3 +319,27 @@ class TestDauMau:
         for r in rows:
             assert 0 < r.stickiness <= 1.0
             assert r.avg_dau <= r.mau
+
+
+class TestSeasonalNaive:
+    def test_perfect_weekly_signal_gives_zero_error(self, spark):
+        """A synthetic exactly-weekly-periodic series must backtest to
+        MAE = 0 under the lag-7 forecast."""
+        import pyspark.sql.functions as Fn
+        from pyspark.sql import Window as W
+
+        days = spark.range(28).select(
+            Fn.lit("t").alias("k"),
+            Fn.col("id").alias("d"),
+            ((Fn.col("id") % 7) * 100 + 500).alias("cents"),
+        )
+        w = W.partitionBy("k").orderBy("d")
+        fc = days.select("cents", Fn.lag("cents", 7).over(w).alias("pred"))
+        mae = fc.agg(Fn.sum(Fn.abs(Fn.col("cents") - Fn.col("pred")))).collect()[0][0]
+        assert mae == 0
+
+    def test_corpus_metrics_well_formed(self, spark):
+        from stellarsql_spark.operators.timeseries import b_ts_seasonal_naive
+
+        rows = b_ts_seasonal_naive(spark, SF).collect()
+        assert rows and all(r.mae >= 0 and 0 <= r.wape for r in rows)
