@@ -208,3 +208,54 @@ def b_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_TIME_RANGE_ORACLE)
+
+
+# --- Pareto frontier (skyline) ---------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_custkey < 1000
+),
+s AS (
+  SELECT o_orderkey, o_orderdate, price,
+         MAX(price) OVER (ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM o
+)
+SELECT o_orderkey, o_orderdate, price
+FROM s WHERE prev_max IS NULL OR price > prev_max
+"""
+
+
+@register("b_win_skyline", oracle=_SKYLINE_ORACLE, tags=("window", "skyline", "pareto"))
+def b_win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C144: 2-D Pareto frontier (skyline) — the orders no other
+    earlier-or-equal order dominates on (earlier date, higher price):
+    one ordered scan keeping a running prior maximum (the staircase
+    algorithm), frontier = rows exceeding it. Deterministic via the
+    (date, orderkey) total order; the exclusive ROWS frame makes
+    "prior" precise on date ties in both engines.
+
+    Scale note: the staircase is inherently sequential, so THIS form
+    uses one global ordered window — fine for the bounded slice a
+    skyline is usually asked of (top customers, one segment). The
+    100 TB form pre-aggregates max(price) per date (a keyed, parallel
+    rollup that loses no frontier point, since domination only looks
+    at the per-date maximum), staircases over the ~thousands of date
+    buckets, and broadcast-joins the tiny frontier staircase back to
+    filter the fact table — same three-step shape as the time-series
+    rollup-reuse key."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 1000)
+        .select("o_orderkey", "o_orderdate", F.col("o_totalprice").cast("double").alias("price"))
+    )
+    w = (
+        Window.orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = o.select("o_orderkey", "o_orderdate", "price", F.max("price").over(w).alias("prev_max"))
+    return s.where(F.col("prev_max").isNull() | (F.col("price") > F.col("prev_max"))).select(
+        "o_orderkey", "o_orderdate", "price"
+    )
