@@ -457,3 +457,75 @@ def b_ev_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# --- two-proportion A/B test -----------------------------------------
+
+_ABTEST_ORACLE = """
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY grp
+),
+w AS (
+  SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN grp = 0 THEN conv END) AS c_a,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN grp = 1 THEN conv END) AS c_b
+  FROM g
+)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND(
+         (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         / sqrt( (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b) ), 6) AS z_stat
+FROM w
+"""
+
+
+@register("b_ev_ab_test", oracle=_ABTEST_ORACLE, tags=("events", "abtest", "stats"))
+def b_ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C145: two-proportion A/B test — deterministic user-id parity
+    assignment, per-user conversion (a purchase above the value-150 threshold —
+    chosen so neither arm saturates: a pooled rate of exactly 0 or 1
+    zeroes the z denominator, which ANSI mode correctly refuses to
+    divide by), pooled
+    two-proportion z-statistic. The whole test reduces to FOUR
+    integers (n, conversions per arm) — the experiment-analysis shape
+    that runs daily on every product metric — so both engines derive
+    the identical z from identical integer sufficient statistics.
+    Scale shape: one user-keyed conversion rollup (map-side combine
+    on the boolean max), one 2-row aggregate, then scalar math; at
+    100 TB the user rollup is the only data-sized pass and it
+    partial-aggregates before its single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    g = assign.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return w.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round((ra - rb) / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))), 6).alias("z_stat"),
+    )

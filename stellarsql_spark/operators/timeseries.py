@@ -513,3 +513,93 @@ def b_ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wape"),
     )
+
+
+# --- lag-k autocorrelation -------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT k, cents AS x,
+         LAG(cents, k) OVER (PARTITION BY k ORDER BY day) AS y
+  FROM daily CROSS JOIN (VALUES (1), (2), (3), (7)) ks(k)
+),
+s AS (
+  SELECT k, COUNT(y) AS n,
+         CAST(SUM(CASE WHEN y IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) END) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CASE WHEN y IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) * x END) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM lagged GROUP BY k
+)
+SELECT k, n,
+       ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
+FROM s
+"""
+
+
+@register("b_ts_autocorr", oracle=_AUTOCORR_ORACLE, tags=("timeseries", "autocorr"))
+def b_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C146: lag-k autocorrelation of the daily total series (k = 1,
+    2, 3, 7) — the diagnostic that tells a forecaster whether
+    yesterday or last week predicts today (and the quantitative
+    justification for b_ts_seasonal_naive's lag-7 choice). Same
+    exactness discipline as the correlation matrix: integer-cents
+    daily sums, DECIMAL(38)/HUGEINT moment sums per lag, one double
+    conversion at the end — bit-identical in both engines. Scale
+    shape: the fact rollup to days is the only data-sized pass;
+    the lag windows run over the tiny daily series fanned out 4×
+    by the literal lag table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    ks = ev.sparkSession.createDataFrame([(1,), (2,), (3,), (7,)], "k int")
+    from pyspark.sql import Window
+
+    # Spark's lag() requires a literal offset (the oracle's LAG(cents,
+    # k) is legal in DuckDB), so the column-offset lag is expressed
+    # relationally: a self-join on the day ordinal shifted by k —
+    # identical semantics, and the join runs over the tiny daily
+    # series only.
+    ordd = daily.select(
+        "day", "cents", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    a = ordd.alias("a")
+    b = ordd.alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("b.i") == F.col("a.i") - F.col("k")),
+            "left",
+        )
+        .select("k", F.col("a.cents").alias("x"), F.col("b.cents").alias("y"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    has = F.col("y").isNotNull()
+    s = lagged.groupBy("k").agg(
+        F.count("y").alias("n"),
+        F.sum(F.when(has, dec(F.col("x")))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(F.when(has, dec(F.col("x")) * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec(F.col("x")) * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        "k", "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("autocorr"),
+    )

