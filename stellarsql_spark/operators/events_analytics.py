@@ -529,3 +529,61 @@ def b_ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         F.round((ra - rb) / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))), 6).alias("z_stat"),
     )
+
+
+# --- time-to-convert distribution ------------------------------------
+
+_TTC_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id, first_purchase - first_view AS delta_us
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(MIN(delta_us) AS BIGINT) AS min_us,
+       CAST(MAX(delta_us) AS BIGINT) AS max_us,
+       ROUND(CAST(quantile_cont(delta_us, 0.5) AS DOUBLE), 1) AS p50_us,
+       ROUND(CAST(quantile_cont(delta_us, 0.9) AS DOUBLE), 1) AS p90_us
+FROM conv
+"""
+
+
+@register("b_ev_time_to_convert", oracle=_TTC_ORACLE, tags=("events", "funnel", "latency"))
+def b_ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C147: time-to-convert distribution — per user, the latency from
+    first 'view' to first subsequent 'purchase', summarized as exact
+    interpolated percentiles over integer microsecond deltas (the
+    funnel-latency companion to b_ev_funnel's conversion counts).
+    Both engines interpolate continuous quantiles identically on the
+    same integer multiset (Spark `percentile`, DuckDB
+    `quantile_cont`), and the deltas are exact unix_micros integers
+    under the pinned-UTC session. Scale shape: one user-keyed
+    conditional-min rollup (map-side combine), then a single bounded
+    aggregate; at 100 TB the percentile swaps to approx_percentile's
+    mergeable t-digest with the same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("delta_us"))
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delta_us").alias("min_us"),
+        F.max("delta_us").alias("max_us"),
+        F.round(F.expr("percentile(delta_us, 0.5)").cast("double"), 1).alias("p50_us"),
+        F.round(F.expr("percentile(delta_us, 0.9)").cast("double"), 1).alias("p90_us"),
+    )
