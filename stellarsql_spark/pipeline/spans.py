@@ -425,3 +425,103 @@ def b_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy"),
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) ------------------
+
+_WIN_K = 3   # shingle width (tokens)
+_WIN_W = 4   # winnowing window (consecutive shingle hashes)
+
+# 16-bit shingle hash from 4 md5 hex chars, engine-portable.
+def _hash16(fn: str, expr: str) -> str:
+    h = f"md5({expr})"
+    cs = [
+        f"({fn}('{_HEX}', substring({h}, {i}, 1)) - 1)" for i in (1, 2, 3, 4)
+    ]
+    return f"((({cs[0]} * 16 + {cs[1]}) * 16 + {cs[2]}) * 16 + {cs[3]})"
+
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= {_WIN_K}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(range(1, len(l) - {_WIN_K - 1} + 1)) AS pos,
+         unnest(list_transform(range(1, len(l) - {_WIN_K - 1} + 1),
+                p -> {_hash16("strpos", f"array_to_string(l[p : p + {_WIN_K - 1}], ' ')")})) AS h
+  FROM toks
+),
+keyed AS (
+  SELECT doc_id, pos, h, h * 65536 + (65535 - pos) AS key,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM sh
+),
+sel AS (
+  SELECT doc_id, n_sh,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS sel_key,
+         pos
+  FROM keyed
+)
+SELECT doc_id,
+       MIN(n_sh) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       COUNT(DISTINCT sel_key) AS n_fingerprints,
+       CAST(SUM(DISTINCT sel_key) AS BIGINT) AS fp_checksum,
+       ROUND(COUNT(DISTINCT sel_key) / COUNT(*), 6) AS density
+FROM sel
+WHERE pos <= n_sh - {_WIN_W - 1}
+GROUP BY doc_id
+"""
+
+
+@register("b_llm_winnowing", oracle=_WINNOW_ORACLE, tags=("pipeline", "dedup", "fingerprint"))
+def b_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C148: winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every 3-token shingle, slide a 4-hash window,
+    select each window's rightmost minimal hash — the selection is
+    GUARANTEED to share fingerprints between any two docs with a
+    common substring of ≥ w+k−1 tokens, the locality property plain
+    min-sampling (b_llm_fingerprint) lacks. The rightmost-min
+    tiebreak is encoded order-theoretically (key = h·65536 +
+    (65535 − pos), minimized), so one windowed MIN does the whole
+    selection; per-doc output = fingerprint count, density (≈ 2/(w+1)
+    expected), and an order-independent checksum of the selected set.
+    Scale shape: shingle/hash/window all run partition-local per doc
+    (one doc-keyed window sort), map-side before the per-doc rollup —
+    the fingerprint sets, not documents, are what a plagiarism/dedup
+    index shuffles downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).where(
+        F.size("l") >= _WIN_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {_WIN_K - 1}), "
+                f"p -> {_hash16('instr', f'array_join(slice(l, p, {_WIN_K}), chr(32))')})"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    from pyspark.sql import Window
+
+    keyed = sh.select(
+        "doc_id",
+        "pos",
+        (F.col("h").cast("bigint") * 65536 + (65535 - F.col("pos"))).alias("key"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    wsel = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    sel = keyed.select(
+        "doc_id", "n_sh", "pos", F.min("key").over(wsel).alias("sel_key")
+    ).where(F.col("pos") <= F.col("n_sh") - (_WIN_W - 1))
+    return sel.groupBy("doc_id").agg(
+        F.min("n_sh").alias("n_shingles"),
+        F.count("*").alias("n_windows"),
+        F.count_distinct("sel_key").alias("n_fingerprints"),
+        F.sum_distinct("sel_key").alias("fp_checksum"),
+        F.round(F.count_distinct("sel_key") / F.count("*"), 6).alias("density"),
+    )
