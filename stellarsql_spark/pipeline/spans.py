@@ -525,3 +525,89 @@ def b_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum_distinct("sel_key").alias("fp_checksum"),
         F.round(F.count_distinct("sel_key") / F.count("*"), 6).alias("density"),
     )
+
+
+# --- batch padding-waste census --------------------------------------
+
+_BATCH_N = 32
+
+_PADDING_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+naive AS (
+  SELECT n, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / {_BATCH_N}.0) AS BIGINT) AS b
+  FROM lens
+),
+sorted_b AS (
+  SELECT n, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1) / {_BATCH_N}.0) AS BIGINT) AS b
+  FROM lens
+),
+stats AS (
+  SELECT 'naive' AS strategy, b, COUNT(*) AS k, MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS s
+  FROM naive GROUP BY b
+  UNION ALL
+  SELECT 'length_sorted', b, COUNT(*), MAX(n), CAST(SUM(n) AS BIGINT)
+  FROM sorted_b GROUP BY b
+)
+SELECT strategy,
+       COUNT(*) AS n_batches,
+       CAST(SUM(s) AS BIGINT) AS real_tokens,
+       CAST(SUM(k * mx) AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - CAST(SUM(s) AS BIGINT) / CAST(SUM(k * mx) AS BIGINT), 6) AS waste_pct
+FROM stats
+GROUP BY strategy
+"""
+
+
+@register("b_llm_batch_padding", oracle=_PADDING_ORACLE, tags=("pipeline", "batching", "efficiency"))
+def b_llm_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C149: padding-waste census for training-batch construction —
+    fixed batches of 32 docs padded to the batch max, comparing
+    arrival-order batching against length-sorted batching (the
+    bucketed-batching trick every trainer uses: sorting by length
+    collapses the per-batch max toward the mean and reclaims the
+    padding FLOPs). Output is the two-strategy census: real vs padded
+    token totals and the waste fraction — deterministic integers plus
+    one rounded division. Cross-engine trap pinned here: batch id
+    must be FLOOR((rn−1)/N) explicitly — DuckDB CASTs double→BIGINT
+    by rounding-to-nearest while Spark truncates, so the bare
+    CAST((rn−1)/N AS BIGINT) silently assigns boundary rows to
+    different batches in the two engines.
+
+    Scale shape: the length projection is map-side; each strategy
+    needs one global ordering (the same sort a sort-based shard
+    writer already pays), and the per-batch rollup is keyed by batch
+    ordinal. At 100 TB the exact global sort becomes
+    repartitionByRange on length (quantile-sampled bounds) with
+    in-partition batch assembly — identical census semantics, no
+    total order required."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    lens = d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    naive = lens.select(
+        "n",
+        F.floor((F.row_number().over(Window.orderBy("doc_id")) - 1) / _BATCH_N)
+        .cast("bigint")
+        .alias("b"),
+    ).withColumn("strategy", F.lit("naive"))
+    slen = lens.select(
+        "n",
+        F.floor((F.row_number().over(Window.orderBy("n", "doc_id")) - 1) / _BATCH_N)
+        .cast("bigint")
+        .alias("b"),
+    ).withColumn("strategy", F.lit("length_sorted"))
+    stats = (
+        naive.unionByName(slen)
+        .groupBy("strategy", "b")
+        .agg(F.count("*").alias("k"), F.max("n").alias("mx"), F.sum("n").alias("s"))
+    )
+    return stats.groupBy("strategy").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("s").alias("real_tokens"),
+        F.sum(F.col("k") * F.col("mx")).alias("padded_tokens"),
+        F.round(
+            1.0 - F.sum("s") / F.sum(F.col("k") * F.col("mx")), 6
+        ).alias("waste_pct"),
+    )

@@ -426,3 +426,13 @@ class TestWinnowing:
         # guaranteed by construction — asserted indirectly through the
         # substring flag above (full set-intersection check would need
         # the per-position selection, which the rollup hides)
+
+
+class TestBatchPadding:
+    def test_sorted_batching_wastes_less(self, spark):
+        from stellarsql_spark.pipeline.spans import b_llm_batch_padding
+
+        rows = {r.strategy: r for r in b_llm_batch_padding(spark, SF_MED).collect()}
+        assert set(rows) == {"naive", "length_sorted"}
+        assert rows["length_sorted"].waste_pct <= rows["naive"].waste_pct
+        assert rows["naive"].real_tokens == rows["length_sorted"].real_tokens
