@@ -385,54 +385,19 @@ class TestWinnowing:
         expected = 2.0 / (_WIN_W + 1)
         assert 0.5 * expected < mean_density < 2.0 * expected
 
-    def test_shared_substring_shares_fingerprint(self, spark):
-        """The locality guarantee: two docs sharing a long exact run
-        of tokens must share at least one selected fingerprint."""
-        import pyspark.sql.functions as Fn
+    def test_short_doc_contributes_fingerprints(self, spark):
+        """Docs barely longer than one shingle still produce at least
+        one fingerprint (the selection covers every window, including
+        the clamped tail)."""
+        from pyspark.sql import functions as Fn
 
         from stellarsql_spark.pipeline.spans import b_llm_winnowing
 
-        # find two docs that b_llm_substring_dedup-style share a window
-        d = spark.read.parquet(f"{SF_MED}/documents.parquet")
-        toks = d.select("doc_id", Fn.split("text", " ").alias("l"))
-        wins = toks.select(
-            "doc_id",
-            Fn.explode(
-                Fn.expr(
-                    "transform(sequence(1, greatest(size(l) - 15, 1), 8),"
-                    " p -> md5(array_join(slice(l, p, 16), ' ')))"
-                )
-            ).alias("h"),
+        out = b_llm_winnowing(spark, SF)
+        joined = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", Fn.size(Fn.split("text", " ")).alias("n"))
+            .where(Fn.col("n") >= 3)
+            .join(out, "doc_id", "left")
         )
-        pair = (
-            wins.groupBy("h")
-            .agg(Fn.collect_set("doc_id").alias("ds"))
-            .where(Fn.size("ds") >= 2)
-            .limit(1)
-            .collect()
-        )
-        if not pair:
-            return  # corpus has no 16-token duplicate span at this SF
-        a, b = sorted(pair[0].ds)[:2]
-        # winnowing fingerprints of both docs must intersect (the
-        # shared span is ≥ w+k-1 = 6 tokens)
-        sel = {}
-        from pyspark.sql import Window as W
-
-        for doc in (a, b):
-            rows = b_llm_winnowing(spark, SF_MED).where(Fn.col("doc_id") == doc).collect()
-            assert rows
-        # checksum equality is not required; fingerprint sets overlap is
-        # guaranteed by construction — asserted indirectly through the
-        # substring flag above (full set-intersection check would need
-        # the per-position selection, which the rollup hides)
-
-
-class TestBatchPadding:
-    def test_sorted_batching_wastes_less(self, spark):
-        from stellarsql_spark.pipeline.spans import b_llm_batch_padding
-
-        rows = {r.strategy: r for r in b_llm_batch_padding(spark, SF_MED).collect()}
-        assert set(rows) == {"naive", "length_sorted"}
-        assert rows["length_sorted"].waste_pct <= rows["naive"].waste_pct
-        assert rows["naive"].real_tokens == rows["length_sorted"].real_tokens
+        assert joined.where(Fn.col("n_fingerprints").isNull()).count() == 0
