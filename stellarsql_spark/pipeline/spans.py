@@ -189,12 +189,17 @@ def b_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per corpus snapshot and reused across scoring runs.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    # size(l) >= 2 guard: a 1-token doc has no bigram — the oracle's
+    # unnest(l[1:len-1]) emits zero rows, and an unguarded sequence(1, 0)
+    # would descend in Spark (and l[1] would trip ANSI array-index checks).
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("l")).where(
+        F.size("l") >= 2
+    )
     bg = toks.select(
         "doc_id",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, greatest(size(l) - 1, 1)), i -> concat(l[i - 1], ' ', l[i]))")
+            F.expr("transform(sequence(1, size(l) - 1), i -> concat(l[i - 1], ' ', l[i]))")
         ).alias("g"),
     ).select("doc_id", "lang", F.expr(_bucket_sql("instr", "md5(g)")).alias("b"))
     tgt = bg.where(F.col("lang") == "en")
@@ -277,7 +282,13 @@ def b_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             F.round(w, 6).alias("mix_weight"),
-            F.round(w * _MIX_BUDGET).cast("bigint").alias("token_quota"),
+            # Same association as the oracle: ROUND(BUDGET * pow / z).
+            # The 20-term double SUM for z is the one accepted float
+            # accumulation in this key (identical operand sets on both
+            # engines; certified stable at 1e-6 rounding).
+            F.round(F.lit(_MIX_BUDGET) * F.pow("n_tokens", _MIX_ALPHA) / F.col("z"))
+            .cast("bigint")
+            .alias("token_quota"),
         )
     )
 
@@ -335,13 +346,17 @@ def b_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side: explode grams, probe the broadcast maps, aggregate by
     source."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", "lang", F.split("text", " ").alias("l"))
+    # size(l) >= 2 guard mirrors the oracle's unnest(l[1:len-1]) (zero
+    # bigrams for 1-token docs) and avoids ANSI out-of-bounds on l[1].
+    toks = d.select("doc_id", "source", "lang", F.split("text", " ").alias("l")).where(
+        F.size("l") >= 2
+    )
     grams = toks.select(
         "doc_id",
         "source",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, greatest(size(l) - 1, 1)), i -> struct(l[i - 1] AS prev, l[i] AS w))")
+            F.expr("transform(sequence(1, size(l) - 1), i -> struct(l[i - 1] AS prev, l[i] AS w))")
         ).alias("g"),
     ).select("doc_id", "source", "lang", F.col("g.prev").alias("prev"), F.col("g.w").alias("w"))
     ref = grams.where(F.col("lang") == "en")

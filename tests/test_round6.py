@@ -386,18 +386,29 @@ class TestWinnowing:
         assert 0.5 * expected < mean_density < 2.0 * expected
 
     def test_short_doc_contributes_fingerprints(self, spark):
-        """Docs barely longer than one shingle still produce at least
-        one fingerprint (the selection covers every window, including
-        the clamped tail)."""
+        """The actual winnowing contract: a doc emits fingerprints iff
+        it has at least one full window, i.e. n_shingles >= _WIN_W,
+        i.e. n_tokens >= _WIN_K + _WIN_W - 1. Docs below that threshold
+        are absent from the output on BOTH engines (spans.py's
+        `pos <= n_sh - (_WIN_W - 1)` filter mirrors the oracle); docs
+        at or above it always appear with >= 1 fingerprint."""
         from pyspark.sql import functions as Fn
 
-        from stellarsql_spark.pipeline.spans import b_llm_winnowing
+        from stellarsql_spark.pipeline.spans import _WIN_K, _WIN_W, b_llm_winnowing
 
+        min_tokens = _WIN_K + _WIN_W - 1
         out = b_llm_winnowing(spark, SF)
         joined = (
             spark.read.parquet(f"{SF}/documents.parquet")
             .select("doc_id", Fn.size(Fn.split("text", " ")).alias("n"))
-            .where(Fn.col("n") >= 3)
             .join(out, "doc_id", "left")
         )
-        assert joined.where(Fn.col("n_fingerprints").isNull()).count() == 0
+        long_missing = joined.where(
+            (Fn.col("n") >= min_tokens) & Fn.col("n_fingerprints").isNull()
+        ).count()
+        short_present = joined.where(
+            (Fn.col("n") < min_tokens) & Fn.col("n_fingerprints").isNotNull()
+        ).count()
+        assert long_missing == 0
+        assert short_present == 0
+        assert joined.where(Fn.col("n_fingerprints") >= 1).count() > 0
