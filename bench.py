@@ -74,10 +74,29 @@ SCALE2_FACTOR = 100
 SCALE3_MATCHED = (
     "b_agg_groupby",
     "b_join_inner",
+    "b_join_inner_bucketed",
     "b_stream_tumbling",
     "b_llm_cosine_topk",
 )
 SCALE3_FACTOR = 300
+
+# Fourth tier at 1000× (~14 GiB over the five probe tables): the
+# deepest extrapolation point. Round 6 measured only the flagship
+# here (0.83×, Spark wins); this block re-measures the three shapes
+# that sat above the 2× band at 300× — whether their ratios converge
+# with depth like the flagship's did, or plateau at the per-row
+# kernel constant, is the 100 TB answer. The bucketed join twin rides
+# along to separate the exchange term from the kernel term at depth.
+SCALE4_MATCHED = (
+    "b_agg_groupby",
+    "b_join_inner",
+    "b_join_inner_bucketed",
+    "b_stream_tumbling",
+    "b_llm_cosine_topk",
+)
+SCALE4_FACTOR = 1000
+# Only these five tables replicate at 1000×; the rest stay base-size.
+SCALE4_TABLES = ("lineitem", "orders", "customer", "events", "embeddings")
 
 # Tables each probe query touches — deep tiers cache ONLY these (at
 # 300× the full ten-table corpus no longer fits the bench heap
@@ -85,6 +104,7 @@ SCALE3_FACTOR = 300
 _PROBE_TABLES = {
     "b_agg_groupby": ("lineitem",),
     "b_join_inner": ("orders", "customer", "nation", "region"),
+    "b_join_inner_bucketed": ("orders", "customer", "nation", "region"),
     "b_topk_per_group": ("orders", "customer"),
     "b_stream_tumbling": ("events",),
     "b_llm_cosine_topk": ("embeddings",),
@@ -238,8 +258,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         from stellarsql_spark.scale import ensure_scaled_corpus
 
-        def probe(factor: int, names) -> dict:
-            scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor)
+        def probe(factor: int, names, tables=None) -> dict:
+            scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor, tables=tables)
             tune_for_data_size(spark, scaled_dir, cpus=cpus)
             tier_tables = tuple(
                 dict.fromkeys(
@@ -262,13 +282,17 @@ def main() -> None:
             # (see _interleaved_times): the host VM's throughput
             # swings 3-4× between sessions, and interleaving is what
             # keeps the cross-engine ratio meaningful under it.
-            runs = 7 if factor >= 300 else 5 if factor >= 100 else 3
+            # min-of-5 at 1000× (each trial round is ~a minute there;
+            # 7 rounds would double tier wall-clock for ~the same min).
+            runs = 5 if factor >= 1000 else 7 if factor >= 300 else 5 if factor >= 100 else 3
             scaled, duck = _interleaved_times(spark, scaled_dir, specs, names, runs)
             return {
                 "factor": factor,
                 "queries": scaled,
                 "time_ratio_vs_base": {
-                    k: round(scaled[k] / timings[k], 2) for k in scaled
+                    k: round(scaled[k] / timings[k], 2)
+                    for k in scaled
+                    if k in timings
                 },
                 "duckdb": duck,
                 "ratio_vs_duckdb": {
@@ -299,6 +323,16 @@ def main() -> None:
             result["scale_probe_300"] = probe(SCALE3_FACTOR, SCALE3_MATCHED)
         else:
             result["scale_probe_300"] = {"skipped": "time budget"}
+        # 1000× tier: the deepest datapoint. First run per corpus
+        # regeneration pays a ~14 GiB one-off build (cached after);
+        # the guard keeps a budget-blown session emitting its JSON
+        # line without the tier rather than nothing at all.
+        if time.perf_counter() - _T0 < 1080:
+            result["scale_probe_1000"] = probe(
+                SCALE4_FACTOR, SCALE4_MATCHED, tables=SCALE4_TABLES
+            )
+        else:
+            result["scale_probe_1000"] = {"skipped": "time budget"}
         tune_for_data_size(spark, sf_dir, cpus=cpus)
 
     print(json.dumps(result))

@@ -162,7 +162,11 @@ _R02_CHECKED = frozenset(
 # re-stamps it.  Routine staleness needs no entry — the stamped tail
 # is ordered oldest-stamp-first, so the driver's ~50-key window
 # re-certifies the stalest evidence automatically each round.
-_RESTAMP: tuple[str, ...] = ()
+# Keys whose Spark-side code changed this round (round 7: the 1-token
+# bigram guards and the domain-mix quota association) — front them in
+# the driver window right after never-stamped keys so their stamps
+# refresh on the changed code.
+_RESTAMP: tuple[str, ...] = ("b_llm_dsir", "b_llm_perplexity", "b_llm_domain_mix")
 
 
 def _driver_stamp_rounds() -> dict[str, int]:

@@ -44,10 +44,12 @@ _SHIFT_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _base_fingerprint(base_sf_dir: str, factor: int) -> str:
+def _base_fingerprint(
+    base_sf_dir: str, factor: int, tables: tuple[str, ...] | None = None
+) -> str:
     # "v2": layout version — bump invalidates caches built with the
     # old single-file-per-table writer (see target-file sizing below).
-    parts = ["v2", str(factor)]
+    parts = ["v2", str(factor), ",".join(sorted(tables or ()))]
     for t in TABLES:
         st = os.stat(table_path(base_sf_dir, t))
         parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
@@ -69,14 +71,24 @@ def replicate_table(df: DataFrame, name: str, factor: int) -> DataFrame:
 
 
 def ensure_scaled_corpus(
-    spark: SparkSession, base_sf_dir: str, factor: int, out_root: str | None = None
+    spark: SparkSession,
+    base_sf_dir: str,
+    factor: int,
+    out_root: str | None = None,
+    tables: tuple[str, ...] | None = None,
 ) -> str:
-    """Build (or reuse) the ``factor``× corpus; returns its directory."""
+    """Build (or reuse) the ``factor``× corpus; returns its directory.
+
+    ``tables`` restricts REPLICATION to a subset (the other tables are
+    still copied at base size so every view registers) — the 1000×
+    tier replicates only the five tables its probe queries touch,
+    which keeps the one-off build at ~14 GiB instead of ~60 GiB."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tag = os.path.basename(base_sf_dir.rstrip("/"))
-    out_dir = os.path.join(out_root or os.path.join(repo, ".scale"), f"{tag}_x{factor}")
+    suffix = f"_x{factor}" if tables is None else f"_x{factor}p{len(tables)}"
+    out_dir = os.path.join(out_root or os.path.join(repo, ".scale"), f"{tag}{suffix}")
     marker = os.path.join(out_dir, "_SCALED_DONE")
-    fingerprint = _base_fingerprint(base_sf_dir, factor)
+    fingerprint = _base_fingerprint(base_sf_dir, factor, tables)
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == fingerprint:
@@ -86,7 +98,8 @@ def ensure_scaled_corpus(
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
-        scaled = replicate_table(load_table(spark, base_sf_dir, t), t, factor)
+        t_factor = factor if (tables is None or t in tables) else 1
+        scaled = replicate_table(load_table(spark, base_sf_dir, t), t, t_factor)
         # One file per ~32 MiB of estimated output, like a real lake's
         # many-file layout. This is a measured fix (round 6): the
         # single-file writer produced orders@300× as ONE 500 MiB file
@@ -95,7 +108,7 @@ def ensure_scaled_corpus(
         # parallelizes inside a row group, was unaffected). File-level
         # parallelism is the layout knob a 100 TB lake actually has —
         # maxPartitionBytes can't split below row-group granularity.
-        est_bytes = os.path.getsize(table_path(base_sf_dir, t)) * factor
+        est_bytes = os.path.getsize(table_path(base_sf_dir, t)) * t_factor
         n_files = int(max(1, min(512, est_bytes // (32 << 20))))
         if n_files > 1:
             # Parallelize the EXPLOSION, not its output: repartition
@@ -107,7 +120,7 @@ def ensure_scaled_corpus(
             # single-task shuffle write: measured 16+ min for
             # lineitem@300× vs ~2 min this way).
             scaled = replicate_table(
-                load_table(spark, base_sf_dir, t).repartition(n_files), t, factor
+                load_table(spark, base_sf_dir, t).repartition(n_files), t, t_factor
             )
         scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     with open(marker, "w") as f:

@@ -15,11 +15,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stellarsql_spark.catalog import load_table
-from stellarsql_spark.functions.exact import sql_dsum
+from stellarsql_spark.catalog import load_table, table_path
+from stellarsql_spark.functions.exact import cents, sql_csum, sql_dsum
 from stellarsql_spark.registry import register
 
 N_BUCKETS = 8
+
+# Same result set as b_join_inner (operators/joins.py) — the twin
+# measures the layout, not a different query.
+_INNER_BUCKETED_ORACLE = f"""
+SELECT r_name, n_name, COUNT(*) AS n_orders, {sql_csum("o_totalprice")} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+GROUP BY r_name, n_name
+"""
 
 _BUCKETED_ORACLE = f"""
 SELECT o_orderstatus, COUNT(*) AS n_items, {sql_dsum("l_extendedprice")} AS gross
@@ -88,3 +100,105 @@ def b_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders⋈lineitem on pre-bucketed tables: SortMergeJoin with no
     Exchange on either side (asserted in tests/test_plans.py)."""
     return bucketed_join(spark, sf_dir)
+
+
+# --- custkey-bucketed twin of the b_join_inner headline --------------
+
+# 32 buckets = one bucket per local core; at a 1000-executor cluster
+# this knob would be sized to total cores (thousands), the same way
+# shuffle width is.
+N_CK_BUCKETS = 32
+
+
+def _bucket_fingerprint(src: str, n_buckets: int) -> str:
+    st = os.stat(src)
+    return f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_buckets}"
+
+
+def _recreate_over_location(spark: SparkSession, name: str, df: DataFrame,
+                            key: str, n_buckets: int, location: str) -> None:
+    """Re-register an existing bucketed directory as a catalog table
+    WITHOUT rewriting the data. The in-memory catalog forgets tables
+    between sessions while the warehouse files persist; re-declaring
+    the same CLUSTERED BY spec over the same files restores the
+    bucket metadata — at a GiB-scale corpus this turns a per-session
+    multi-GiB rewrite into a metadata-only CREATE."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
+def ensure_custkey_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders bucketed by o_custkey + customer bucketed by c_custkey
+    (same bucket count → co-partitioned at rest). Idempotent per
+    (sf_dir, corpus mtime); reuses on-disk buckets across sessions."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    existing = {t.name for t in spark.catalog.listTables()}
+    names: dict[str, str] = {}
+    for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"{t}_ck_{tag}"
+        names[t] = name
+        if name in existing:
+            continue
+        loc = os.path.join(warehouse, name)
+        marker = os.path.join(loc, "_BUCKETS_DONE")
+        fp = _bucket_fingerprint(table_path(sf_dir, t), N_CK_BUCKETS)
+        df = load_table(spark, sf_dir, t)
+        if os.path.exists(marker) and open(marker).read() == fp:
+            _recreate_over_location(spark, name, df, key, N_CK_BUCKETS, loc)
+            continue
+        shutil.rmtree(loc, ignore_errors=True)
+        df.write.bucketBy(N_CK_BUCKETS, key).mode("overwrite").saveAsTable(name)
+        with open(marker, "w") as f:
+            f.write(fp)
+    return names["orders"], names["customer"]
+
+
+@register("b_join_inner_bucketed", oracle=_INNER_BUCKETED_ORACLE,
+          tags=("join", "bucketed"))
+def b_join_inner_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The b_join_inner headline on the bucketed-at-rest layout: same
+    result set, ZERO fact-side exchanges.
+
+    b_join_inner's plan is already exchange-minimal, but its two
+    fact-side exchanges (pre-agg repartition on o_custkey + the
+    customer shuffle-hash join) are the whole remaining gap vs an
+    embedded engine at the 300× tier (VERDICT r6: 3.1×). At 100 TB
+    the honest answer is the LAYOUT: a warehouse keeps its fact
+    tables bucketed on the dominant join key, so the exchange never
+    happens at query time. With orders and customer co-bucketed on
+    custkey (hash(key) mod N at rest), the custkey pre-aggregation is
+    bucket-local (HashPartitioning already satisfies the group-by
+    distribution) and the orders⋈customer join is a co-partitioned
+    ShuffledHashJoin with NO Exchange on either side — the only
+    shuffle left in the whole plan is the 25-row final rollup
+    (asserted in tests/test_round7.py). The DuckDB oracle reads the
+    ordinary un-bucketed parquet: the layout IS the Spark-side
+    optimization being measured."""
+    to, tc = ensure_custkey_bucketed(spark, sf_dir)
+    o = spark.table(to).where(F.col("o_orderstatus") == "F")
+    c = spark.table(tc).select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    pre = (
+        o.select("o_custkey", cents("o_totalprice").alias("cts"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_p"), F.sum("cts").alias("rev_p"))
+    )
+    return (
+        pre.join(c.hint("shuffle_hash"), pre.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("n_orders_p").alias("n_orders"),
+            (F.sum("rev_p") / 100.0).cast("double").alias("revenue"),
+        )
+    )
