@@ -139,9 +139,11 @@ def b_quality_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     action-then-harvest, so the full scan executes at
     DataFrame-BUILD time and the returned plan is a one-row literal.
     Every ``queries()`` build pays the pass, and timing the returned
-    frame measures the literal, not the scan — benchmark harnesses
-    must time the builder call itself for this key (it is not in
-    bench.HEADLINE for exactly this reason)."""
+    frame measures the literal, not the scan. This contract is
+    CONSUMED by the harness: ``bench.prepare`` checks the "eager"
+    tag and times the builder call itself for tagged keys, so adding
+    this key to any bench list measures the real pass, never the
+    literal."""
     from pyspark.sql import Observation
 
     o = load_table(spark, sf_dir, "orders")
