@@ -593,3 +593,138 @@ def b_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )
+
+
+# --- BPE tokenization (Sennrich 2016 / GPT-2-style pair merges) ------
+
+# Vendored merge table, rank order = priority. Well-formed: every
+# operand is a single character or the result of an earlier merge —
+# the property that makes one-pass-per-merge-in-rank-order equivalent
+# to the classic iterative best-pair loop (see b_llm_bpe_tokens).
+# Pairs follow common English digram/affix frequency (public
+# knowledge: Sennrich et al. 2016 report merges like th/the/in/ing/
+# an/and/er/re emerging first on English corpora).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"),
+    ("i", "n"), ("a", "n"), ("an", "d"), ("in", "g"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"),
+    ("i", "t"), ("i", "s"), ("o", "f"), ("a", "l"),
+    ("e", "d"), ("a", "r"), ("s", "t"), ("t", "o"),
+    ("n", "t"), ("l", "l"), ("c", "h"), ("r", "o"),
+    ("i", "l"), ("d", "e"), ("c", "t"), ("u", "s"),
+    ("s", "e"), ("l", "e"), ("m", "e"), ("h", "a"),
+    ("w", "h"), ("wh", "i"), ("whi", "ch"),
+    ("th", "at"), ("f", "or"), ("w", "it"), ("wit", "h"),
+    ("a", "s"), ("b", "e"), ("w", "e"), ("y", "ou"),
+    ("p", "ro"), ("o", "m"), ("c", "om"),
+)
+
+# Word separator symbol: never appears in any merge pair, so merges
+# cannot cross word boundaries (word-internal BPE).
+_BPE_SEP = "¶"
+
+# The oracle replays the merge table as nested non-overlapping
+# left-to-right replace() calls over a DOUBLE-SPACE symbol encoding:
+# symbols are separated by two spaces and the string is wrapped in
+# one space per side, so each " a  b " -> " ab " replacement consumes
+# one boundary space from each side and the doubled separators keep
+# adjacent matches from sharing a delimiter (with single spacing,
+# ' a b a b ' matches ' a b ' only ONCE because the shared middle
+# space is consumed — the classic replace-merge bug).
+def _bpe_oracle_expr(col: str) -> str:
+    expr = f"regexp_replace(replace({col}, ' ', '{_BPE_SEP}'), '(.)', ' \\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return expr
+
+
+_BPE_ORACLE = f"""
+WITH sym AS (
+  SELECT doc_id,
+         list_filter(string_split(trim({_bpe_oracle_expr("text")}), '  '),
+                     s -> s <> '{_BPE_SEP}') AS toks,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(toks, s -> len(s) * len(s))) AS BIGINT) AS seg_checksum
+FROM sym
+"""
+
+
+@register("b_llm_bpe_tokens", oracle=_BPE_ORACLE, tags=("pipeline", "text", "tokens", "bpe"))
+def b_llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C151: real BPE tokenization (Sennrich et al. 2016, the GPT-2
+    tokenizer family): per document, split to characters and apply the
+    vendored merge table — every training-token budget in the pipeline
+    tier is whitespace-denominated; this key prices documents in the
+    unit a pretraining run actually spends.
+
+    Kernel: one pass per merge in rank order, each pass merging all
+    non-overlapping occurrences left to right. For a WELL-FORMED merge
+    table (each operand is a char or an earlier merge's result) this
+    is provably equivalent to the classic iterative best-ranked-pair
+    loop: a merge at rank r only creates pairs involving its new
+    symbol, and any such pair in the table must rank after r (its
+    operand did not exist earlier), so when the single pass reaches
+    rank r every occurrence of that pair that will ever exist is
+    already present. The DuckDB oracle replays the same table as
+    nested replace() calls over a double-space symbol encoding (see
+    _bpe_oracle_expr) — same left-to-right non-overlap convention —
+    so token counts AND the length-squared segmentation checksum (it
+    distinguishes [ab,c] from [a,bc]) must agree exactly.
+
+    Scale shape: pure map-side Arrow-batched Python, no shuffle at
+    all — the kernel rides the ingest scan like the multimodal codec
+    keys. Divergence from production GPT-2: byte-level pre-tokenizer
+    and the space-prefix (Ġ) convention are dropped; word boundaries
+    are hard (the separator symbol joins no merge pair)."""
+    import pyarrow as pa
+
+    ranks = list(BPE_MERGES)
+
+    def merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def tokenize(batches):
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            ids, words, toks, cks = [], [], [], []
+            for doc_id, text in zip(doc_ids, texts):
+                if not text:
+                    continue
+                syms = list(text.replace(" ", _BPE_SEP))
+                for a, b in ranks:
+                    if a in text or a == _BPE_SEP:  # cheap skip; correctness-neutral
+                        syms = merge_pass(syms, a, b)
+                tok = [s for s in syms if s != _BPE_SEP]
+                ids.append(doc_id)
+                words.append(text.count(" ") + 1)
+                toks.append(len(tok))
+                cks.append(sum(len(s) * len(s) for s in tok))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(words, pa.int64()),
+                    pa.array(toks, pa.int64()),
+                    pa.array(cks, pa.int64()),
+                ],
+                names=["doc_id", "n_words", "n_bpe_tokens", "seg_checksum"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInArrow(
+        tokenize, "doc_id long, n_words long, n_bpe_tokens long, seg_checksum long"
+    )

@@ -86,3 +86,63 @@ class TestArtifactSyncGuards:
         declared_total, declared_hash = int(m.group(1)), int(m.group(2))
         assert declared_total == len(specs)
         assert declared_hash == sum(1 for s in specs.values() if s.oracle)
+
+
+class TestBpeTokens:
+    def test_merge_table_well_formed(self):
+        """Every operand must be a single char or an earlier merge's
+        result — the property the one-pass-per-rank kernel's
+        equivalence proof rests on."""
+        from stellarsql_spark.pipeline.textstats import BPE_MERGES, _BPE_SEP
+
+        formed = set()
+        for a, b in BPE_MERGES:
+            assert len(a) == 1 or a in formed, (a, b)
+            assert len(b) == 1 or b in formed, (a, b)
+            assert _BPE_SEP not in (a, b)
+            formed.add(a + b)
+        assert len(set(BPE_MERGES)) == len(BPE_MERGES)
+
+    def test_rank_order_passes_equal_iterative_bpe(self):
+        """The kernel (one pass per merge, rank order) must produce
+        the same segmentation as the textbook iterative algorithm
+        (merge the best-ranked pair present, repeat) on a vocabulary
+        of real words covering every merge in the table."""
+        from stellarsql_spark.pipeline.textstats import BPE_MERGES
+
+        ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+
+        def merge_pass(syms, a, b):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        def kernel(word):
+            syms = list(word)
+            for a, b in BPE_MERGES:
+                syms = merge_pass(syms, a, b)
+            return syms
+
+        def iterative(word):
+            syms = list(word)
+            while True:
+                pairs = {p for p in zip(syms, syms[1:]) if p in ranks}
+                if not pairs:
+                    return syms
+                a, b = min(pairs, key=ranks.get)
+                syms = merge_pass(syms, a, b)
+
+        words = (
+            "the that this thing another which with for toward professor "
+            "understanding being whatever communication results proposal "
+            "established interesting and or of it is at on in us harvest "
+            "aaaa thththth ananan inginging xyzzy"
+        ).split()
+        for w in words:
+            assert kernel(w) == iterative(w), w
