@@ -351,3 +351,85 @@ def test_differential_null_semantics(spark, duck):
         if not s.equals(d):
             mismatches.append((i, seed, q, len(s), len(d)))
     assert not mismatches, mismatches[:3]
+
+
+# --- watermark-window batch-twin branch ------------------------------
+#
+# Structured Streaming semantics, replayed as batch SQL both engines
+# can run: a tumbling event-time window with a watermark cutoff
+# (rows later than MAX(ts) - lateness are dropped — exactly the
+# rows a streaming run would discard after the watermark passed),
+# plus the gaps-and-islands sessionization the session-window
+# operator compiles to. Timestamps cross engines as CAST(ts AS
+# VARCHAR) of date_trunc outputs ('YYYY-MM-DD HH:MM:SS' in both).
+
+_EVENTS_SF = SF
+
+
+def gen_watermark_query(rng) -> str:
+    kind = rng.randrange(3)
+    if kind == 0:  # tumbling window behind a watermark
+        unit = rng.choice(["minute", "hour", "day"])
+        lateness = rng.randrange(1, 36)
+        lunit = rng.choice(["MINUTE", "HOUR"])
+        grouped = rng.randrange(2)
+        gcol = ", event_type AS g" if grouped else ""
+        gby = "GROUP BY 1, 2" if grouped else "GROUP BY 1"
+        return (
+            # double cast: DuckDB's date_trunc('day', ...) yields DATE
+            # ('2026-01-02') while Spark stays TIMESTAMP — going via
+            # TIMESTAMP makes both print 'YYYY-MM-DD HH:MM:SS'
+            f"SELECT CAST(CAST(date_trunc('{unit}', ts) AS TIMESTAMP) "
+            f"AS VARCHAR(32)) AS ws{gcol}, "
+            f"COUNT(*) AS n, COUNT(DISTINCT user_id) AS nu, "
+            f"CAST(MAX(user_id) AS BIGINT) AS mxu "
+            f"FROM events "
+            f"WHERE ts <= (SELECT MAX(ts) - INTERVAL {lateness} {lunit} FROM events) "
+            f"{gby}"
+        )
+    if kind == 1:  # late-vs-on-time census at a given watermark
+        lateness = rng.randrange(1, 72)
+        return (
+            f"SELECT event_type AS g, COUNT(*) AS n_total, "
+            f"COUNT(CASE WHEN ts <= (SELECT MAX(ts) - INTERVAL {lateness} HOUR "
+            f"FROM events) THEN 1 END) AS n_on_time "
+            f"FROM events GROUP BY event_type"
+        )
+    # session windows via gaps-and-islands (the batch twin of the
+    # 30-min-gap session operator); event_id makes the per-user
+    # order total so the island numbering is deterministic
+    gap = rng.choice([5, 15, 30, 60])
+    return (
+        f"SELECT user_id AS u, session_id AS sid, COUNT(*) AS n, "
+        f"CAST(MAX(event_id) AS BIGINT) AS mxe FROM ("
+        f"SELECT user_id, event_id, "
+        f"SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM ("
+        f"SELECT user_id, ts, event_id, "
+        f"CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        f"IS NULL OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        f"+ INTERVAL {gap} MINUTE THEN 1 ELSE 0 END AS new_s "
+        f"FROM events) flags) islands "
+        f"GROUP BY user_id, session_id "
+        f"ORDER BY u, sid LIMIT {rng.randrange(40, 120)}"
+    )
+
+
+def test_differential_watermark_windows(spark, duck):
+    from stellarsql_spark.catalog import register_views
+
+    register_views(spark, _EVENTS_SF, ("events",))
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS events AS "
+        f"SELECT * FROM read_parquet('{_EVENTS_SF}/events.parquet')"
+    )
+    seed = _round_seed(20260816)
+    rng = random.Random(seed)
+    mismatches = []
+    for i in range(40):
+        q = gen_watermark_query(rng)
+        s = _canon(spark.sql(q).toPandas())
+        d = _canon(duck.execute(q).df())
+        if not s.equals(d):
+            mismatches.append((i, seed, q, len(s), len(d)))
+    assert not mismatches, mismatches[:2]
