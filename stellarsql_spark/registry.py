@@ -165,8 +165,10 @@ _R02_CHECKED = frozenset(
 # Keys whose Spark-side code changed this round (round 7: the 1-token
 # bigram guards and the domain-mix quota association) — front them in
 # the driver window right after never-stamped keys so their stamps
-# refresh on the changed code.
-_RESTAMP: tuple[str, ...] = ("b_llm_dsir", "b_llm_perplexity", "b_llm_domain_mix")
+# refresh on the changed code. (b_llm_perplexity also changed but has
+# never been driver-stamped, so it already rides the never-stamped
+# block; listing it here would double-count it in the order tests.)
+_RESTAMP: tuple[str, ...] = ("b_llm_dsir", "b_llm_domain_mix")
 
 
 def _driver_stamp_rounds() -> dict[str, int]:
