@@ -15,6 +15,7 @@ Two tiers, as a real vector pipeline would ship them:
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -25,6 +26,34 @@ from stellarsql_spark.registry import register
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
+
+# Scorer task granularity: ~20k vectors per Python task (≈20 MiB of
+# float64 working set; each task carries ~5-15 ms fixed dispatch).
+ROWS_PER_TASK = 20_000
+
+
+def scorer_width(path: str, rows_per_task: int = ROWS_PER_TASK) -> int:
+    """Task count for the Python GEMM, from DECODED row counts — NEVER
+    from compressed file bytes: each replica of the scale corpora is
+    near-identical, parquet compresses the embeddings ~20:1, and the
+    round-6 bytes/8MiB formula silently collapsed the 300× scorer to
+    ONE task (1.25 s single-threaded vs 0.46 s parallel — the entire
+    3.7×-vs-DuckDB gap the r6 verdict flagged; SCALE.md round-7).
+    Row counts come from the parquet footers driver-side
+    (metadata-only, no data read) — the same place a 100 TB planner
+    gets its split statistics. Regression-pinned in tests/test_round7.py."""
+    import pyarrow.parquet as pq
+
+    try:
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except OSError:
+        nrows = 0
+    return max(1, nrows // rows_per_task)
 
 
 def dot(a, b):
@@ -147,37 +176,13 @@ def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["query_id", "neighbor_id", "sim"],
             )
 
-    # Size scan tasks by DECODED volume, not compressed file bytes:
-    # each Python-worker task carries ~5-15 ms of fixed dispatch cost,
-    # so the scorer wants ~20k vectors per task (≈20 MiB of float64
-    # working set). The round-6 version divided COMPRESSED bytes by
-    # 8 MiB — on the replicated scale corpora parquet compresses the
-    # embeddings ~20:1, so the scorer silently collapsed to ONE task
-    # and ran the whole 300× GEMM single-threaded (1.25 s vs 0.46 s
-    # at 29 tasks, measured round 7; this was the entire 3.7×-vs-
-    # DuckDB gap the r6 verdict flagged). Row counts come from the
-    # parquet footers driver-side (metadata-only, no data read) — the
-    # same place a 100 TB planner gets its split statistics.
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        files = (
-            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
-            if os.path.isdir(path)
-            else [path]
-        )
-        nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except OSError:
-        nrows = 0
     # coalesce only ever REDUCES width, so this is a floor on rows/task
     # (merges a tiny-file storm into >=20k-vector tasks); when files are
     # few and large, the scan's file/row-group splits set the width
     # (7 tasks at 300×, 23 at 1000× — measured equal to 29 forced).
-    ntasks = max(1, nrows // 20_000)
     scored = (
         e.select("vec_id", "embedding")
-        .coalesce(ntasks)
+        .coalesce(scorer_width(os.path.join(sf_dir, "embeddings.parquet")))
         .mapInArrow(score_partition, "query_id long, neighbor_id long, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")

@@ -146,3 +146,32 @@ class TestBpeTokens:
         ).split()
         for w in words:
             assert kernel(w) == iterative(w), w
+
+
+class TestScorerWidth:
+    def test_width_from_rows_not_compressed_bytes(self, tmp_path):
+        """Regression pin for the round-6 single-task GEMM bug: a
+        highly compressible corpus (constant vectors — compresses
+        ~100:1 like the replicated .scale corpora) must still get a
+        rows-proportional task count. The old bytes/8MiB formula
+        returns 1 here; the footer-rows formula must not."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stellarsql_spark.pipeline.similarity import ROWS_PER_TASK, scorer_width
+
+        d = tmp_path / "embeddings.parquet"
+        d.mkdir()
+        n = 4 * ROWS_PER_TASK
+        emb = pa.array([[0.5] * 64] * n, pa.list_(pa.float32()))
+        t = pa.table({"vec_id": pa.array(range(n), pa.int64()), "embedding": emb})
+        pq.write_table(t, d / "part-0.parquet")
+        nbytes = sum(f.stat().st_size for f in d.iterdir())
+        assert nbytes < 8 << 20, "fixture must be sub-8MiB compressed"
+        assert scorer_width(str(d)) == 4
+
+    def test_width_floors_at_one(self, tmp_path):
+        from stellarsql_spark.pipeline.similarity import scorer_width
+
+        assert scorer_width(str(tmp_path / "missing.parquet")) == 1
