@@ -44,6 +44,15 @@ def b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the eager-aggregation rewrite that turns a
     fact-×-dim shuffle join into a dim-×-dim join.
 
+    This is the EXCHANGE-BEARING form, kept as the measured contrast:
+    its two fact-side exchanges are the entire gap vs an embedded
+    engine at depth (3.1× @300×, 4.6× @1000×, BENCH_r07), and
+    ``b_join_inner_bucketed`` (sources/bucketed.py, C150) removes
+    them at rest — same result set, custkey-co-bucketed layout, only
+    the 25-row rollup still shuffles, ≤2× at both depths. At 100 TB
+    the layout is the answer; this form is what you pay when the
+    fact table arrives unbucketed.
+
     Measured round-5 negative result, recorded so it isn't re-tried:
     the hash-build-on-customer form (broadcast the slim
     (c_custkey, c_nationkey) map, one pass over orders, partial agg to

@@ -175,3 +175,50 @@ class TestScorerWidth:
         from stellarsql_spark.pipeline.similarity import scorer_width
 
         assert scorer_width(str(tmp_path / "missing.parquet")) == 1
+
+
+class TestBucketCrossSessionReuse:
+    def test_second_session_reuses_files_without_rewrite(self):
+        """The warehouse files must survive a session restart and be
+        re-registered by the metadata-only CREATE ... CLUSTERED BY
+        path — file mtimes unchanged, query still answers. At a
+        GiB-scale corpus the alternative is a multi-GiB rewrite per
+        session."""
+        import json
+        import subprocess
+        import sys
+
+        probe = r"""
+import json, os, sys
+sys.path.insert(0, "/root/repo")
+from urllib.parse import urlparse
+from pyspark.sql import SparkSession
+
+def mtimes(warehouse, table):
+    p = os.path.join(warehouse, table)
+    return {f: os.stat(os.path.join(p, f)).st_mtime_ns
+            for f in os.listdir(p) if not f.startswith("_")}
+
+def one_session():
+    spark = SparkSession.builder.master("local[2]").getOrCreate()
+    from stellarsql_spark.sources.bucketed import ensure_custkey_bucketed
+    to, tc = ensure_custkey_bucketed(spark, "/root/testdata/sf0.001")
+    n = spark.table(to).count()
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    m = mtimes(warehouse, to)
+    spark.stop()
+    return to, n, m
+
+to1, n1, m1 = one_session()
+to2, n2, m2 = one_session()   # fresh catalog, same files expected
+print(json.dumps({"same_table": to1 == to2, "same_rows": n1 == n2,
+                  "same_files": m1 == m2, "n": n1}))
+"""
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            cwd="/root/repo", timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["same_table"] and res["same_rows"] and res["n"] > 0
+        assert res["same_files"], "second session rewrote the bucketed files"
