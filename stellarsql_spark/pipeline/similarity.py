@@ -113,8 +113,6 @@ def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Similarity rounded to 6 dp so last-ulp summation-order differences
     (GEMM accumulation vs the oracle's sequential fold) cannot flip
     the hash or the ranking tie-break."""
-    import os
-
     import numpy as np
     import pyarrow as pa
     import pyarrow.dataset as ds
@@ -141,10 +139,14 @@ def b_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (CAST(embedding AS DOUBLE[])). mapInPandas here would first
             # build n per-row ndarray objects through pandas — pure
             # overhead the GEMM never needed.
-            emb = b.column(1)
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            m = emb.flatten().to_numpy(zero_copy_only=False).reshape(n, -1).astype("float64")
+            # (RecordBatch columns are plain Arrays — no chunking here)
+            m = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+                .astype("float64")
+            )
             # einsum: float64 accumulation without materializing m*m
             cnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
             sims = np.round((m @ qmat.T) / np.outer(cnorm, qnorm), 6)

@@ -624,6 +624,23 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 # cannot cross word boundaries (word-internal BPE).
 _BPE_SEP = "¶"
 
+
+def bpe_merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One merge pass: fuse all non-overlapping (a, b) occurrences
+    left to right — the convention both the oracle's replace() replay
+    and the textbook iterative algorithm share. Module-level so the
+    equivalence test in tests/test_round7.py exercises THIS code,
+    not a private copy."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
 # The oracle replays the merge table as nested non-overlapping
 # left-to-right replace() calls over a DOUBLE-SPACE symbol encoding:
 # symbols are separated by two spaces and the string is wrapped in
@@ -633,7 +650,9 @@ _BPE_SEP = "¶"
 # ' a b a b ' matches ' a b ' only ONCE because the shared middle
 # space is consumed — the classic replace-merge bug).
 def _bpe_oracle_expr(col: str) -> str:
-    expr = f"regexp_replace(replace({col}, ' ', '{_BPE_SEP}'), '(.)', ' \\1 ', 'g')"
+    # [\s\S] not '.': RE2's '.' skips newlines, which would glue the
+    # symbols around a '\n' into one token on the oracle side only
+    expr = f"regexp_replace(replace({col}, ' ', '{_BPE_SEP}'), '([\\s\\S])', ' \\1 ', 'g')"
     for a, b in BPE_MERGES:
         expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return expr
@@ -650,7 +669,7 @@ WITH sym AS (
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-       CAST(list_sum(list_transform(toks, s -> len(s) * len(s))) AS BIGINT) AS seg_checksum
+       CAST(COALESCE(list_sum(list_transform(toks, s -> len(s) * len(s))), 0) AS BIGINT) AS seg_checksum
 FROM sym
 """
 
@@ -685,17 +704,7 @@ def b_llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     ranks = list(BPE_MERGES)
-
-    def merge_pass(syms: list[str], a: str, b: str) -> list[str]:
-        out, i, n = [], 0, len(syms)
-        while i < n:
-            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        return out
+    merge_pass = bpe_merge_pass  # local binding for the task closure
 
     def tokenize(batches):
         for batch in batches:

@@ -108,25 +108,15 @@ class TestBpeTokens:
         the same segmentation as the textbook iterative algorithm
         (merge the best-ranked pair present, repeat) on a vocabulary
         of real words covering every merge in the table."""
-        from stellarsql_spark.pipeline.textstats import BPE_MERGES
+        from stellarsql_spark.pipeline.textstats import BPE_MERGES, bpe_merge_pass
 
         ranks = {p: i for i, p in enumerate(BPE_MERGES)}
 
-        def merge_pass(syms, a, b):
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
-
         def kernel(word):
+            # same shipped merge_pass + rank loop the builder runs
             syms = list(word)
             for a, b in BPE_MERGES:
-                syms = merge_pass(syms, a, b)
+                syms = bpe_merge_pass(syms, a, b)
             return syms
 
         def iterative(word):
@@ -136,7 +126,7 @@ class TestBpeTokens:
                 if not pairs:
                     return syms
                 a, b = min(pairs, key=ranks.get)
-                syms = merge_pass(syms, a, b)
+                syms = bpe_merge_pass(syms, a, b)
 
         words = (
             "the that this thing another which with for toward professor "
