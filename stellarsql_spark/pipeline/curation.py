@@ -87,8 +87,12 @@ def b_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
         F.size("words").alias("n_words"),
         F.size(F.array_distinct("words")).alias("n_distinct_words"),
+        # zip_with over two clamped slices is total: a 1-token doc gives
+        # two empty slices -> zero bigrams (a sequence(0, size-2) form
+        # would DESCEND to [0,-1] and trip ANSI array indexing).
         F.expr(
-            "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"
+            "zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
         ).alias("bigrams"),
     )
     from pyspark.sql import Window
@@ -160,9 +164,14 @@ def b_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.array_distinct(
+                # CASE keeps the transform total: short docs get an empty
+                # gram list instead of a descending sequence whose
+                # slice(words, 0, ..) throws under ANSI.
                 F.expr(
-                    f"transform(sequence(1, size(words) - {_NGRAM - 1}),"
+                    f"CASE WHEN size(words) >= {_NGRAM} THEN"
+                    f" transform(sequence(1, size(words) - {_NGRAM - 1}),"
                     f" i -> md5(array_join(slice(words, i, {_NGRAM}), ' ')))"
+                    f" ELSE CAST(array() AS array<string>) END"
                 )
             )
         ).alias("g"),
@@ -314,9 +323,12 @@ def b_llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.array_distinct(
+                    # total form — see b_llm_contamination's gram builder
                     F.expr(
-                        f"transform(sequence(1, size(words) - {_NGRAM - 1}),"
+                        f"CASE WHEN size(words) >= {_NGRAM} THEN"
+                        f" transform(sequence(1, size(words) - {_NGRAM - 1}),"
                         f" i -> md5(array_join(slice(words, i, {_NGRAM}), ' ')))"
+                        f" ELSE CAST(array() AS array<string>) END"
                     )
                 )
             ).alias("g"),

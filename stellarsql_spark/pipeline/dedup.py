@@ -71,11 +71,21 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
 
 
 def shingles(col, k: int = 3):
-    """Distinct k-word shingles of a space-tokenized text column."""
+    """Distinct k-word shingles of a space-tokenized text column.
+
+    Total expression: for docs with < k tokens the index array is
+    empty, never a DESCENDING sequence(1, size-k+1) whose element_at
+    would trip ANSI bounds checks. The guard must live INSIDE the
+    expression (not an upstream .where): Catalyst's inferred-filter-
+    from-generate can inline this transform into a predicate that
+    runs on unfiltered rows (seen live on a 1-token doc)."""
     words = F.split(col, " ")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            idx,
             lambda i: F.concat_ws(
                 " ",
                 F.element_at(words, i),
@@ -332,7 +342,9 @@ def b_llm_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDITDIST_ORACLE = """
 WITH p AS (
-  SELECT doc_id, source, substring(text, 1, 40) AS head FROM documents
+  SELECT doc_id, source,
+         substring(regexp_replace(text, '[^ -~]', '?', 'g'), 1, 40) AS head
+  FROM documents
 ),
 paired AS (
   SELECT source,
@@ -357,12 +369,20 @@ def b_llm_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline: the MinHash/LSH candidates). Levenshtein is O(m·n) per
     pair, which is exactly why it must never see the n² pair space —
     only blocked candidates. Blocking = successive docs within a
-    source (one lag window, no join at all). Spark's `levenshtein`
-    and DuckDB's agree on unit-cost edits, so the check is exact."""
+    source (one lag window, no join at all). The head is ASCII-folded
+    (non-printable/non-ASCII codepoints -> '?') BEFORE hashing out the
+    distance: Spark's levenshtein counts codepoint edits while
+    DuckDB's counts BYTE edits ('café'->'cafe' is 1 vs 2), so the
+    cross-engine contract only holds on single-byte text; the fold is
+    also what real near-dup scorers do to tame unicode confusables."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    p = d.select("doc_id", "source", F.substring("text", 1, 40).alias("head"))
+    p = d.select(
+        "doc_id",
+        "source",
+        F.substring(F.regexp_replace("text", "[^ -~]", "?"), 1, 40).alias("head"),
+    )
     w = Window.partitionBy("source").orderBy("doc_id")
     paired = p.select(
         F.lag("doc_id").over(w).alias("id1"),

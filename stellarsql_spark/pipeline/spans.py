@@ -199,7 +199,14 @@ def b_llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, size(l) - 1), i -> concat(l[i - 1], ' ', l[i]))")
+            # zip_with over clamped slices is total (1-token doc -> zero
+            # bigrams) — the upstream .where alone is not enough, since
+            # inferred-filter-from-generate can run this expression on
+            # unfiltered rows, where sequence(1, 0) would descend.
+            F.expr(
+                "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
         ).alias("g"),
     ).select("doc_id", "lang", F.expr(_bucket_sql("instr", "md5(g)")).alias("b"))
     tgt = bg.where(F.col("lang") == "en")
@@ -356,7 +363,12 @@ def b_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, size(l) - 1), i -> struct(l[i - 1] AS prev, l[i] AS w))")
+            # total bigram form (see b_llm_dsir): zip_with over clamped
+            # slices never descends for 1-token docs
+            F.expr(
+                "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+                " (a, b) -> struct(a AS prev, b AS w))"
+            )
         ).alias("g"),
     ).select("doc_id", "source", "lang", F.col("g.prev").alias("prev"), F.col("g.w").alias("w"))
     ref = grams.where(F.col("lang") == "en")
@@ -515,9 +527,15 @@ def b_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "doc_id",
         F.posexplode(
+            # CASE keeps the transform total for sub-K-token docs (the
+            # upstream .where does NOT protect: inferred-filter-from-
+            # generate can inline this expression into a predicate run
+            # on unfiltered rows, and sequence(1, size-2) DESCENDS).
             F.expr(
+                f"CASE WHEN size(l) >= {_WIN_K} THEN "
                 f"transform(sequence(1, size(l) - {_WIN_K - 1}), "
                 f"p -> {_hash16('instr', f'array_join(slice(l, p, {_WIN_K}), chr(32))')})"
+                f" ELSE CAST(array() AS array<int>) END"
             )
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")

@@ -306,17 +306,18 @@ GROUP BY source
 def b_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-file ingestion (the 5th built-in source, completing
     csv/json/parquet/orc): documents serialize to
-    ``source\\x1fdoc_id\\x1ftext`` lines (unit-separator delimited —
-    the corpus text is verified free of every line-break byte
-    ``spark.read.text`` splits on (\\n, \\r, \\r\\n) plus tab, and
-    \\x1f can't occur in prose), round-trip through
+    ``source\\x1fdoc_id\\x1fbase64(text)`` lines, round-trip through
     ``spark.read.text``, and are re-parsed with substring_index — the
-    classic one-record-per-line raw-corpus ingestion path an LLM
-    pipeline starts from. The invariant is ENFORCED, not assumed: any
-    document containing \\r or \\n fails the write loudly instead of
-    silently splitting into corrupt extra lines. Per-source line
-    counts, char totals, and doc-id ranges must reconstruct the
-    parquet ground truth exactly."""
+    one-record-per-line raw-corpus shard format an LLM pipeline
+    starts from. The payload is base64-encoded so the round trip is
+    TOTAL: a document containing \\r or \\n (which spark.read.text
+    splits on) or the \\x1f delimiter itself round-trips losslessly
+    instead of splitting into corrupt extra lines — the same
+    binary-safe framing JSONL shards get from string escaping. (An
+    earlier raise_error-on-CRLF form aborted on hostile corpora;
+    tools/adversarial_corpus.py now pins the lossless behavior.)
+    Per-source line counts, char totals, and doc-id ranges must
+    reconstruct the parquet ground truth exactly."""
     d = load_table(spark, sf_dir, "documents")
     out = _scratch("read_text")
     (
@@ -325,18 +326,10 @@ def b_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\x1f",
                 "source",
                 "doc_id",
-                # raise_error inside the row pipeline: zero extra
-                # scans, and a CR/LF document aborts the job instead
-                # of corrupting the line-oriented round trip
-                F.when(
-                    F.col("text").rlike("[\r\n]"),
-                    F.raise_error(
-                        F.concat(
-                            F.lit("b_read_text: line-break byte in doc_id="),
-                            F.col("doc_id").cast("string"),
-                        )
-                    ),
-                ).otherwise(F.col("text")),
+                # Spark's base64 is MIME-flavored: it wraps output in
+                # \r\n every 76 chars, which would re-split long docs —
+                # strip the wrapping (unbase64 doesn't need it back)
+                F.regexp_replace(F.base64(F.encode("text", "UTF-8")), "[\\r\\n]", ""),
             )
         )
         .write.mode("overwrite")
@@ -349,9 +342,13 @@ def b_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index(F.substring_index("value", sep, 2), sep, -1)
         .cast("bigint")
         .alias("doc_id"),
-        # text may itself be empty; take everything after the 2nd sep
-        F.expr(
-            f"substring(value, length(substring_index(value, '{sep}', 2)) + 2)"
+        F.decode(
+            F.unbase64(
+                F.expr(
+                    f"substring(value, length(substring_index(value, '{sep}', 2)) + 2)"
+                )
+            ),
+            "UTF-8",
         ).alias("text"),
     )
     return parsed.groupBy("source").agg(

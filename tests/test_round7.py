@@ -212,3 +212,67 @@ print(json.dumps({"same_table": to1 == to2, "same_rows": n1 == n2,
         res = json.loads(out.stdout.strip().splitlines()[-1])
         assert res["same_table"] and res["same_rows"] and res["n"] > 0
         assert res["same_files"], "second session rewrote the bucketed files"
+
+
+class TestAdversarialCorpus:
+    """Hostile-documents gate (tools/adversarial_corpus.py): 1/2-token
+    docs, newlines/CRLF, double spaces, unicode, and the BPE separator
+    glyph — every failure mode the round-7 audits found, pinned as a
+    standing cross-engine check instead of per-incident discoveries."""
+
+    # The n-gram/shingle family (descending-sequence ANSI crashes), the
+    # byte-vs-codepoint levenshtein contract, and the line-oriented
+    # text round trip — the shapes hostile text actually breaks.
+    KEYS = [
+        "b_llm_jaccard",
+        "b_llm_contamination",
+        "b_llm_curation_funnel",
+        "b_llm_repetition",
+        "b_llm_dsir",
+        "b_llm_perplexity",
+        "b_llm_winnowing",
+        "b_llm_editdist",
+        "b_llm_bpe_tokens",
+        "b_llm_bigram_novelty",
+        "b_read_text",
+    ]
+
+    @staticmethod
+    def _checker():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "check_oracle", os.path.join(REPO, "tools", "check_oracle.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_hostile_docs_match_oracle(self, spark):
+        from tools.adversarial_corpus import build
+
+        from stellarsql_spark.registry import all_specs
+
+        chk = self._checker()
+        sf = build()
+        con = chk.duck_connection(sf)
+        specs = all_specs()
+        failures = {}
+        for key in self.KEYS:
+            spec = specs[key]
+            sdf = spec.builder(spark, sf).toPandas()
+            ddf = con.execute(spec.oracle).df()
+            problems = chk.compare(key, sdf, ddf)
+            if problems:
+                failures[key] = problems
+        assert not failures, failures
+
+    def test_lsh_path_survives_hostile_docs(self, spark):
+        """The rows-only LSH key has no oracle; it must simply run to
+        completion on sub-shingle-length docs (it crashed pre-fix)."""
+        from tools.adversarial_corpus import build
+
+        from stellarsql_spark.pipeline.dedup import b_llm_dedup_near
+
+        sf = build()
+        b_llm_dedup_near(spark, sf).collect()  # must not raise

@@ -1,0 +1,92 @@
+"""Adversarial corpus builder: hostile `documents` rows + verbatim
+copies of the other sf0.001 tables.
+
+Why: the driver REGENERATES the corpus every round, and two classes of
+latent cross-engine divergence have now been found that only a hostile
+corpus exposes (round-7: 1-token docs crashing the bigram ops under
+ANSI; newline text diverging the BPE oracle's '.'-regex; all-separator
+docs turning list_sum into NULL). This corpus makes those failure
+modes a standing gate instead of a per-incident discovery:
+
+    python tools/adversarial_corpus.py            # build (idempotent)
+    python tools/check_oracle.py --sf .scratch/adversarial [keys...]
+
+Hostile rows: 1-token / 2-token / shingle-threshold-band docs,
+newline / tab / CRLF whitespace, double spaces (empty split tokens),
+leading+trailing spaces, unicode (accents, CJK, emoji), the BPE
+separator glyph itself, an all-spaces doc, a repeated-token doc, a
+long doc, and punctuation-heavy text — across several (lang, source)
+combinations so lang-branching ops (DSIR, perplexity) see both the
+'en' reference side and the scored pool side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from stellarsql_spark.catalog import TABLES, table_path
+
+BASE = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".scratch", "adversarial")
+
+# (text, lang, source) — doc_id assigned by position, n_chars derived.
+HOSTILE: list[tuple[str, str, str]] = [
+    ("hello", "en", "web"),                          # 1 token
+    ("two tokens", "en", "web"),                     # 2 tokens (1 bigram)
+    ("three token doc", "fr", "web"),                # below winnowing window
+    ("four tokens right here", "en", "books"),       # still below w+k-1
+    ("five tokens sit right here", "de", "web"),     # boundary band
+    ("six little tokens sit right here", "en", "web"),      # first fingerprint
+    ("a a a a a a a a", "en", "web"),                # repeated token
+    ("line one\nline two\nline three", "en", "news"),        # newlines
+    ("tab\tseparated\ttokens here", "fr", "web"),    # tabs inside tokens
+    ("crlf\r\nline ending doc", "en", "web"),        # CRLF
+    ("double  space produces empty token", "de", "books"),   # '' token
+    (" leading and trailing spaces ", "en", "web"),  # edge empties
+    ("café résumé naïve coöperate", "fr", "web"),    # accents
+    ("中文 文本 处理 测试", "zh", "web"),                # CJK
+    ("emoji 🚀 in 🎉 text", "en", "social"),          # astral-plane chars
+    ("pilcrow ¶ glyph appears literally", "en", "web"),      # BPE separator
+    ("   ", "en", "web"),                            # all spaces
+    ("punct! marks? (lots); of: them, everywhere...", "en", "news"),
+    ("the quick brown fox jumps over the lazy dog " * 40 + "end", "en", "books"),
+    ("UPPER CASE AND MiXeD cAsE tOkEnS", "en", "web"),
+    ("numbers 123 456 789 mixed 0 in", "en", "web"),
+    ("single", "zh", "social"),                      # 1 token, non-en pool
+    ("zwei worte", "de", "news"),                    # 2 tokens, non-en
+    ("quote's and \"double\" quotes", "en", "web"),
+]
+
+
+def build(out_dir: str = OUT) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(table_path(BASE, t), dst)
+    texts = [h[0] for h in HOSTILE]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(HOSTILE) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([h[1] for h in HOSTILE], pa.string()),
+            "source": pa.array([h[2] for h in HOSTILE], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tab, os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+if __name__ == "__main__":
+    print(build())
