@@ -18,6 +18,12 @@ separator glyph itself, an all-spaces doc, a repeated-token doc, a
 long doc, and punctuation-heavy text — across several (lang, source)
 combinations so lang-branching ops (DSIR, perplexity) see both the
 'en' reference side and the scored pool side.
+
+Hostile embeddings (same spirit for the vector tier): an all-zeros
+vector (norm 0 — cosine divides by it), exact duplicates, a vector
+and its negation (cosine -1), one-hot axes, and extreme-magnitude
+values (1e-20 / 1e15 — float32 storage vs float64 accumulation), on
+top of seeded-random filler so clustering ops still have structure.
 """
 
 from __future__ import annotations
@@ -66,14 +72,44 @@ HOSTILE: list[tuple[str, str, str]] = [
 ]
 
 
+_DIM = 64
+
+
+def _hostile_embeddings() -> pa.Table:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((56, _DIM)).astype(np.float32) * 0.2
+    special = np.zeros((8, _DIM), dtype=np.float32)
+    # 0: all-zeros (norm 0); 1 & 2: exact duplicates; 3: negation of 1;
+    # 4 & 5: one-hot on different axes; 6: tiny magnitudes; 7: huge.
+    special[1] = base[0]
+    special[2] = base[0]
+    special[3] = -base[0]
+    special[4, 0] = 1.0
+    special[5, 1] = 1.0
+    special[6] = np.float32(1e-20)
+    special[7] = np.float32(1e15)
+    vecs = np.concatenate([special, base])
+    n = len(vecs)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+        }
+    )
+
+
 def build(out_dir: str = OUT) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
-        if t == "documents":
+        if t in ("documents", "embeddings"):
             continue
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(table_path(BASE, t), dst)
+    pq.write_table(_hostile_embeddings(), os.path.join(out_dir, "embeddings.parquet"))
     texts = [h[0] for h in HOSTILE]
     tab = pa.table(
         {
