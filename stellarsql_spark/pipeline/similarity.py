@@ -42,6 +42,7 @@ def scorer_width(path: str, rows_per_task: int = ROWS_PER_TASK) -> int:
     Row counts come from the parquet footers driver-side
     (metadata-only, no data read) — the same place a 100 TB planner
     gets its split statistics. Regression-pinned in tests/test_round7.py."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     try:
@@ -51,7 +52,10 @@ def scorer_width(path: str, rows_per_task: int = ROWS_PER_TASK) -> int:
             else [path]
         )
         nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except OSError:
+    except (OSError, pa.lib.ArrowInvalid):
+        # ArrowInvalid: corrupt/zero-byte part file (e.g. an
+        # interrupted corpus write) — degrade to the conservative
+        # width-1 fallback instead of crashing query build (r8 ADVICE).
         nrows = 0
     return max(1, nrows // rows_per_task)
 

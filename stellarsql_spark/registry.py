@@ -162,13 +162,21 @@ _R02_CHECKED = frozenset(
 # re-stamps it.  Routine staleness needs no entry — the stamped tail
 # is ordered oldest-stamp-first, so the driver's ~50-key window
 # re-certifies the stalest evidence automatically each round.
-# Keys whose Spark-side code changed this round (round 7: the 1-token
-# bigram guards and the domain-mix quota association) — front them in
-# the driver window right after never-stamped keys so their stamps
-# refresh on the changed code. (b_llm_perplexity also changed but has
-# never been driver-stamped, so it already rides the never-stamped
-# block; listing it here would double-count it in the order tests.)
-_RESTAMP: tuple[str, ...] = ("b_llm_dsir", "b_llm_domain_mix")
+# Keys whose builder or oracle semantics changed AFTER their latest
+# driver stamp (r8 ADVICE audit): editdist's oracle ASCII-fold landed
+# after its r3 stamp, read_text's base64-format rewrite after r4,
+# cosine_topk's mapInArrow rewrite after r2, the shingle/bigram
+# expression changes after jaccard/repetition/contamination's r2-r3
+# stamps, and curation_funnel composes those changed shingle exprs
+# (stamped r6).  All verified green by the local full-registry gate on
+# the current corpus; listed here until the driver re-stamps them.
+# (r7's entries b_llm_dsir/b_llm_domain_mix were re-stamped green in
+# CORRECTNESS_r07 and are dropped per the removal rule above.)
+_RESTAMP: tuple[str, ...] = (
+    "b_llm_editdist", "b_read_text", "b_llm_cosine_topk",
+    "b_llm_jaccard", "b_llm_repetition", "b_llm_contamination",
+    "b_llm_curation_funnel",
+)
 
 
 def _driver_stamp_rounds() -> dict[str, int]:

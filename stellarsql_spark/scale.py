@@ -49,6 +49,11 @@ def _base_fingerprint(
 ) -> str:
     # "v2": layout version — bump invalidates caches built with the
     # old single-file-per-table writer (see target-file sizing below).
+    # The tables segment is ALWAYS present (empty string for the full
+    # corpus): adding it in r7 was a one-time cache invalidation, and
+    # every cache on disk now carries the 3-segment prefix — making
+    # the segment conditional again would re-invalidate them, so the
+    # unconditional form is the stable one (r8 ADVICE adjudication).
     parts = ["v2", str(factor), ",".join(sorted(tables or ()))]
     for t in TABLES:
         st = os.stat(table_path(base_sf_dir, t))

@@ -145,13 +145,20 @@ def ensure_custkey_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         name = f"{t}_ck_{tag}"
         names[t] = name
-        if name in existing:
-            continue
         loc = os.path.join(warehouse, name)
         marker = os.path.join(loc, "_BUCKETS_DONE")
         fp = _bucket_fingerprint(table_path(sf_dir, t), N_CK_BUCKETS)
+        marker_ok = os.path.exists(marker) and open(marker).read() == fp
+        if name in existing:
+            # Catalog hit is NOT sufficient: if the base corpus at
+            # sf_dir was regenerated mid-session the catalog would keep
+            # serving buckets built from the old data, so the on-disk
+            # fingerprint is checked on every call (r8 ADVICE).
+            if marker_ok:
+                continue
+            spark.sql(f"DROP TABLE {name}")
         df = load_table(spark, sf_dir, t)
-        if os.path.exists(marker) and open(marker).read() == fp:
+        if marker_ok:
             _recreate_over_location(spark, name, df, key, N_CK_BUCKETS, loc)
             continue
         shutil.rmtree(loc, ignore_errors=True)
