@@ -76,6 +76,7 @@ SCALE3_MATCHED = (
     "b_join_inner",
     "b_join_inner_bucketed",
     "b_stream_tumbling",
+    "b_stream_tumbling_bucketed",
     "b_llm_cosine_topk",
 )
 SCALE3_FACTOR = 300
@@ -87,11 +88,17 @@ SCALE3_FACTOR = 300
 # with depth like the flagship's did, or plateau at the per-row
 # kernel constant, is the 100 TB answer. The bucketed join twin rides
 # along to separate the exchange term from the kernel term at depth.
+# The day-partitioned/hour-sorted events twin rides both deep tiers
+# (like the bucketed join twin) to separate the layout term from the
+# decode-constant term: r8 measured 1.18× vs DuckDB at 1000× against
+# the plain form's 1.9-4.0×, while at 300× both forms sit on the task
+# floor (~0.45 s) and the layout is a wash.
 SCALE4_MATCHED = (
     "b_agg_groupby",
     "b_join_inner",
     "b_join_inner_bucketed",
     "b_stream_tumbling",
+    "b_stream_tumbling_bucketed",
     "b_llm_cosine_topk",
 )
 SCALE4_FACTOR = 1000
@@ -107,6 +114,7 @@ _PROBE_TABLES = {
     "b_join_inner_bucketed": ("orders", "customer", "nation", "region"),
     "b_topk_per_group": ("orders", "customer"),
     "b_stream_tumbling": ("events",),
+    "b_stream_tumbling_bucketed": ("events",),
     "b_llm_cosine_topk": ("embeddings",),
     "b_llm_dedup_exact": ("documents",),
 }

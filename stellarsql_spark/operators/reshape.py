@@ -77,19 +77,60 @@ def b_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GSETS_ORACLE)
 
 
-@register("b_sample_seeded", oracle=None, tags=("sample", "approx"))
+# Seed-keyed uniform draw: the first 8 md5 hex digits of (salt ‖ key)
+# are a uniform u32; `u < fraction · 2³²` is a Bernoulli(fraction)
+# trial that every engine computes identically.  Thresholds are
+# floor(f · 2³²) so both sides compare the same integer.
+_BERN_T = 429_496_729        # 0.10 · 2³²
+_STRAT_T = {"F": 214_748_364, "O": 214_748_364, "P": 2_147_483_648}  # 0.05/0.05/0.5
+
+_SAMPLE_SEEDED_ORACLE = f"""
+WITH u AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(concat('0x', substring(md5('b42:' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS ub,
+         CAST(concat('0x', substring(md5('s42:' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS us
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, 'bernoulli' AS method FROM u WHERE ub < {_BERN_T}
+UNION ALL
+SELECT o_orderkey, o_orderstatus, 'stratified' AS method FROM u
+WHERE us < CASE o_orderstatus WHEN 'F' THEN {_STRAT_T["F"]}
+                              WHEN 'O' THEN {_STRAT_T["O"]}
+                              WHEN 'P' THEN {_STRAT_T["P"]} END
+"""
+
+
+@register("b_sample_seeded", oracle=_SAMPLE_SEEDED_ORACLE, tags=("sample", "deterministic"))
 def b_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample + stratified sampleBy — reproducible
-    within Spark under a fixed seed AND fixed input partitioning, but
-    the RNG stream is engine- and split-dependent, so no cross-engine
-    hash can hold. Its tested contract is ``b_sample_bounds`` (every
-    stratum within 5σ of its binomial mean — driver-green r02); the
-    deterministic cross-engine alternative is b_llm_split below."""
-    o = load_table(spark, sf_dir, "orders")
-    plain = o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_orderstatus")
-    strat = o.sampleBy(
-        "o_orderstatus", fractions={"F": 0.05, "O": 0.05, "P": 0.5}, seed=42
-    ).select("o_orderkey", "o_orderstatus")
+    """Seeded Bernoulli sample + stratified per-status sample, drawn
+    from a seed-keyed uniform HASH (md5 of seed-salt ‖ row key) rather
+    than the engine RNG stream.
+
+    This is deliberately NOT ``df.sample(seed=)``/``sampleBy``: the
+    engine RNG is seeded per *split*, so the selected set silently
+    changes whenever partitioning changes — a repartition, AQE
+    coalesce, or a 1000-executor layout each yield a different
+    "seeded" sample, which is a reproducibility bug at 100 TB, not a
+    feature.  The hash draw keys each trial to the ROW (salt ``b42:``
+    for the plain 10 % sample, ``s42:`` for the stratified one — the
+    seed lives in the salt, independent draws per method), so the
+    sample is identical across engines, partitionings, and re-runs —
+    row-for-row auditable, with a full cross-engine hash oracle (this
+    key was the registry's last rows-only-by-RNG entry).  Same
+    statistical contract as before: uniform Bernoulli(f) per row;
+    ``b_sample_bounds`` keeps the engine's native ``sampleBy`` under
+    its 5σ binomial pin so the built-in API stays covered too."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+
+    def draw(salt: str):
+        h = F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+    plain = o.where(draw("b42:") < _BERN_T)
+    thresh = F.create_map(
+        *[F.lit(x) for kv in _STRAT_T.items() for x in kv]
+    )[F.col("o_orderstatus")]
+    strat = o.where(draw("s42:") < thresh)
     return plain.withColumn("method", F.lit("bernoulli")).unionByName(
         strat.withColumn("method", F.lit("stratified"))
     )

@@ -245,6 +245,43 @@ def b_sql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_OFFSET_SQL)
 
 
+# Keyset (seek) pagination: the scale path b_sql_offset's docstring
+# names. The page-2 boundary row (here a 1-row subquery standing in
+# for the cursor a client would hold) turns "skip 40" into a sargable
+# predicate on the sort key, so each task filters then keeps only
+# page-size rows — OFFSET N must buffer N+page rows per task, which
+# is why OFFSET 1e9 dies at scale while the seek form stays O(page).
+_KEYSET_SQL = """
+WITH b AS (
+  SELECT o_totalprice AS bp, o_orderkey AS bk
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 39
+)
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders, b
+WHERE o_totalprice < bp OR (o_totalprice = bp AND o_orderkey > bk)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("b_sql_keyset", oracle=_KEYSET_SQL, tags=("sql", "offset", "keyset"))
+def b_sql_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C152: keyset pagination twin of b_sql_offset — byte-identical
+    page 3 (rows 41-60 of the price-desc order), fetched by SEEKING
+    past the last row of page 2 instead of skipping 40 rows.
+
+    The paged scan plans as TakeOrderedAndProject(limit=20) over a
+    filtered scan with NO offset anywhere (asserted in
+    tests/test_round8.py, alongside result equality with the OFFSET
+    form): per task the work is a predicate plus a 20-row heap,
+    independent of how deep the page is. The boundary subquery is a
+    1-row broadcast — in production the client carries (bp, bk) as
+    its cursor and the main query is all that runs. Same SQL text on
+    both engines."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_KEYSET_SQL)
+
+
 # --- named WINDOW clause ---------------------------------------------
 
 _WINDOW_CLAUSE_SQL = """

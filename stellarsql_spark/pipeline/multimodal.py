@@ -106,9 +106,17 @@ def _bmp_encode(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
 
 
 def _bmp_decode(data: bytes) -> tuple[int, int, int, int, int]:
-    """Parse BMP headers + pixel array: (width, height, mean_r, g, b)."""
+    """Parse BMP headers + pixel array: (width, height, mean_r, g, b).
+
+    Executors parse this from an untrusted binary column, so every
+    header field is validated BEFORE it sizes a loop or an index: a
+    hostile width/height pair must cost O(header) to reject, never an
+    unbounded pixel walk, a ZeroDivisionError, or an IndexError deep
+    inside the scan (r8 adversarial gate, tests/test_round8.py)."""
     import struct
 
+    if len(data) < _BMP_HDR:
+        raise ValueError("truncated BMP header")
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = struct.unpack_from("<I", data, 10)[0]
@@ -116,7 +124,11 @@ def _bmp_decode(data: bytes) -> tuple[int, int, int, int, int]:
     bpp = struct.unpack_from("<H", data, 28)[0]
     if bpp != 24:
         raise ValueError(f"unsupported bpp {bpp}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive dimensions {width}x{height}")
     row = (3 * width + 3) // 4 * 4
+    if off < _BMP_HDR or off + row * height > len(data):
+        raise ValueError("pixel array exceeds payload (truncated or oversized header)")
     tot_b = tot_g = tot_r = 0
     for y in range(height):
         base = off + y * row
@@ -144,11 +156,24 @@ def encode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
 
 
+# Quarantine sentinel for malformed payloads: dimensions/means of -1
+# keep the row (and its doc_id + byte count) in the output so hostile
+# inputs are COUNTABLE downstream, instead of one bad file killing the
+# whole executor task — the decode contract a 100 TB ingest needs.
+_BMP_QUARANTINE = (-1, -1, -1, -1, -1)
+
+
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched image DECODE: parse the BMP binary into typed
-    metadata + pixel statistics."""
+    metadata + pixel statistics; malformed payloads become
+    deterministic quarantine rows (never executor exceptions)."""
     for pdf in batches:
-        decoded = [_bmp_decode(img) for img in pdf["img"]]
+        decoded = []
+        for img in pdf["img"]:
+            try:
+                decoded.append(_bmp_decode(img))
+            except (ValueError, IndexError, TypeError):
+                decoded.append(_BMP_QUARANTINE)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -215,21 +240,35 @@ def _y4m_encode(frames: list[bytes], w: int = _VW, h: int = _VH) -> bytes:
 
 
 def _y4m_decode(data: bytes) -> tuple[int, int, list[bytes]]:
-    """Parse the Y4M stream header + demux frames: (w, h, frames)."""
-    nl = data.index(b"\n")
-    header = data[:nl].decode()
+    """Parse the Y4M stream header + demux frames: (w, h, frames).
+
+    Untrusted-input hardening (r8 adversarial gate): dimensions must
+    be positive and small enough that one frame fits the payload, a
+    short tail is a detected truncation (not a silently short frame),
+    and every malformed shape raises ValueError in O(header) time."""
+    nl = data.find(b"\n", 0, 512)
+    if nl < 0:
+        raise ValueError("missing or oversized Y4M header")
+    header = data[:nl].decode("ascii", errors="replace")
     if not header.startswith("YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
-    params = dict((tok[0], tok[1:]) for tok in header.split()[1:])
-    w, h = int(params["W"]), int(params["H"])
+    params = dict((tok[0], tok[1:]) for tok in header.split()[1:] if tok)
+    try:
+        w, h = int(params["W"]), int(params["H"])
+    except (KeyError, ValueError) as e:
+        raise ValueError(f"bad Y4M dimensions: {e}") from None
     if params.get("C", "420jpeg") != "444":
         raise ValueError("unsupported chroma subsampling")
     fsize = w * h * 3
+    if w <= 0 or h <= 0 or fsize + 6 > len(data):
+        raise ValueError(f"implausible dimensions {w}x{h} for {len(data)} bytes")
     frames, pos = [], nl + 1
     while pos < len(data):
         if data[pos : pos + 6] != b"FRAME\n":
             raise ValueError(f"bad FRAME marker at {pos}")
         pos += 6
+        if pos + fsize > len(data):
+            raise ValueError("truncated frame")
         frames.append(data[pos : pos + fsize])
         pos += fsize
     return w, h, frames
@@ -344,9 +383,16 @@ def _wav_decode(data: bytes) -> list[int]:
     import struct
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        assert w.getnchannels() == 1 and w.getsampwidth() == 2
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError("expected mono 16-bit PCM")
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        # stdlib wave raises its own error type on hostile RIFF
+        # containers; normalize to ValueError so callers have ONE
+        # malformed-payload signal (r8 adversarial gate).
+        raise ValueError(f"bad RIFF/WAV container: {e}") from None
     return list(struct.unpack("<" + "h" * (len(raw) // 2), raw))
 
 

@@ -45,6 +45,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.merge",
     "stellarsql_spark.operators.runtime_filters",
     "stellarsql_spark.sources.bucketed",
+    "stellarsql_spark.sources.events_layout",
     "stellarsql_spark.sources.python_ds",
     "stellarsql_spark.operators.aggregates",
     "stellarsql_spark.operators.joins",
@@ -176,6 +177,9 @@ _RESTAMP: tuple[str, ...] = (
     "b_llm_editdist", "b_read_text", "b_llm_cosine_topk",
     "b_llm_jaccard", "b_llm_repetition", "b_llm_contamination",
     "b_llm_curation_funnel",
+    # r8: the IVF recall floor was raised 0.2 → 0.7 (seeded-k-means
+    # quantizer) after this key's r3 stamp.
+    "b_llm_ann_recall",
 )
 
 

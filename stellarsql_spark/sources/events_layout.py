@@ -1,0 +1,177 @@
+"""Hour-partitioned events layout: the decode-free tumbling aggregate.
+
+The round-7 decomposition (SCALE.md round-7 addendum) showed
+`b_stream_tumbling`'s 1000×-depth gap vs an embedded engine is COLUMN
+DECODE + per-row expression work (~120M vs ~290M rows/s), not the
+aggregate (map-side total, ≤ hours×types groups) and not the plan.  A
+layout can delete that per-row work entirely, the same way the
+custkey buckets delete `b_join_inner`'s exchanges (sources/bucketed.py):
+
+- **partition coarse, sort fine** (the Delta/Iceberg event-lake rule):
+  hive dirs by event DAY, rows within each file sorted by
+  (epoch-hour, type) with the hour MATERIALIZED as a BIGINT column.
+  The tumbling key is then a dictionary/RLE run over sorted
+  low-cardinality values — near-zero decode — and the query reads
+  ZERO timestamp bytes and evaluates ZERO floor expressions per row.
+  Hour-granularity dirs were A/B'd and REJECTED: at the 300× tier
+  720 hour-files are ~30 k rows each and per-file open/schedule
+  overhead made the twin slower than the plain form (0.72 s vs
+  0.49 s), while day dirs keep files right-sized at every tier
+  (0.30 s; at 1000× day-files split at row-group boundaries so
+  parallelism is preserved).  Time-bounded queries still prune day
+  dirs at planning time and hour ranges via row-group min/max (tight,
+  because sorted).  `writeStream.partitionBy(day)` is exactly how a
+  Structured Streaming sink lands this layout at 100 TB.
+- **surrogate `type_id` int key at rest** (star schema) — the 5-row
+  `event_type` dimension is written once beside the facts; the
+  aggregate groups on a 4-byte int and the name is recovered AFTER
+  the rollup through a broadcast join of ~3 600 rows × 5.  This is
+  NOT the r6 dictionary-encoding lever that lost its A/B (SCALE.md
+  round-6: 5 string compares per row at *query* time) — the encode
+  cost here is paid once at ingest, never per query.
+- **integer cents materialized at rest** — `round(value*100)` leaves
+  the per-row path; the sum is a pure BIGINT reduce.
+
+The DuckDB oracle reads the ordinary un-partitioned parquet: the
+layout IS the Spark-side optimization being measured, same contract
+as `b_join_inner_bucketed`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stellarsql_spark.catalog import load_table, table_path
+from stellarsql_spark.functions.exact import cents
+from stellarsql_spark.registry import register
+
+US_PER_HOUR = 3_600_000_000
+
+# Identical result contract to b_stream_tumbling
+# (streaming/windows.py) — the twin measures the layout, not a
+# different query.
+_TUMBLING_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _layout_fingerprint(src: str) -> str:
+    st = os.stat(src)
+    # v2: day-dir layout (hour dirs A/B'd and rejected, see module doc)
+    return f"{src}:{st.st_size}:{st.st_mtime_ns}:v2"
+
+
+def ensure_hour_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per corpus) the hour-partitioned events lake:
+
+    ``<scratch>/events_hr_<tag>/``  facts, hive dirs ``event_day=N/``
+        (days since epoch), one file per day sorted by
+        (event_hour, type_id); all source columns kept (ts included —
+        the layout loses no information) with ``event_type`` replaced
+        by ``type_id`` and ``event_hour`` (epoch-hour BIGINT) and
+        ``cts`` (integer cents) added;
+    ``<scratch>/event_types_<tag>/``  the 5-row type dimension
+        (``type_id``, ``event_type``), ids dense in name order so
+        rebuilds are deterministic.
+
+    Idempotent per (sf_dir, corpus mtime) via an on-disk fingerprint
+    marker — reused across sessions, rebuilt if the corpus under
+    sf_dir is regenerated.  Plain ``spark.read.parquet`` discovers the
+    hive partitions, so no catalog state is needed (unlike bucketing,
+    which only the session catalog can carry)."""
+    from urllib.parse import urlparse
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    fact_dir = os.path.join(warehouse, f"events_hr_{tag}")
+    dim_dir = os.path.join(warehouse, f"event_types_{tag}")
+    marker = os.path.join(fact_dir, "_LAYOUT_DONE")
+    fp = _layout_fingerprint(table_path(sf_dir, "events"))
+    if os.path.exists(marker) and open(marker).read() == fp:
+        return fact_dir, dim_dir
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .sort("event_type")
+        .select(
+            F.row_number().over(Window.orderBy("event_type")).cast("int").alias("type_id"),
+            "event_type",
+        )
+    )
+    dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    dim_b = F.broadcast(spark.read.parquet(dim_dir))
+    h = F.unix_micros("ts")
+    fact = (
+        e.join(dim_b, "event_type")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "type_id",
+            "value",
+            cents("value").alias("cts"),
+            "props",
+            ((h - (h % US_PER_HOUR)) / US_PER_HOUR).cast("bigint").alias("event_hour"),
+            F.floor(h / (24 * US_PER_HOUR)).cast("bigint").alias("event_day"),
+        )
+        # hash-repartition on the partition key so each day lands
+        # wholly in one task → exactly one file per hive dir (a
+        # straight partitionBy write would emit width×days files),
+        # then sort within so the hour/type columns become RLE runs.
+        .repartition("event_day")
+        .sortWithinPartitions("event_day", "event_hour", "type_id")
+    )
+    fact.write.mode("overwrite").partitionBy("event_day").parquet(fact_dir)
+    with open(marker, "w") as f:
+        f.write(fp)
+    return fact_dir, dim_dir
+
+
+@register("b_stream_tumbling_bucketed", oracle=_TUMBLING_ORACLE,
+          tags=("streaming", "window", "bucketed"))
+def b_stream_tumbling_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly tumbling aggregate on the time-bucketed at-rest
+    layout: same result set as `b_stream_tumbling`, near-zero per-row
+    expression work.
+
+    Per-row cost collapses to decoding three small integer columns
+    (`event_hour` BIGINT — an RLE run, the data is sorted on it —
+    `type_id` INT, `cts` BIGINT): no ts decode, no floor expression,
+    the group hash is on (long, int), and the money sum is a BIGINT
+    reduce.  The only
+    exchange carries the map-side partials (≤ hours×types rows per
+    task, ~3 600 total) and the type-name decode join broadcasts a
+    5-row dimension AFTER the rollup — asserted in
+    tests/test_round8.py.  At 100 TB this is the layout a streaming
+    sink produces anyway (`writeStream.partitionBy(hour)`), so the
+    query-time win is free, and time-bounded queries additionally
+    prune whole hour directories at planning time."""
+    fact_dir, dim_dir = ensure_hour_layout(spark, sf_dir)
+    f = spark.read.parquet(fact_dir).select("event_hour", "type_id", "cts")
+    d = spark.read.parquet(dim_dir)
+    return (
+        f.groupBy("event_hour", "type_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cts") / 100.0).cast("double").alias("total_value"),
+        )
+        .join(F.broadcast(d), "type_id")
+        .select(
+            F.timestamp_micros(F.col("event_hour").cast("bigint") * US_PER_HOUR).alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
