@@ -117,7 +117,22 @@ _PROBE_TABLES = {
     "b_stream_tumbling_bucketed": ("events",),
     "b_llm_cosine_topk": ("embeddings",),
     "b_llm_dedup_exact": ("documents",),
+    "b_join_salted": ("orders", "lineitem"),
+    "b_join_salted_hot": ("orders", "lineitem"),
+    "b_join_skew_split": ("orders", "lineitem"),
 }
+
+# Skew tier (r8): the skew-handling forms of the same orders⋈lineitem
+# rollup, measured on the ZIPFIAN corpus (ensure_skewed_corpus — hot
+# orderkey #1 carries ~18% of lineitem) so the shuffle-join straggler
+# is real, not narrated. Both keys share one oracle, so DuckDB's time
+# on the same skewed parquet is the common denominator. The blanket-
+# salt form (b_join_salted) is deliberately NOT in the timed set: its
+# NSALT× build-side replication measured 96.5 s at this tier (one-off,
+# SCALE.md round-8) and re-timing the documented negative 7× per round
+# would cost more bench wall-clock than every other block combined.
+SKEW_MATCHED = ("b_join_skew_split", "b_join_salted_hot")
+SKEW_FACTOR = 300
 
 
 def _duck_times(sf_dir: str, specs, names, runs: int = 3) -> dict[str, float]:
@@ -212,6 +227,41 @@ def _best_of(fn, runs: int = 3) -> float:
     return best
 
 
+def _stream_throughput(spark, sf_dir: str, factor: int) -> dict:
+    """Micro-batch throughput of the watermarked tumbling aggregate
+    over the ``factor``× events corpus: file source, maxFilesPerTrigger
+    =1 (each of the ~6 corpus files is one micro-batch incrementally
+    updating (window, type) state), memory sink, synchronous drain.
+    State is bounded by hours×types (~3.6k rows across 32 state-store
+    partitions), NOT by input rows — see SCALE.md round-8 for the
+    sizing arithmetic."""
+    from stellarsql_spark.catalog import load_table, table_path
+    from stellarsql_spark.scale import ensure_scaled_corpus
+    from stellarsql_spark.streaming.runtime import (
+        events_stream_from_dir,
+        run_to_memory,
+    )
+    from stellarsql_spark.streaming.windows import tumbling_hourly
+
+    # tables=None reuses the full 100× corpus scale_probe_deep already
+    # built this run — no extra one-off build for the stream probe.
+    scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor)
+    events_dir = table_path(scaled_dir, "events")
+    n_in = load_table(spark, scaled_dir, "events").count()  # warms page cache too
+    src = events_stream_from_dir(spark, events_dir, max_files_per_trigger=1)
+    streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
+    t0 = time.perf_counter()
+    out_rows = run_to_memory(streamed, output_mode="complete").count()
+    drain = time.perf_counter() - t0
+    return {
+        "factor": factor,
+        "rows_in": n_in,
+        "rows_out": out_rows,
+        "drain_sec": round(drain, 3),
+        "rows_per_sec": int(n_in / drain),
+    }
+
+
 def _plan_floors(spark) -> dict[str, float]:
     """Fixed Spark latency floors at this session's settings, measured
     on trivially small data: ``noop`` = one stage, no exchange;
@@ -274,8 +324,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         from stellarsql_spark.scale import ensure_scaled_corpus
 
-        def probe(factor: int, names, tables=None) -> dict:
-            scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor, tables=tables)
+        def probe(factor: int, names, tables=None, scaled_dir=None) -> dict:
+            if scaled_dir is None:
+                scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor, tables=tables)
             tune_for_data_size(spark, scaled_dir, cpus=cpus)
             tier_tables = tuple(
                 dict.fromkeys(
@@ -349,6 +400,29 @@ def main() -> None:
             )
         else:
             result["scale_probe_1000"] = {"skipped": "time budget"}
+        # Skew tier: same interleaved protocol, zipfian corpus. Runs
+        # after the uniform tiers so a blown budget drops the newest
+        # block first-but-one.
+        if time.perf_counter() - _T0 < 1380:
+            from stellarsql_spark.scale import ensure_skewed_corpus
+
+            result["scale_probe_skew"] = probe(
+                SKEW_FACTOR,
+                SKEW_MATCHED,
+                scaled_dir=ensure_skewed_corpus(spark, sf_dir, SKEW_FACTOR),
+            )
+        else:
+            result["scale_probe_skew"] = {"skipped": "time budget"}
+        # Streaming throughput probe (r8): every scale tier above is
+        # batch; this is the one measured micro-batch number. Drain
+        # the watermarked tumbling aggregate (b_stream_run_tumbling's
+        # plan) over the 100× events corpus through the file source,
+        # one file per trigger, so the run is genuinely incremental
+        # (~6 micro-batches updating (window, type) state).
+        if time.perf_counter() - _T0 < 1500:
+            result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
+        else:
+            result["stream_probe"] = {"skipped": "time budget"}
         tune_for_data_size(spark, sf_dir, cpus=cpus)
 
     print(json.dumps(result))

@@ -37,7 +37,16 @@ def b_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders⋈lineitem with an 8-way salted key. The salt is
     pmod(hash(l_linenumber), 8) — deterministic, uniform, and
     independent of the join key, so each original pair appears exactly
-    once in exactly one salt lane."""
+    once in exactly one salt lane.
+
+    Measured at-depth negative (r8, 300× zipfian corpus): the blanket
+    NSALT× build-side replication costs 96.5 s where the hot-key-only
+    variant (b_join_salted_hot) takes ~7 s and AQE skew-split
+    (b_join_skew_split) sits at the shuffle floor — replicating a 45M-
+    row build side 8× costs far more than the straggler it cures.
+    Blanket salt remains the right tool only when the build side is
+    small or hot keys are unknowable (e.g. streaming); at batch depth
+    use the detect-then-salt or AQE forms."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     salts = F.array(*[F.lit(i) for i in range(NSALT)])
@@ -164,4 +173,127 @@ def b_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             (F.sum("v_cents") / 100.0).cast("double").alias("sum_value"),
         )
+    )
+
+
+# Tier-scaled skew confs for b_join_skew_split.  Stock thresholds are
+# COMPRESSED map-output bytes sized for cluster-scale partitions
+# (256 MB / advisory 64 MB); at this harness's GiB tiers the zipfian
+# hot partition compresses to ~250 MB and stock AQE *coalescing*
+# actively concentrates the shuffle (measured r8: stock SHJ 15.6 s,
+# stock SMJ 40.7 s — the coalesce, not the straggler, dominated) while
+# the skew rule never trips.  Scaling both knobs by the tier restores
+# the cluster-scale geometry: skew=true fires on the lineitem side
+# and the join lands at the shuffle floor (6.7 s vs a bare 180M-row
+# repartition's 10.4 s; SCALE.md round-8).  Same class of lesson as
+# r7's task-width fix: never size by compressed bytes you didn't
+# rescale.
+_SPLIT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64MB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB",
+}
+
+
+@register("b_join_skew_split", oracle=_SALTED_ORACLE, tags=("join", "skew", "aqe"))
+def b_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C154: the zero-rewrite AQE skew-split form of the
+    orders⋈lineitem rollup — same result contract as b_join_salted.
+
+    b_join_skew_aqe proves the split RULE fires (synthetic hot key,
+    forced); this key is the shape you actually run at 100 TB: a
+    plain shuffle-hash join under `spark.sql.adaptive.skewJoin` with
+    thresholds scaled to the tier (see _SPLIT_CONFS — stock values
+    assume cluster-sized partitions), measured in BENCH_r08's
+    `scale_probe_skew` block against the zipfian corpus
+    (scale.py ensure_skewed_corpus: hot orderkey #1 carries ~18% of
+    lineitem; AQEShuffleRead shows `skewed` on the fact side when it
+    runs there).  The shuffle_hash hint skips the 180M-row sort a
+    sort-merge join would pay (40.7 s → 6.7 s measured at 300×z).  On
+    un-skewed corpora the rule correctly stays idle and this is just
+    the plain join — one oracle covers every SF.  The post-join
+    aggregate groups by o_orderstatus (not the join key), so the join
+    output's partitioning is unconstrained and AQE is free to split."""
+    s2 = spark.newSession()
+    for k, v in _SPLIT_CONFS.items():
+        s2.conf.set(k, v)
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions", "32"),
+    )
+    from stellarsql_spark.catalog import _read_table
+
+    o = _read_table(s2, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _read_table(s2, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("gross"),
+        )
+    )
+
+
+# Hot-key detection sample: cheap pre-pass fraction and the sampled
+# count above which a key is treated as hot (≈ keys holding >~1% of
+# the table; uniform corpora produce no qualifying key).
+_HOT_SAMPLE = 0.02
+_HOT_MIN_SAMPLED = 50
+_HOT_TOP = 8
+
+
+@register("b_join_salted_hot", oracle=_SALTED_ORACLE, tags=("join", "skew", "salt"))
+def b_join_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C155: detect-then-salt — salt ONLY the measured hot keys.
+
+    b_join_salted's blanket salt replicates the whole build side
+    NSALT×, which at depth costs more than the straggler it cures (a
+    45M-row orders side becomes 360M rows at the 300× tier).  The
+    production refinement is two-phase: a sampled count pre-pass
+    finds keys above a share threshold (here a 2% sample; at 100 TB
+    this is sketch/stats metadata you already have), then only rows
+    carrying those keys fan out across salt lanes — the build-side
+    blowup is |hot|×NSALT extra ROWS, not a full replica set.  Cold
+    rows ride salt lane 0 untouched.  Result-identical to the plain
+    join for ANY detected set (salting is a physical spreading), so
+    the oracle is the plain SQL — on uniform corpora the hot set is
+    empty and this degenerates to exactly the plain join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = [
+        r[0]
+        for r in li.sample(_HOT_SAMPLE, seed=7)
+        .groupBy("l_orderkey")
+        .count()
+        .where(F.col("count") >= _HOT_MIN_SAMPLED)
+        .orderBy(F.desc("count"))
+        .limit(_HOT_TOP)
+        .collect()
+    ]
+    if not hot:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    else:
+        is_hot_li = F.col("l_orderkey").isin(hot)
+        li_s = li.withColumn(
+            "salt",
+            F.when(is_hot_li, F.pmod(F.hash("l_linenumber"), F.lit(NSALT))).otherwise(0),
+        )
+        is_hot_o = F.col("o_orderkey").isin(hot)
+        lanes = F.when(
+            is_hot_o, F.array(*[F.lit(i) for i in range(NSALT)])
+        ).otherwise(F.array(F.lit(0)))
+        o_rep = o.withColumn("salt", F.explode(lanes))
+        # shuffle_hash: the salted lanes even out partition sizes, but
+        # a sort-merge join would still sort the full fact side —
+        # measured 16.3 s SMJ vs ~7 s SHJ on the 300× zipfian corpus.
+        joined = li_s.join(
+            o_rep.hint("shuffle_hash"),
+            (li_s.l_orderkey == o_rep.o_orderkey) & (li_s.salt == o_rep.salt),
+        )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("gross"),
     )

@@ -131,3 +131,92 @@ def ensure_scaled_corpus(
     with open(marker, "w") as f:
         f.write(fingerprint)
     return out_dir
+
+
+# --- zipfian-skew corpus (r8): real join-key skew at depth ----------
+#
+# The uniform replicator above preserves each base table's key
+# distribution, so orders⋈lineitem at every tier joins on DISJOINT
+# UNIFORM keys — the skew operators (b_join_salted, b_join_skew_aqe)
+# were only ever *correctness*-tested under skew, never *measured*
+# under it at depth.  This variant remaps a configurable share of
+# lineitem's join key onto a few hot orderkeys with harmonic
+# (zipf s=1) weights: hot key #j carries share HOT_SHARE·(1/j)/H_n,
+# so the #1 key alone holds ~18% of all rows — the single-straggler
+# geometry that serializes a shuffle join.  Both engines read the
+# SAME skewed parquet, so the bench ratio isolates the engines'
+# skew handling, not the generator.
+
+ZIPF_HOT_KEYS = 8
+ZIPF_HOT_SHARE = 0.5
+_ZIPF_RES = 1_000_000  # integer resolution of the per-row uniform draw
+
+
+def _zipf_thresholds() -> list[int]:
+    """Cumulative integer thresholds: draw u ∈ [0, RES); u < t[j] ⇒
+    hot key j (first match wins), u ≥ t[-1] ⇒ keep the original key."""
+    hn = sum(1.0 / i for i in range(1, ZIPF_HOT_KEYS + 1))
+    cum, out = 0.0, []
+    for j in range(1, ZIPF_HOT_KEYS + 1):
+        cum += ZIPF_HOT_SHARE * (1.0 / j) / hn
+        out.append(int(cum * _ZIPF_RES))
+    return out
+
+
+def ensure_skewed_corpus(
+    spark: SparkSession, base_sf_dir: str, factor: int, out_root: str | None = None
+) -> str:
+    """Build (or reuse) a ``factor``× corpus whose lineitem join key is
+    zipfian-skewed onto ``ZIPF_HOT_KEYS`` real orderkeys.  Orders and
+    lineitem replicate (disjoint keys, multi-file layout, same as
+    ensure_scaled_corpus); every other table is copied base-size; then
+    lineitem's l_orderkey is deterministically remapped row-by-row
+    (xxhash64 draw — no RNG stream, rebuilds are identical).
+    Referential integrity holds: hot keys are existing replica-0
+    orderkeys, cold rows keep their original key."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(base_sf_dir.rstrip("/"))
+    out_dir = os.path.join(out_root or os.path.join(repo, ".scale"), f"{tag}_x{factor}z")
+    marker = os.path.join(out_dir, "_SCALED_DONE")
+    fingerprint = (
+        _base_fingerprint(base_sf_dir, factor, ("orders", "lineitem"))
+        + f"|zipf:{ZIPF_HOT_KEYS}:{ZIPF_HOT_SHARE}"
+    )
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    hot = [
+        r[0]
+        for r in load_table(spark, base_sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(ZIPF_HOT_KEYS)
+        .collect()
+    ]
+    thresholds = _zipf_thresholds()
+    for t in TABLES:
+        t_factor = factor if t in ("orders", "lineitem") else 1
+        est_bytes = os.path.getsize(table_path(base_sf_dir, t)) * t_factor
+        n_files = int(max(1, min(512, est_bytes // (32 << 20))))
+        base = load_table(spark, base_sf_dir, t)
+        if n_files > 1:
+            base = base.repartition(n_files)
+        scaled = replicate_table(base, t, t_factor)
+        if t == "lineitem":
+            u = F.pmod(
+                F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"),
+                F.lit(_ZIPF_RES),
+            )
+            remap = F.col("l_orderkey")
+            for j in range(ZIPF_HOT_KEYS - 1, -1, -1):
+                remap = F.when(u < thresholds[j], F.lit(hot[j])).otherwise(remap)
+            scaled = scaled.withColumn("l_orderkey", remap)
+        scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return out_dir

@@ -43,6 +43,35 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
+def events_stream_from_dir(
+    spark: SparkSession,
+    events_dir: str,
+    schema_src: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """A directory of events parquet files as a streaming source.
+
+    ``max_files_per_trigger`` caps each micro-batch's file intake —
+    the knob that turns a one-mega-batch drain into a genuine
+    incremental run (used by bench.py's streaming throughput probe
+    over the multi-file scaled corpora).  ``schema_src`` defaults to
+    the directory itself (footer read)."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(schema_src or events_dir).schema
+    reader = spark.readStream.schema(physical).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(events_dir)
+    ts_type = physical["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos file
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):  # µs NTZ file
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a file-based streaming source.
 
@@ -52,17 +81,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000, µs-NTZ files cast (UTC identity). This keeps stream and
     batch event time byte-identical across corpus regenerations.
     """
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    physical = spark.read.parquet(table_path(sf_dir, "events")).schema
-    raw = spark.readStream.schema(physical).format("parquet").load(_stream_dir(sf_dir))
-    ts_type = physical["ts"].dataType
-    if isinstance(ts_type, T.LongType):  # nanos file
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(ts_type, T.TimestampNTZType):  # µs NTZ file
-        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return raw
+    return events_stream_from_dir(
+        spark, _stream_dir(sf_dir), schema_src=table_path(sf_dir, "events")
+    )
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

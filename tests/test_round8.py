@@ -250,6 +250,51 @@ class TestAdversarialCodecs:
         assert (w2, h2) == (8, 8) and out == frames
 
 
+class TestSkewForms:
+    def test_three_forms_agree(self, spark):
+        """Skew handling is physical spreading — all three forms (AQE
+        split, hot-only salt, blanket salt) must be row-identical."""
+        from stellarsql_spark.operators.skew import (
+            b_join_salted,
+            b_join_salted_hot,
+            b_join_skew_split,
+        )
+
+        a = {tuple(r) for r in b_join_salted(spark, SF_MED).collect()}
+        b = {tuple(r) for r in b_join_salted_hot(spark, SF_MED).collect()}
+        c = {tuple(r) for r in b_join_skew_split(spark, SF_MED).collect()}
+        assert a == b == c and len(a) > 0
+
+    def test_zipfian_corpus_construction(self, spark, tmp_path):
+        """ensure_skewed_corpus must produce genuine join-key skew
+        (hot key #1 ≈ HOT_SHARE/H_n of all rows) while preserving
+        referential integrity and total row count."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.scale import (
+            ZIPF_HOT_KEYS,
+            ZIPF_HOT_SHARE,
+            ensure_skewed_corpus,
+        )
+
+        d = ensure_skewed_corpus(spark, SF, 2, out_root=str(tmp_path))
+        li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(d, "orders.parquet"))
+        n = li.count()
+        base_n = load_table(spark, SF, "lineitem").count()
+        assert n == 2 * base_n  # remap never drops or adds rows
+        top = (
+            li.groupBy("l_orderkey").count().orderBy(F.desc("count")).limit(1).collect()
+        )[0]
+        hn = sum(1.0 / i for i in range(1, ZIPF_HOT_KEYS + 1))
+        expected = ZIPF_HOT_SHARE * 1.0 / hn  # ≈ 0.184
+        assert abs(top["count"] / n - expected) < 0.05
+        # referential integrity: every lineitem key still joins
+        orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
+        assert orphans == 0
+
+
 class TestStampAudit:
     def test_rotation_invariant_holds(self):
         """driver_key_order's oldest-first rotation must satisfy the
