@@ -248,17 +248,30 @@ def _stream_throughput(spark, sf_dir: str, factor: int) -> dict:
     scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor)
     events_dir = table_path(scaled_dir, "events")
     n_in = load_table(spark, scaled_dir, "events").count()  # warms page cache too
-    src = events_stream_from_dir(spark, events_dir, max_files_per_trigger=1)
-    streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
-    t0 = time.perf_counter()
-    out_rows = run_to_memory(streamed, output_mode="complete").count()
-    drain = time.perf_counter() - t0
+
+    def drain(max_files):
+        src = events_stream_from_dir(
+            spark, events_dir, max_files_per_trigger=max_files
+        )
+        streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
+        t0 = time.perf_counter()
+        out_rows = run_to_memory(streamed, output_mode="complete").count()
+        return out_rows, time.perf_counter() - t0
+
+    # Two batch sizes bound the fixed-cost story: one file per trigger
+    # (~6 incremental micro-batches) vs everything in one mega-batch.
+    # The per-row work is identical, so the delta IS the per-batch
+    # fixed cost (planning + state-store commit + sink commit).
+    out_rows, t_incr = drain(1)
+    _, t_mega = drain(None)
     return {
         "factor": factor,
         "rows_in": n_in,
         "rows_out": out_rows,
-        "drain_sec": round(drain, 3),
-        "rows_per_sec": int(n_in / drain),
+        "drain_sec": round(t_incr, 3),
+        "rows_per_sec": int(n_in / t_incr),
+        "drain_sec_megabatch": round(t_mega, 3),
+        "rows_per_sec_megabatch": int(n_in / t_mega),
     }
 
 
