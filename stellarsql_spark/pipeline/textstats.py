@@ -292,6 +292,117 @@ def b_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 ranked retrieval (Robertson/Sparck Jones; Lucene's
+# ln(1 + (N-df+0.5)/(df+0.5)) idf so every term is positive),
+# k1 = 1.2, b = 0.75.  Per-term scores are scaled to integer
+# millionths BEFORE the per-(query, doc) sum, so the sum is exact
+# long arithmetic and ranking compares integers — float addition
+# order can never flip the hash (same convention family as the
+# scaled-integer sums in functions/exact.py; the only double ops are
+# the identical-expression idf/tfnorm both engines evaluate on
+# identical integer inputs, with one ROUND at the term boundary —
+# the same exposure b_llm_tfidf already carries).
+_BM25_QUERIES = (
+    (1, "join"), (1, "filter"),
+    (2, "shuffle"), (2, "merge"), (2, "slow"),
+    (3, "customer"), (3, "order"),
+)
+_BM25_TOPK = 5
+
+_BM25_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY doc_id, word
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+q(query_id, word) AS (VALUES {", ".join(f"({i}, '{w}')" for i, w in _BM25_QUERIES)}),
+terms AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ROUND(1000000 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+              AS BIGINT) AS term_m
+  FROM q JOIN tf USING (word) JOIN df USING (word)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+),
+ranked AS (
+  SELECT query_id, doc_id, CAST(SUM(term_m) AS BIGINT) AS score_m,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY CAST(SUM(term_m) AS BIGINT) DESC, doc_id
+         ) AS rank
+  FROM terms GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       score_m / 1000000.0 AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@register("b_llm_bm25", oracle=_BM25_ORACLE, tags=("pipeline", "text", "retrieval"))
+def b_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C156: BM25 top-5 ranked retrieval for a fixed query set —
+    the lexical half of a retrieval pipeline (the dense half is
+    b_llm_cosine_topk / b_llm_ann_lsh; TF-IDF's term weighting is the
+    degenerate no-length-normalization case above).
+
+    100 TB shape: query terms broadcast into the postings (tf) table,
+    so only postings for queried words survive the join — the
+    candidate set per query is df(term)-sized, never corpus-sized.
+    The full-corpus work is exactly one tokenize+count pass (shared
+    shuffle on (doc, word)), df and the corpus stats are
+    vocabulary-sized broadcasts, and the final top-k is a window over
+    the tiny candidate set.  At rest a search tier would store tf
+    partitioned by word (the inverted-index layout of
+    b_llm_inverted_index) and this query prunes to the queried
+    words' partitions.  Ranking compares exact integer millionths —
+    see _BM25_ORACLE's convention note."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n_docs, sum_dl = dl.agg(
+        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
+    ).first()
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, word string")
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    # Parenthesization mirrors the oracle EXACTLY — ((1e6·idf)·(tf·2.2))
+    # / denom, not (1e6·idf)·((tf·2.2)/denom): IEEE doubles are not
+    # associative and a different grouping can flip the 6-dp round.
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") * F.lit(n_docs) / F.lit(sum_dl)
+    )
+    term_m = F.round(1_000_000 * idf * (F.col("tf") * 2.2) / denom).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.col("score_m").desc(), "doc_id")
+    return (
+        tf.join(F.broadcast(q), "word")
+        .join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", term_m.alias("term_m"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_m").cast("bigint").alias("score_m"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("score_m") / 1_000_000.0).alias("score"),
+            "rank",
+        )
+    )
+
+
 # Denylist scrubbing: the corpus text is synthetic word soup, so the
 # redaction surface is modeled as a term denylist (the same machinery
 # as PII masking — word-boundary regex alternation, one pass, no UDF;

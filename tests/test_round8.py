@@ -295,6 +295,44 @@ class TestSkewForms:
         assert orphans == 0
 
 
+class TestBM25:
+    def test_ranking_contract(self, spark):
+        """Each query returns exactly TOPK docs with dense ranks and
+        non-increasing scores; every ranked doc actually contains at
+        least one query term (BM25 never scores a term-free doc)."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.textstats import (
+            _BM25_QUERIES,
+            _BM25_TOPK,
+            b_llm_bm25,
+        )
+
+        rows = b_llm_bm25(spark, SF_MED).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        terms = {}
+        for qid, w in _BM25_QUERIES:
+            terms.setdefault(qid, set()).add(w)
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, SF_MED, "documents")
+            .where(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+            .select("doc_id", "text")
+            .collect()
+        }
+        for qid, qrows in by_q.items():
+            qrows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in qrows] == list(range(1, _BM25_TOPK + 1))
+            scores = [r["score"] for r in qrows]
+            assert scores == sorted(scores, reverse=True)
+            for r in qrows:
+                assert terms[qid] & set(docs[r["doc_id"]].split(" ")), (
+                    qid, r["doc_id"])
+
+
 class TestStampAudit:
     def test_rotation_invariant_holds(self):
         """driver_key_order's oldest-first rotation must satisfy the
