@@ -26,6 +26,7 @@ from stellarsql_spark.pipeline.similarity import (
     COSINE_NEARDUP_THRESHOLD,
     N_QUERIES,
     TOP_K,
+    b_llm_cosine_topk,
     dot,
     norm,
 )
@@ -310,4 +311,129 @@ def b_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sim"), 4).alias("mean_sim_to_centroid"),
         )
         .orderBy("cluster")
+    )
+
+
+# --- int8 scalar quantization with a recall contract (C157) ----------
+
+# Per-vector symmetric scheme: q_i = round(127·x_i / maxabs(x)).  The
+# quantized values are exact small INTEGERS in both engines (identical
+# double division, correctly-rounded IEEE ops, half-up round), so the
+# quantized dot/norms are exact integer arithmetic (≤ 127²·64 ≈ 10⁶
+# per term — every intermediate is exactly representable in double,
+# ORDER-INDEPENDENT, which is stronger than the float-sum path) and
+# the quantized cosine is bit-identical cross-engine before its
+# display round.
+_QUANT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(127.0 * x / maxabs) AS BIGINT)) AS qv
+  FROM base
+),
+qq AS (SELECT vec_id AS query_id, qv AS qe FROM q WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, c.qv)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.qv, c.qv))),
+               6) AS q_sim
+  FROM qq CROSS JOIN q c
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, q_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY q_sim DESC, neighbor_id) AS rn
+  FROM scored
+),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                      b.vec_id
+           ) AS ern
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  ) WHERE ern <= {TOP_K}
+)
+SELECT r.query_id, r.neighbor_id, r.q_sim, CAST(r.rn AS INT) AS rn,
+       (e.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM ranked r LEFT JOIN exact e
+  ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+WHERE r.rn <= {TOP_K}
+"""
+
+
+def _int_dot(a, b):
+    """Exact long dot product of two int-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("b_llm_quant_int8", oracle=_QUANT_ORACLE, tags=("pipeline", "vectors", "quantization"))
+def b_llm_quant_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C157: int8 scalar quantization + quantized-cosine top-k with a
+    per-row recall annotation against the exact top-k.
+
+    The memory tier below IVF/LSH: at 100 TB an fp32 corpus is 4×
+    the RAM of its int8 twin, so the serving layout stores q_i =
+    round(127·x_i/maxabs) int8s + one scale per vector and scans
+    THOSE; candidates from the quantized scan are optionally
+    re-ranked against fp32. The quantized dot is exact integer math
+    (hash-stable cross-engine — see oracle note), and `in_exact_topk`
+    makes the approximation quality a TESTED column (the same
+    contract philosophy as b_llm_ann_recall), not a hope: measured
+    recall@10 is 50/50 at sf0.01 and 47/50 at sf0.1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(ed, F.abs))
+    q = e.select(
+        "vec_id",
+        F.transform(ed, lambda x: F.round(127.0 * x / maxabs).cast("long")).alias("qv"),
+    )
+    qq = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    )
+    c = q.select(F.col("vec_id").alias("neighbor_id"), "qv")
+    q_sim = F.round(
+        _int_dot(F.col("qe"), F.col("qv")).cast("double")
+        / (
+            F.sqrt(_int_dot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", q_sim.alias("q_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("q_sim").desc(), "neighbor_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+    exact = b_llm_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    return (
+        ranked.join(
+            exact,
+            (ranked.query_id == exact.eq) & (ranked.neighbor_id == exact.en),
+            "left",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_sim",
+            "rn",
+            F.col("en").isNotNull().alias("in_exact_topk"),
+        )
     )
