@@ -437,3 +437,102 @@ def b_llm_quant_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("en").isNotNull().alias("in_exact_topk"),
         )
     )
+
+
+# --- two-stage serving: quantized scan → fp32 re-rank (C158) ---------
+
+RERANK_CAND = 50  # candidates from the int8 scan per query
+
+_RERANK_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(ROUND(127.0 * x / maxabs) AS BIGINT)) AS qv
+  FROM base
+),
+qq AS (SELECT vec_id AS query_id, e AS qe, qv AS qqv FROM q WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT query_id, neighbor_id, qe, ce
+  FROM (
+    SELECT qq.query_id, c.vec_id AS neighbor_id, qq.qe, c.e AS ce,
+           ROW_NUMBER() OVER (
+             PARTITION BY qq.query_id
+             ORDER BY ROUND(list_dot_product(qq.qqv, c.qv)
+                     / (sqrt(list_dot_product(qq.qqv, qq.qqv)) * sqrt(list_dot_product(c.qv, c.qv))), 6) DESC,
+                      c.vec_id
+           ) AS qrn
+    FROM qq CROSS JOIN q c
+    WHERE qq.query_id <> c.vec_id
+  ) WHERE qrn <= {RERANK_CAND}
+),
+rer AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(qe, ce), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(list_cosine_similarity(qe, ce), 6) DESC, neighbor_id
+         ) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn
+FROM rer WHERE rn <= {TOP_K}
+"""
+
+
+@register("b_llm_quant_rerank", oracle=_RERANK_ORACLE,
+          tags=("pipeline", "vectors", "quantization", "rerank"))
+def b_llm_quant_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C158: the two-stage serving pattern — int8 quantized scan for
+    RERANK_CAND=50 candidates, fp32 exact cosine re-rank for the
+    final top-k.
+
+    This is how a 100 TB vector tier actually serves: the memory-
+    resident int8 corpus (4× smaller, exact-integer dots — see
+    b_llm_quant_int8) absorbs the full-corpus scan, and only
+    |queries|×50 fp32 vectors are ever touched at full
+    precision — the expensive arithmetic is candidate-set-sized, not
+    corpus-sized.  Both stages keep the broadcast-queries shape (the
+    corpus never shuffles), and the composition recovers exact-rank
+    fidelity wherever the candidate set covers the true top-k (at
+    5× over-retrieval for top-10 it does at both test SFs — the
+    result equals b_llm_cosine_topk row-for-row, pinned in
+    tests/test_round8.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(ed, F.abs))
+    q = e.select(
+        "vec_id",
+        ed.alias("e"),
+        F.transform(ed, lambda x: F.round(127.0 * x / maxabs).cast("long")).alias("qv"),
+    )
+    qq = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("qv").alias("qqv")
+    )
+    c = q.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "qv")
+    q_sim = F.round(
+        _int_dot(F.col("qqv"), F.col("qv")).cast("double")
+        / (
+            F.sqrt(_int_dot(F.col("qqv"), F.col("qqv")).cast("double"))
+            * F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        ),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("q_sim").desc(), "neighbor_id")
+    cand = (
+        c.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qe", "ce", q_sim.alias("q_sim"))
+        .withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= RERANK_CAND)
+    )
+    sim = F.round(dot(F.col("qe"), F.col("ce")) / (norm(F.col("qe")) * norm(F.col("ce"))), 6)
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= TOP_K)
+    )

@@ -364,6 +364,20 @@ class TestInt8Quantization:
         assert hits / len(rows) >= 0.8
 
 
+class TestQuantRerank:
+    def test_recovers_exact_ranking(self, spark):
+        """The two-stage pipeline (int8 candidates → fp32 re-rank)
+        must reproduce the exact cosine top-10 row-for-row at 5×
+        over-retrieval — the property that makes the quantized scan a
+        safe first stage."""
+        from stellarsql_spark.pipeline.similarity import b_llm_cosine_topk
+        from stellarsql_spark.pipeline.vectors import b_llm_quant_rerank
+
+        exact = {tuple(r) for r in b_llm_cosine_topk(spark, SF_MED).collect()}
+        two_stage = {tuple(r) for r in b_llm_quant_rerank(spark, SF_MED).collect()}
+        assert exact == two_stage and len(exact) > 0
+
+
 class TestStampAudit:
     def test_rotation_invariant_holds(self):
         """driver_key_order's oldest-first rotation must satisfy the
