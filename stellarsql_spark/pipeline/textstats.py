@@ -343,6 +343,35 @@ FROM ranked WHERE rank <= {_BM25_TOPK}
 """
 
 
+def _term_stats(spark: SparkSession, sf_dir: str):
+    """Shared BM25 statistics: (tf, dl, dfreq, n_docs, sum_dl).
+    One tokenize+count pass; df and corpus totals are
+    vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n_docs, sum_dl = dl.agg(
+        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
+    ).first()
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    return tf, dl, dfreq, n_docs, sum_dl
+
+
+def _bm25_term_m(n_docs: int, sum_dl: int):
+    """Integer-millionth BM25 term weight column (see _BM25_ORACLE's
+    convention note — parenthesization mirrors the oracle exactly)."""
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") * F.lit(n_docs) / F.lit(sum_dl)
+    )
+    return F.round(1_000_000 * idf * (F.col("tf") * 2.2) / denom).cast("bigint")
+
+
 @register("b_llm_bm25", oracle=_BM25_ORACLE, tags=("pipeline", "text", "retrieval"))
 def b_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C156: BM25 top-5 ranked retrieval for a fixed query set —
@@ -363,27 +392,9 @@ def b_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     see _BM25_ORACLE's convention note."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    n_docs, sum_dl = dl.agg(
-        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
-    ).first()
-    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    tf, dl, dfreq, n_docs, sum_dl = _term_stats(spark, sf_dir)
     q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, word string")
-    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    # Parenthesization mirrors the oracle EXACTLY — ((1e6·idf)·(tf·2.2))
-    # / denom, not (1e6·idf)·((tf·2.2)/denom): IEEE doubles are not
-    # associative and a different grouping can flip the 6-dp round.
-    denom = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * F.col("dl") * F.lit(n_docs) / F.lit(sum_dl)
-    )
-    term_m = F.round(1_000_000 * idf * (F.col("tf") * 2.2) / denom).cast("bigint")
+    term_m = _bm25_term_m(n_docs, sum_dl)
     w = Window.partitionBy("query_id").orderBy(F.col("score_m").desc(), "doc_id")
     return (
         tf.join(F.broadcast(q), "word")
@@ -847,4 +858,157 @@ def b_llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "text").mapInArrow(
         tokenize, "doc_id long, n_words long, n_bpe_tokens long, seg_checksum long"
+    )
+
+
+# --- hybrid retrieval: BM25 ⊕ dense cosine via RRF (C159) ------------
+
+# Reciprocal-rank fusion (Cormack et al. 2009): each arm contributes
+# round(1e6/(K+rank)) — an exact integer, because ranks are small ints
+# and the division is one correctly-rounded IEEE op — so the fused
+# score is exact long arithmetic and the final ranking compares
+# integers.  RRF is the standard way to merge rankings whose scores
+# live on incomparable scales (BM25 term weights vs cosine), which is
+# exactly the lexical⊕dense situation.
+_RRF_K = 60
+_ARM_TOPK = 20
+_FUSED_TOPK = 10
+_N_MLT_QUERIES = 5  # doc_id < 5 are the more-like-this query docs
+
+_RRF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY doc_id, word
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+qwords AS (
+  SELECT doc_id AS query_id, word FROM tf WHERE doc_id < {_N_MLT_QUERIES}
+),
+lex_scored AS (
+  SELECT qw.query_id, tf.doc_id,
+         CAST(SUM(CAST(ROUND(1000000 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+              AS BIGINT)) AS BIGINT) AS score_m
+  FROM qwords qw
+       JOIN tf ON tf.word = qw.word AND tf.doc_id <> qw.query_id
+       JOIN df ON df.word = tf.word
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats
+  GROUP BY qw.query_id, tf.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_m DESC, doc_id) AS rank
+  FROM lex_scored
+),
+dense AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < {_N_MLT_QUERIES} AND a.vec_id <> b.vec_id
+),
+arms AS (
+  SELECT query_id, doc_id, rank FROM lex WHERE rank <= {_ARM_TOPK}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM dense WHERE rank <= {_ARM_TOPK}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(ROUND(1000000.0 / ({_RRF_K} + rank)) AS BIGINT)) AS BIGINT) AS rrf_m,
+         CAST(COUNT(*) AS INT) AS n_arms
+  FROM arms GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_m / 1000000.0 AS rrf, n_arms, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, doc_id, rrf_m, n_arms,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_m DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {_FUSED_TOPK}
+"""
+
+
+@register("b_llm_hybrid_rrf", oracle=_RRF_ORACLE, tags=("pipeline", "retrieval", "hybrid"))
+def b_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C159: hybrid retrieval — BM25 more-like-this (query = a
+    document's own terms) ⊕ dense cosine, fused by reciprocal rank.
+
+    The lexical and dense arms return rankings on incomparable score
+    scales; RRF merges them using only the RANKS, each arm
+    contributing an exact integer round(1e6/(60+rank)).  docs found
+    by both arms (n_arms = 2) accumulate both contributions — the
+    agreement signal hybrid search exists for.  100 TB shape: the
+    lexical arm is the BM25 broadcast-terms join (candidates =
+    postings of the query's terms), the dense arm is the broadcast-
+    queries cosine scan (or its int8/IVF approximations upstream),
+    and the fusion itself touches only 2×{_ARM_TOPK} rows per query —
+    rank-merge cost is independent of corpus size."""
+    from pyspark.sql import Window
+
+    from stellarsql_spark.catalog import load_table as _lt
+    from stellarsql_spark.pipeline.similarity import N_QUERIES, dot, norm
+
+    tf, dl, dfreq, n_docs, sum_dl = _term_stats(spark, sf_dir)
+    qw = tf.where(F.col("doc_id") < _N_MLT_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("word").alias("qword")
+    )
+    term_m = _bm25_term_m(n_docs, sum_dl)
+    lex_w = Window.partitionBy("query_id").orderBy(F.col("score_m").desc(), "doc_id")
+    lex = (
+        tf.join(
+            F.broadcast(qw),
+            (tf.word == qw.qword) & (tf.doc_id != qw.query_id),
+        )
+        .join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", term_m.alias("term_m"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_m").cast("bigint").alias("score_m"))
+        .withColumn("rank", F.row_number().over(lex_w))
+        .where(F.col("rank") <= _ARM_TOPK)
+        .select("query_id", "doc_id", "rank")
+    )
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_MLT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sim = F.round(dot(F.col("qe"), F.col("embedding")) / (norm(F.col("qe")) * norm(F.col("embedding"))), 6)
+    dense_w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    dense = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(dense_w))
+        .where(F.col("rank") <= _ARM_TOPK)
+        .select("query_id", "doc_id", "rank")
+    )
+    contrib = F.round(1_000_000.0 / (_RRF_K + F.col("rank"))).cast("bigint")
+    fused_w = Window.partitionBy("query_id").orderBy(F.col("rrf_m").desc(), "doc_id")
+    return (
+        lex.unionByName(dense)
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("rrf_m"),
+            F.count("*").cast("int").alias("n_arms"),
+        )
+        .withColumn("rank", F.row_number().over(fused_w))
+        .where(F.col("rank") <= _FUSED_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("rrf_m") / 1_000_000.0).alias("rrf"),
+            "n_arms",
+            "rank",
+        )
     )

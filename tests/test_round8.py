@@ -378,6 +378,31 @@ class TestQuantRerank:
         assert exact == two_stage and len(exact) > 0
 
 
+class TestHybridRRF:
+    def test_fusion_contract(self, spark):
+        """Per query: fused ranks are exactly 1..10 with non-increasing
+        scores and n_arms ∈ {1, 2}; across the query set at least one
+        doc is found by BOTH arms (the synthetic corpus's lexical and
+        dense spaces are nearly uncorrelated, so per-query agreement
+        is not guaranteed — at sf0.01 four of five queries show one
+        n_arms=2 doc)."""
+        from stellarsql_spark.pipeline.textstats import b_llm_hybrid_rrf
+
+        rows = b_llm_hybrid_rrf(spark, SF_MED).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q) == 5
+        assert all(r["n_arms"] in (1, 2) for r in rows)
+        assert any(r["n_arms"] == 2 for r in rows)
+        for qid, qrows in by_q.items():
+            assert sorted(r["rank"] for r in qrows) == list(range(1, 11))
+            # fused scores non-increasing in rank
+            qrows.sort(key=lambda r: r["rank"])
+            scores = [r["rrf"] for r in qrows]
+            assert scores == sorted(scores, reverse=True)
+
+
 class TestStampAudit:
     def test_rotation_invariant_holds(self):
         """driver_key_order's oldest-first rotation must satisfy the
