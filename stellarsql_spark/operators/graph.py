@@ -563,3 +563,87 @@ def b_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# --- Neighborhood Jaccard / link-strength scoring (C165) -------------
+
+_JACCARD_TOPN = 20
+
+_JACCARD_ORACLE = f"""
+WITH {_EDGES_CTE},
+adj AS (
+  SELECT u AS a, v AS b FROM edges
+  UNION ALL
+  SELECT v AS a, u AS b FROM edges
+),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
+common AS (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM edges e
+  JOIN adj x ON x.a = e.u
+  JOIN adj y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v
+),
+scored AS (
+  SELECT c.u, c.v, c.cn, du.d AS du, dv.d AS dv,
+         ROUND(CAST(c.cn AS DOUBLE) / (du.d + dv.d - c.cn), 6) AS jaccard
+  FROM common c
+  JOIN deg du ON du.node = c.u
+  JOIN deg dv ON dv.node = c.v
+)
+SELECT u, v, cn, du, dv, jaccard, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v) AS rn FROM scored
+) WHERE rn <= {_JACCARD_TOPN}
+"""
+
+
+@register("b_graph_jaccard", oracle=_JACCARD_ORACLE, tags=("graph", "similarity"))
+def b_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C165: neighborhood Jaccard per edge — |N(u)∩N(v)| /
+    |N(u)∪N(v)| — the classic link-strength / link-prediction score
+    (tie-strength pruning keeps only edges whose endpoints share
+    context; the same intersection count drives Adamic-Adar and
+    common-neighbors scoring with one expression swap).
+
+    The intersection count is the triangle-wedge join restricted to
+    existing edges: adjacency is joined once from each endpoint and
+    matched on the shared neighbor, so the intermediate is
+    Σ_edges |N(u)∩N(v)| rows — triangle-census-sized, not
+    degree-squared (b_graph_triangles' orientation bound applies to
+    the same shape at 100 TB; hub skew salts on the shared-neighbor
+    key). |N(u)∪N(v)| needs no second join: du + dv − cn from the
+    degree table. Jaccard is one int/int IEEE division rounded at
+    display; the top-{_JACCARD_TOPN} window runs over edge-count
+    rows with exchange-safe (jaccard, u, v) total order."""
+    from pyspark.sql import Window
+
+    edges = _edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = _degrees(edges)
+    common = (
+        edges.alias("e")
+        .join(adj.alias("x"), F.col("x.a") == F.col("e.u"))
+        .join(adj.alias("y"), (F.col("y.a") == F.col("e.v")) & (F.col("y.b") == F.col("x.b")))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    scored = (
+        common.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "du",
+            "dv",
+            F.round(
+                F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), "u", "v")
+    return scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _JACCARD_TOPN
+    )

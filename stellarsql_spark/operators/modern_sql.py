@@ -345,3 +345,41 @@ def b_sql_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hash-agg + TakeOrdered plan the explicit form produces."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_ORDER_ALL_SQL)
+
+
+# --- DISTINCT ON: first row per key by an explicit order (C162) ------
+
+_DISTINCT_ON_ORACLE = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_custkey < 500
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@register("b_sql_distinct_on", oracle=_DISTINCT_ON_ORACLE, tags=("sql", "modern-sql", "distinct-on"))
+def b_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C162: DISTINCT ON (key) — the Postgres/DuckDB shorthand for
+    "one row per key, chosen by an explicit ORDER BY" (here: each
+    customer's highest-value order, orderkey as the total tie-break).
+
+    Spark has no DISTINCT ON surface; the engine-native expression is
+    the rank-1 window, which Spark 3.5+ executes as WindowGroupLimit:
+    the per-partition TOP-1 is computed map-side BEFORE the exchange,
+    so the shuffle carries at most one row per (partition, key) — the
+    same partial-aggregation shape that makes this safe at 100 TB
+    (never a full sort of the fact table; see b_topk_per_group's plan
+    notes). The oracle runs the literal DISTINCT ON syntax, pinning
+    the semantic equivalence of the two surfaces."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+    )

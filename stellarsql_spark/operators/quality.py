@@ -230,3 +230,99 @@ def b_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("orderkey_unique").alias("rule"), "n_violations")
     suite = row_rules.unionByName(orphans).unionByName(unique)
     return suite.select("rule", "n_violations", (F.col("n_violations") == 0).alias("ok"))
+
+
+# --- Population-stability drift between two corpus eras (C161) -------
+
+# PSI = sum_b (p_cur - p_ref) * ln(p_cur / p_ref) over fixed-width
+# o_totalprice bins, reference era = orders before 1998-01-01.  Bin
+# counts and totals are exact integers; the per-bin term is ONE
+# identical double expression on those integers in both engines,
+# scaled to integer billionths at the term boundary, so the PSI total
+# is an exact long sum (the scaled-integer-sum convention of
+# functions/exact.py).  Bins empty on either side are excluded from
+# the sum (the standard PSI smoothing choice; asserted identically in
+# both engines by the n_ref > 0 AND n_cur > 0 filter).
+_DRIFT_CUT = "1998-01-01"
+_DRIFT_BIN = 50_000.0
+_DRIFT_NBINS = 10
+
+_DRIFT_ORACLE = f"""
+WITH binned AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUT}' THEN 1 ELSE 0 END AS is_ref,
+         LEAST({_DRIFT_NBINS - 1}, CAST(FLOOR(o_totalprice / {_DRIFT_BIN}) AS BIGINT)) AS bucket
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+),
+terms AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST(ROUND(1000000000 * (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+              * ln((CAST(n_cur AS DOUBLE) / t_cur) / (CAST(n_ref AS DOUBLE) / t_ref)))
+              AS BIGINT) AS term_b
+  FROM counts CROSS JOIN tot
+  WHERE n_ref > 0 AND n_cur > 0
+)
+SELECT bucket, n_ref, n_cur, term_b,
+       CAST(SUM(term_b) OVER () AS BIGINT) AS psi_b
+FROM terms
+"""
+
+
+@register("b_quality_drift", oracle=_DRIFT_ORACLE, tags=("quality", "drift"))
+def b_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C161: population-stability-index (PSI) drift check between a
+    reference era and the current era of the orders feed — the
+    monitoring primitive a production pipeline runs on every batch to
+    detect distribution shift before it poisons training data
+    (PSI > 0.2 is the conventional "investigate" threshold).
+
+    100 TB shape: one map-side bin assignment (two comparisons per
+    row, no shuffle until the {_DRIFT_NBINS}-bucket count rollup),
+    then all PSI arithmetic happens on a {_DRIFT_NBINS}-row frame —
+    the statistic's cost is bin-count-sized, not corpus-sized, and
+    composes with partition pruning when eras live in separate
+    partitions.  Exactness: see _DRIFT_ORACLE's convention note."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.when(F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+        F.least(
+            F.lit(_DRIFT_NBINS - 1),
+            F.floor(F.col("o_totalprice") / _DRIFT_BIN).cast("long"),
+        ).alias("bucket"),
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    term_b = F.round(1_000_000_000 * (p_cur - p_ref) * F.log(p_cur / p_ref)).cast("long")
+    terms = (
+        counts.crossJoin(F.broadcast(tot))
+        .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select("bucket", "n_ref", "n_cur", term_b.alias("term_b"))
+    )
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "term_b",
+        F.sum("term_b").over(Window.partitionBy()).cast("long").alias("psi_b"),
+    )

@@ -603,3 +603,82 @@ def b_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr"),
     )
+
+
+# --- M4 visualization downsampling (C163) ----------------------------
+
+# M4 (Jugel et al., VLDB 2014, public): per pixel-column time bucket
+# keep exactly the min, max, first and last points — the four rows
+# that make the downsampled line render pixel-identically to the full
+# series.  First/last are ORDER-DEFINED (ts, then event_id for
+# duplicate timestamps), encoded as rank-1 window rows in both
+# engines; min/max compare stored doubles with no arithmetic, so
+# every output value is a verbatim input value and the hash is exact.
+_M4_BUCKET_US = 21_600 * 1_000_000  # 6-hour pixel columns
+
+_M4_ORACLE = f"""
+WITH pts AS (
+  SELECT epoch_us(ts) // {_M4_BUCKET_US} AS bucket, ts, event_id, value
+  FROM events WHERE event_type = 'click'
+),
+ordered AS (
+  SELECT bucket, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rl
+  FROM pts
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rl = 1 THEN value END) AS v_last,
+       MAX(CASE WHEN rf = 1 THEN event_id END) AS first_event,
+       MAX(CASE WHEN rl = 1 THEN event_id END) AS last_event
+FROM ordered
+GROUP BY bucket
+"""
+
+
+@register("b_ts_downsample_m4", oracle=_M4_ORACLE, tags=("timeseries", "downsample"))
+def b_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C163: M4 downsampling — the error-free line-chart reduction
+    (min/max/first/last per time bucket; Jugel et al., VLDB 2014).
+    This is how a dashboard renders a billion-point series with a
+    4·pixels-row result: unlike naive averaging it provably preserves
+    the rendered pixels of the line.
+
+    100 TB shape: the windows and the rollup share ONE partitioning
+    on bucket, so the whole operator is a single exchange (bucket is
+    time-derived — on a time-partitioned lake the exchange disappears
+    into partition-local work). Per bucket the state is four scalars;
+    nothing corpus-sized ever accumulates. The event_id tie-break
+    makes first/last deterministic under duplicate timestamps — the
+    property the hash oracle actually certifies."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    pts = ev.select(
+        F.expr(f"unix_micros(ts) div {_M4_BUCKET_US}").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    wl = Window.partitionBy("bucket").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ordered = pts.select(
+        "bucket",
+        "event_id",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return ordered.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_pts"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("v_last"),
+        F.max(F.when(F.col("rf") == 1, F.col("event_id"))).alias("first_event"),
+        F.max(F.when(F.col("rl") == 1, F.col("event_id"))).alias("last_event"),
+    )

@@ -1012,3 +1012,243 @@ def b_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- Tokenizer vocabulary coverage / OOV rate (C164) -----------------
+
+_OOV_VOCAB_K = 200
+
+_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+toks AS (SELECT * FROM tok WHERE word <> ''),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rn
+    FROM toks WHERE (doc_id // 20) % 2 = 0
+    GROUP BY word
+  ) WHERE rn <= {_OOV_VOCAB_K}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (word)
+WHERE (t.doc_id // 20) % 2 = 1
+GROUP BY source
+"""
+
+
+@register("b_llm_oov_rate", oracle=_OOV_ORACLE, tags=("pipeline", "text", "vocab"))
+def b_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C164: vocabulary-coverage audit — build a top-K frequency
+    vocabulary on the training half of the corpus (alternating
+    doc-id blocks, so every source contributes to both halves — plain
+    doc_id parity is constant per source here), then measure each
+    source's out-of-vocabulary token rate on the held-out half.  This is the pre-tokenizer check a data pipeline
+    runs before committing a vocab: a source whose OOV rate spikes
+    will fragment into byte-fallback tokens and blow up sequence
+    lengths (deterministic twin of the real fragmentation measure,
+    b_llm_bpe_tokens).
+
+    100 TB shape: one tokenize+count pass (the b_llm_bm25 shuffle on
+    word), the K-row vocabulary broadcasts into a map-side left join,
+    and the per-source rollup carries |sources| rows.  Tie-break on
+    the word makes the vocabulary itself deterministic — the hash
+    certifies vocab selection AND coverage arithmetic."""
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    w = Window.orderBy(F.col("f").desc(), "word")
+    vocab = (
+        toks.where((F.col("doc_id") / 20).cast("long") % 2 == 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _OOV_VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.where((F.col("doc_id") / 20).cast("long") % 2 == 1)
+        .join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --- BLEU-2 pairwise overlap between neighbor docs (C166) ------------
+
+# Clipped n-gram precision (Papineni et al. 2002, public): for each
+# (candidate, reference) pair the per-gram contribution is
+# min(count_cand, count_ref) — exact integers — and only the final
+# geometric mean / brevity penalty is double math on those integers,
+# scaled to integer millionths at the boundary (the b_llm_bm25
+# convention).  Pairs are each doc vs its successor within the same
+# source (doc_id + 20 stride — the generator's per-source step).
+_BLEU_ORACLE = """
+WITH pairs AS (
+  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 20 AND b.source = a.source
+),
+uni AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents)
+  GROUP BY doc_id, g
+),
+big AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  )
+  GROUP BY doc_id, g
+),
+tot1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM uni GROUP BY doc_id),
+tot2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM big GROUP BY doc_id),
+clip1 AS (
+  SELECT p.cand_id, CAST(SUM(LEAST(uc.c, ur.c)) AS BIGINT) AS c1
+  FROM pairs p
+  JOIN uni uc ON uc.doc_id = p.cand_id
+  JOIN uni ur ON ur.doc_id = p.ref_id AND ur.g = uc.g
+  GROUP BY p.cand_id
+),
+clip2 AS (
+  SELECT p.cand_id, CAST(SUM(LEAST(bc.c, br.c)) AS BIGINT) AS c2
+  FROM pairs p
+  JOIN big bc ON bc.doc_id = p.cand_id
+  JOIN big br ON br.doc_id = p.ref_id AND br.g = bc.g
+  GROUP BY p.cand_id
+)
+SELECT p.cand_id, p.ref_id,
+       t1.t AS t1, COALESCE(c1.c1, 0) AS c1,
+       t2.t AS t2, COALESCE(c2.c2, 0) AS c2,
+       CAST(ROUND(1000000 * (CASE WHEN t1.t >= r1.t THEN 1.0
+                 ELSE exp(1 - CAST(r1.t AS DOUBLE) / t1.t) END)) AS BIGINT) AS bp_m,
+       CASE WHEN COALESCE(c1.c1, 0) = 0 OR COALESCE(c2.c2, 0) = 0 THEN 0
+            ELSE CAST(ROUND(1000000 * (CASE WHEN t1.t >= r1.t THEN 1.0
+                      ELSE exp(1 - CAST(r1.t AS DOUBLE) / t1.t) END)
+                 * exp(0.5 * (ln(CAST(c1.c1 AS DOUBLE) / t1.t)
+                            + ln(CAST(c2.c2 AS DOUBLE) / t2.t)))) AS BIGINT)
+       END AS bleu2_m
+FROM pairs p
+JOIN tot1 t1 ON t1.doc_id = p.cand_id
+JOIN tot1 r1 ON r1.doc_id = p.ref_id
+JOIN tot2 t2 ON t2.doc_id = p.cand_id
+LEFT JOIN clip1 c1 ON c1.cand_id = p.cand_id
+LEFT JOIN clip2 c2 ON c2.cand_id = p.cand_id
+"""
+
+
+@register("b_llm_bleu_pairs", oracle=_BLEU_ORACLE, tags=("pipeline", "text", "overlap"))
+def b_llm_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C166: BLEU-2 (clipped unigram+bigram precision, brevity
+    penalty) between each document and its same-source successor —
+    the asymmetric overlap metric that complements the symmetric
+    Jaccard (b_llm_jaccard) and edit-distance (b_llm_editdist)
+    detectors: clipping catches verbatim phrase reuse that set
+    overlap dilutes, which is how eval-contamination reports score
+    match strength.
+
+    100 TB shape: n-gram count tables are built in ONE tokenize+count
+    pass each (shuffle on (doc, gram)); the clipped intersection is a
+    gram-keyed join between candidate and reference counts — at scale
+    this joins on the gram hash, never materializing doc×doc score
+    matrices, and pairs come from an id-stride self-join that a
+    sorted-by-doc_id layout makes co-partitioned. All counts are
+    exact longs; see _BLEU_ORACLE's convention note."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 20)
+            & (F.col("b.source") == F.col("a.source")),
+        )
+        .select(F.col("a.doc_id").alias("cand_id"), F.col("b.doc_id").alias("ref_id"))
+    )
+    uni = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    big = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                    "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+                    "         (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot1 = uni.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("t"))
+    tot2 = big.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("t"))
+
+    def clipped(counts: DataFrame, out: str) -> DataFrame:
+        cc = counts.select(F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc"))
+        rc = counts.select(F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("rc"))
+        return (
+            pairs.join(cc, "cand_id")
+            .join(rc, ["ref_id", "g"])
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias(out))
+        )
+    c1 = clipped(uni, "c1")
+    c2 = clipped(big, "c2")
+    j = (
+        pairs.join(tot1.select(F.col("doc_id").alias("cand_id"), F.col("t").alias("t1")), "cand_id")
+        .join(tot1.select(F.col("doc_id").alias("ref_id"), F.col("t").alias("r1")), "ref_id")
+        .join(tot2.select(F.col("doc_id").alias("cand_id"), F.col("t").alias("t2")), "cand_id")
+        .join(c1, "cand_id", "left")
+        .join(c2, "cand_id", "left")
+        .select(
+            "cand_id", "ref_id", "t1",
+            F.coalesce("c1", F.lit(0).cast("bigint")).alias("c1"),
+            "t2",
+            F.coalesce("c2", F.lit(0).cast("bigint")).alias("c2"),
+            "r1",
+        )
+    )
+    bp = F.when(F.col("t1") >= F.col("r1"), F.lit(1.0)).otherwise(
+        F.exp(1 - F.col("r1").cast("double") / F.col("t1"))
+    )
+    bleu = F.when((F.col("c1") == 0) | (F.col("c2") == 0), F.lit(0).cast("bigint")).otherwise(
+        F.round(
+            1_000_000
+            * bp
+            * F.exp(
+                0.5
+                * (
+                    F.log(F.col("c1").cast("double") / F.col("t1"))
+                    + F.log(F.col("c2").cast("double") / F.col("t2"))
+                )
+            )
+        ).cast("bigint")
+    )
+    return j.select(
+        "cand_id", "ref_id", "t1", "c1", "t2", "c2",
+        F.round(1_000_000 * bp).cast("bigint").alias("bp_m"),
+        bleu.alias("bleu2_m"),
+    )

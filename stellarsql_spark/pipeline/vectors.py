@@ -536,3 +536,121 @@ def b_llm_quant_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") <= TOP_K)
     )
+
+
+# --- NDCG@k ranking-quality metric for the quantized index (C160) ----
+
+# Graded relevance comes from the EXACT ranking (rel = k+1-exact_rank,
+# 0 for non-members), so NDCG measures how much rank ORDER the int8
+# index loses, where recall@k (b_llm_quant_int8's in_exact_topk) only
+# measures set membership.  Every per-position gain is scaled to
+# integer millionths BEFORE the per-query sum — (1000000 * rel) /
+# log2(pos + 1.0) is one identical double expression on identical
+# integer inputs in both engines, with one ROUND at the term boundary
+# — so DCG/IDCG are exact long sums and only the final display ratio
+# is a rounded double (the b_llm_bm25 convention).
+_NDCG_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(127.0 * x / maxabs) AS BIGINT)) AS qv
+  FROM base
+),
+qq AS (SELECT vec_id AS query_id, qv AS qe FROM q WHERE vec_id < {N_QUERIES}),
+qranked AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(list_dot_product(qe, c.qv)
+                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.qv, c.qv))), 6) DESC,
+                      c.vec_id
+           ) AS rn
+    FROM qq CROSS JOIN q c
+    WHERE query_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id, ern FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                      b.vec_id
+           ) AS ern
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  ) WHERE ern <= {TOP_K}
+),
+gains AS (
+  SELECT r.query_id,
+         CAST(ROUND((1000000 * COALESCE({TOP_K} + 1 - e.ern, 0)) / log2(r.rn + 1.0))
+              AS BIGINT) AS gain_m
+  FROM qranked r
+  LEFT JOIN exact e ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+),
+dcg AS (
+  SELECT query_id, CAST(SUM(gain_m) AS BIGINT) AS dcg_m FROM gains GROUP BY query_id
+),
+idcg AS (
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND((1000000 * ({TOP_K} + 1 - ern)) / log2(ern + 1.0))
+                       AS BIGINT)) AS BIGINT) AS idcg_m
+  FROM exact GROUP BY query_id
+)
+SELECT d.query_id, d.dcg_m, i.idcg_m,
+       ROUND(CAST(d.dcg_m AS DOUBLE) / i.idcg_m, 6) AS ndcg
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
+
+@register("b_llm_ndcg", oracle=_NDCG_ORACLE, tags=("pipeline", "vectors", "quality", "metric"))
+def b_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C160: NDCG@k of the int8-quantized ranking against the exact
+    fp32 ranking — the rank-aware quality metric for the quantized
+    serving tier (b_llm_quant_int8's recall column only checks set
+    membership; NDCG penalizes each displaced position by its
+    discounted gain, which is what a retrieval SLA actually bounds).
+
+    100 TB shape: both rankings keep the broadcast-queries /
+    corpus-never-shuffles scan of the quantized family; the metric
+    join and DCG rollup touch |queries| x k rows — evaluation cost is
+    candidate-set-sized, corpus-size-independent.  DCG and IDCG are
+    exact long sums of integer-millionth gains (see _NDCG_ORACLE's
+    convention note), so the hash pins the full metric pipeline, not
+    a float approximation."""
+    qr = b_llm_quant_int8(spark, sf_dir).select("query_id", "neighbor_id", "rn")
+    ex = b_llm_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("eq"),
+        F.col("neighbor_id").alias("en"),
+        F.col("rn").alias("ern"),
+    )
+    rel = F.coalesce(F.lit(TOP_K) + 1 - F.col("ern"), F.lit(0))
+    gain_m = F.round((1_000_000 * rel) / F.log2(F.col("rn") + 1.0)).cast("long")
+    dcg = (
+        qr.join(
+            ex, (qr.query_id == ex.eq) & (qr.neighbor_id == ex.en), "left"
+        )
+        .select("query_id", gain_m.alias("gain_m"))
+        .groupBy("query_id")
+        .agg(F.sum("gain_m").cast("long").alias("dcg_m"))
+    )
+    ideal_m = F.round(
+        (1_000_000 * (F.lit(TOP_K) + 1 - F.col("ern"))) / F.log2(F.col("ern") + 1.0)
+    ).cast("long")
+    idcg = (
+        ex.select(F.col("eq").alias("query_id"), ideal_m.alias("ideal_m"))
+        .groupBy("query_id")
+        .agg(F.sum("ideal_m").cast("long").alias("idcg_m"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_m",
+        "idcg_m",
+        F.round(F.col("dcg_m").cast("double") / F.col("idcg_m"), 6).alias("ndcg"),
+    )
