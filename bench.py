@@ -117,6 +117,7 @@ _PROBE_TABLES = {
     "b_stream_tumbling_bucketed": ("events",),
     "b_llm_cosine_topk": ("embeddings",),
     "b_llm_dedup_exact": ("documents",),
+    "b_llm_bm25": ("documents",),
     "b_join_salted": ("orders", "lineitem"),
     "b_join_salted_hot": ("orders", "lineitem"),
     "b_join_skew_split": ("orders", "lineitem"),
@@ -133,6 +134,17 @@ _PROBE_TABLES = {
 # would cost more bench wall-clock than every other block combined.
 SKEW_MATCHED = ("b_join_skew_split", "b_join_salted_hot")
 SKEW_FACTOR = 300
+
+# Retrieval tier (r8): the lexical-retrieval corpus pass at depth.
+# b_llm_bm25's full-corpus work is exactly one tokenize + (doc, word)
+# count shuffle — the plan shape every text-index build shares — and
+# the 300× documents replica (~1.5M distinct docs, doc_ids disjoint
+# per replica) rides the existing sf0.1_x300 corpus, so the tier adds
+# no one-off build. The key is tagged "eager" (corpus stats are
+# harvested driver-side at build), so the timed unit is builder+count
+# — the same end-to-end work DuckDB's single oracle statement does.
+RETRIEVAL_MATCHED = ("b_llm_bm25",)
+RETRIEVAL_FACTOR = 300
 
 
 def _duck_times(sf_dir: str, specs, names, runs: int = 3) -> dict[str, float]:
@@ -426,6 +438,13 @@ def main() -> None:
             )
         else:
             result["scale_probe_skew"] = {"skipped": "time budget"}
+        # Retrieval tier: BM25 over the 300× documents replica —
+        # reuses the sf0.1_x300 corpus the 300× tier just ensured,
+        # so the incremental cost is only the timed trials.
+        if time.perf_counter() - _T0 < 1440:
+            result["scale_probe_retrieval"] = probe(RETRIEVAL_FACTOR, RETRIEVAL_MATCHED)
+        else:
+            result["scale_probe_retrieval"] = {"skipped": "time budget"}
         # Streaming throughput probe (r8): every scale tier above is
         # batch; this is the one measured micro-batch number. Drain
         # the watermarked tumbling aggregate (b_stream_run_tumbling's

@@ -343,18 +343,39 @@ FROM ranked WHERE rank <= {_BM25_TOPK}
 """
 
 
-def _term_stats(spark: SparkSession, sf_dir: str):
+def _term_stats(spark: SparkSession, sf_dir: str, words: DataFrame | None = None):
     """Shared BM25 statistics: (tf, dl, dfreq, n_docs, sum_dl).
-    One tokenize+count pass; df and corpus totals are
-    vocabulary-sized."""
+
+    Scale-critical shape (r8 re-measure at 300×: the original
+    full-corpus (doc, word) groupBy shuffled ~90M postings and ran
+    6.6× slower than DuckDB's one-statement plan; this form is the
+    fix):
+
+    - ``dl`` (per-doc length) never needs word-level grouping — it is
+      the map-side non-empty token count of each doc, zero shuffle;
+      n_docs/sum_dl are one scalar rollup over it.
+    - ``tf`` postings are broadcast-semi-filtered to the query
+      vocabulary (``words``) BEFORE the (doc, word) groupBy, so the
+      only shuffle carries postings of queried words (df-sized), not
+      the corpus vocabulary.  ``dfreq`` falls out of that filtered
+      tf for free (tf rows are distinct (doc, word) pairs).
+    - With ``words=None`` the unfiltered corpus shuffle is kept (the
+      index-build shape, for callers that genuinely need every
+      posting).
+
+    Values are identical either way — the oracle's full-vocabulary
+    CTEs compute the same dl/df/tf for every surviving row."""
     d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    if words is not None:
+        toks = toks.join(F.broadcast(words.select("word").distinct()), "word")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").cast("bigint").alias("tf"))
+    dl = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("bigint").alias("dl"),
+    )
     n_docs, sum_dl = dl.agg(
         F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
     ).first()
@@ -362,51 +383,123 @@ def _term_stats(spark: SparkSession, sf_dir: str):
     return tf, dl, dfreq, n_docs, sum_dl
 
 
-def _bm25_term_m(n_docs: int, sum_dl: int):
+def _bm25_term_m(n_docs: int, sum_dl: int, tf=None, df=None, dl=None):
     """Integer-millionth BM25 term weight column (see _BM25_ORACLE's
-    convention note — parenthesization mirrors the oracle exactly)."""
-    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * F.col("dl") * F.lit(n_docs) / F.lit(sum_dl)
-    )
-    return F.round(1_000_000 * idf * (F.col("tf") * 2.2) / denom).cast("bigint")
+    convention note — parenthesization mirrors the oracle exactly).
+    tf/df/dl default to the long-format column names; the map-side
+    wide form passes its per-word columns explicitly."""
+    tf = F.col("tf") if tf is None else tf
+    df = F.col("df") if df is None else df
+    dl = F.col("dl") if dl is None else dl
+    idf = F.log(1.0 + (F.lit(n_docs) - df + 0.5) / (df + 0.5))
+    denom = tf + 1.2 * (0.25 + 0.75 * dl * F.lit(n_docs) / F.lit(sum_dl))
+    return F.round(1_000_000 * idf * (tf * 2.2) / denom).cast("bigint")
 
 
-@register("b_llm_bm25", oracle=_BM25_ORACLE, tags=("pipeline", "text", "retrieval"))
+_BM25_BASE_PIN = None
+
+
+@register("b_llm_bm25", oracle=_BM25_ORACLE, tags=("pipeline", "text", "retrieval", "eager"))
 def b_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C156: BM25 top-5 ranked retrieval for a fixed query set —
     the lexical half of a retrieval pipeline (the dense half is
     b_llm_cosine_topk / b_llm_ann_lsh; TF-IDF's term weighting is the
     degenerate no-length-normalization case above).
 
-    100 TB shape: query terms broadcast into the postings (tf) table,
-    so only postings for queried words survive the join — the
-    candidate set per query is df(term)-sized, never corpus-sized.
-    The full-corpus work is exactly one tokenize+count pass (shared
-    shuffle on (doc, word)), df and the corpus stats are
-    vocabulary-sized broadcasts, and the final top-k is a window over
-    the tiny candidate set.  At rest a search tier would store tf
-    partitioned by word (the inverted-index layout of
-    b_llm_inverted_index) and this query prunes to the queried
-    words' partitions.  Ranking compares exact integer millionths —
-    see _BM25_ORACLE's convention note."""
+    100 TB shape (r8 redesign — the original (doc, word) groupBy
+    shuffled the full corpus vocabulary and measured 6.6× DuckDB at
+    300×): for a LITERAL query set the per-doc counts of the queried
+    words are array expressions on the token list, so scoring is
+    entirely MAP-SIDE — one corpus scan, zero corpus-sized shuffle.
+    Per doc the wide row is (dl, tf per queried word); corpus stats
+    (n_docs, sum_dl) and per-word df are |words|-sized rollups whose
+    1-row pivot is broadcast back; per-query scores are exact-long
+    sums of the same term_m expression the oracle rounds, stacked to
+    (query_id, score) rows map-side. The only exchange is the top-5
+    window, which Spark executes with WindowGroupLimit: each task
+    ships at most 5 rows per query — the shuffle is |tasks|×|q|×5,
+    corpus-size-independent. (A data-dependent query set falls back
+    to _term_stats' broadcast-filtered postings join — the hybrid
+    arm's shape.) Ranking compares exact integer millionths — see
+    _BM25_ORACLE's convention note."""
     from pyspark.sql import Window
 
-    tf, dl, dfreq, n_docs, sum_dl = _term_stats(spark, sf_dir)
-    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, word string")
-    term_m = _bm25_term_m(n_docs, sum_dl)
+    words = tuple(dict.fromkeys(w for _, w in _BM25_QUERIES))
+    widx = {w: i for i, w in enumerate(words)}
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, (lambda w_: lambda t: t == F.lit(w_))(w)))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, w in enumerate(words)
+        ],
+    ).where(F.col("dl") > 0)
+    # Pin the tokenized stats frame: stats, df, and scoring all read
+    # it, and without a persist each reference re-runs the tokenize
+    # scan (the oracle's engine materializes its tf CTE once — three
+    # Spark scans measured 3x its latency at 300x). ~9 longs/doc, so
+    # the pinned artifact is ~1/50th of the text it summarizes. The
+    # previous call's pin is dropped here (module-level handle): a
+    # repeated-execution harness would otherwise accumulate one
+    # cached copy per trial.
+    global _BM25_BASE_PIN
+    if _BM25_BASE_PIN is not None:
+        _BM25_BASE_PIN.unpersist(blocking=False)
+    base = base.persist()
+    _BM25_BASE_PIN = base
+    n_docs, sum_dl = base.agg(
+        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
+    ).first()
+    dfrow = base.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
+            for i in range(len(words))
+        ]
+    )
+    scored = base.crossJoin(F.broadcast(dfrow))
+
+    def term(i):
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            _bm25_term_m(
+                n_docs, sum_dl,
+                tf=F.col(f"tf_{i}"), df=F.col(f"df_{i}"), dl=F.col("dl"),
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    by_query: dict[int, list[str]] = {}
+    for qid, w_ in _BM25_QUERIES:
+        by_query.setdefault(qid, []).append(w_)
+    qcols = []
+    for qid, qwords in sorted(by_query.items()):
+        idxs = [widx[w_] for w_ in qwords]
+        score_expr = term(idxs[0])
+        hit_expr = F.col(f"tf_{idxs[0]}") > 0
+        for i in idxs[1:]:
+            score_expr = score_expr + term(i)
+            hit_expr = hit_expr | (F.col(f"tf_{i}") > 0)
+        qcols.append(F.lit(qid).alias(f"q_{qid}"))
+        qcols.append(score_expr.cast("bigint").alias(f"s_{qid}"))
+        qcols.append(hit_expr.alias(f"h_{qid}"))
+    stacked = scored.select("doc_id", *qcols).selectExpr(
+        "doc_id",
+        "stack({n}, {args}) AS (query_id, score_m, hit)".format(
+            n=len(by_query),
+            args=", ".join(
+                f"q_{qid}, s_{qid}, h_{qid}" for qid in sorted(by_query)
+            ),
+        ),
+    ).where("hit")
     w = Window.partitionBy("query_id").orderBy(F.col("score_m").desc(), "doc_id")
     return (
-        tf.join(F.broadcast(q), "word")
-        .join(F.broadcast(dfreq), "word")
-        .join(dl, "doc_id")
-        .select("query_id", "doc_id", term_m.alias("term_m"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("term_m").cast("bigint").alias("score_m"))
-        .withColumn("rank", F.row_number().over(w))
+        stacked.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _BM25_TOPK)
         .select(
-            "query_id",
+            F.col("query_id").cast("int").alias("query_id"),
             "doc_id",
             (F.col("score_m") / 1_000_000.0).alias("score"),
             "rank",
@@ -958,9 +1051,22 @@ def b_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellarsql_spark.catalog import load_table as _lt
     from stellarsql_spark.pipeline.similarity import N_QUERIES, dot, norm
 
-    tf, dl, dfreq, n_docs, sum_dl = _term_stats(spark, sf_dir)
-    qw = tf.where(F.col("doc_id") < _N_MLT_QUERIES).select(
-        F.col("doc_id").alias("query_id"), F.col("word").alias("qword")
+    # Query terms come from a doc_id-pruned scan of the query docs
+    # alone (pushed-down bounded filter), then the corpus postings
+    # are broadcast-filtered to that vocabulary inside _term_stats —
+    # the corpus-sized (doc, word) shuffle never happens.
+    qw = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _N_MLT_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", " ")).alias("qword"),
+        )
+        .where(F.col("qword") != "")
+        .distinct()
+    )
+    tf, dl, dfreq, n_docs, sum_dl = _term_stats(
+        spark, sf_dir, words=qw.select(F.col("qword").alias("word"))
     )
     term_m = _bm25_term_m(n_docs, sum_dl)
     lex_w = Window.partitionBy("query_id").orderBy(F.col("score_m").desc(), "doc_id")

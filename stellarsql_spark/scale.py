@@ -47,18 +47,47 @@ _SHIFT_COLS: dict[str, tuple[str, ...]] = {
 def _base_fingerprint(
     base_sf_dir: str, factor: int, tables: tuple[str, ...] | None = None
 ) -> str:
-    # "v2": layout version — bump invalidates caches built with the
-    # old single-file-per-table writer (see target-file sizing below).
+    # "v3": layout version — v2→v3 bumped when target-file sizing
+    # switched from compressed bytes to DECODED Arrow bytes (see
+    # _est_scan_bytes): replicated text compresses ~100:1 inside a
+    # file, and the compressed-bytes formula gave documents@300× FIVE
+    # single-row-group files — a hard 5-task scan floor on 32 cores
+    # (the r7 cosine task-sizing bug, one level down, caught when the
+    # r8 retrieval probe measured BM25 6.6× DuckDB purely on scan
+    # parallelism). Bumping the tag invalidates every cached corpus
+    # ON PURPOSE so they rebuild with the row-group layout the rule
+    # requires.
     # The tables segment is ALWAYS present (empty string for the full
     # corpus): adding it in r7 was a one-time cache invalidation, and
     # every cache on disk now carries the 3-segment prefix — making
     # the segment conditional again would re-invalidate them, so the
     # unconditional form is the stable one (r8 ADVICE adjudication).
-    parts = ["v2", str(factor), ",".join(sorted(tables or ()))]
+    parts = ["v3", str(factor), ",".join(sorted(tables or ()))]
     for t in TABLES:
         st = os.stat(table_path(base_sf_dir, t))
         parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
+
+
+_SCAN_BYTES_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _est_scan_bytes(path: str) -> int:
+    """DECODED (Arrow in-memory) size of a base table — the number
+    that predicts scan WORK. Compressed file size lies by the
+    compression ratio (and for replicated text that ratio is ~100:1
+    inside a file: dictionary pages swallow the repeats), and even
+    footer total_byte_size is pre-dictionary-encoding. Target-file
+    sizing from this value is the file-count analog of the
+    never-size-tasks-by-compressed-bytes rule (similarity.scorer_width).
+    Base tables are ≤ ~50 MiB so the one driver-side read is cheap;
+    memoized per (path, mtime)."""
+    import pyarrow.parquet as pq
+
+    key = (path, os.stat(path).st_mtime_ns)
+    if key not in _SCAN_BYTES_CACHE:
+        _SCAN_BYTES_CACHE[key] = pq.read_table(path).nbytes
+    return _SCAN_BYTES_CACHE[key]
 
 
 def replicate_table(df: DataFrame, name: str, factor: int) -> DataFrame:
@@ -105,15 +134,17 @@ def ensure_scaled_corpus(
     for t in TABLES:
         t_factor = factor if (tables is None or t in tables) else 1
         scaled = replicate_table(load_table(spark, base_sf_dir, t), t, t_factor)
-        # One file per ~32 MiB of estimated output, like a real lake's
-        # many-file layout. This is a measured fix (round 6): the
+        # One file per ~32 MiB of estimated DECODED output (Arrow
+        # bytes — see _est_scan_bytes), like a real lake's many-file
+        # layout. This is a measured fix (round 6, re-fixed in round
+        # 8 when compressed-bytes sizing resurfaced on text): the
         # single-file writer produced orders@300× as ONE 500 MiB file
         # with FOUR 12M-row row groups, capping Spark's scan at 4-way
         # parallelism on 32 cores (b_join_inner 3.8 s; DuckDB, which
         # parallelizes inside a row group, was unaffected). File-level
         # parallelism is the layout knob a 100 TB lake actually has —
         # maxPartitionBytes can't split below row-group granularity.
-        est_bytes = os.path.getsize(table_path(base_sf_dir, t)) * t_factor
+        est_bytes = _est_scan_bytes(table_path(base_sf_dir, t)) * t_factor
         n_files = int(max(1, min(512, est_bytes // (32 << 20))))
         if n_files > 1:
             # Parallelize the EXPLOSION, not its output: repartition
@@ -201,7 +232,7 @@ def ensure_skewed_corpus(
     thresholds = _zipf_thresholds()
     for t in TABLES:
         t_factor = factor if t in ("orders", "lineitem") else 1
-        est_bytes = os.path.getsize(table_path(base_sf_dir, t)) * t_factor
+        est_bytes = _est_scan_bytes(table_path(base_sf_dir, t)) * t_factor
         n_files = int(max(1, min(512, est_bytes // (32 << 20))))
         base = load_table(spark, base_sf_dir, t)
         if n_files > 1:
