@@ -326,3 +326,110 @@ def b_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_b",
         F.sum("term_b").over(Window.partitionBy()).cast("long").alias("psi_b"),
     )
+
+
+# --- Two-sample Kolmogorov-Smirnov drift (C170) ----------------------
+
+# Unbinned companion to the PSI check above: D = max_v |F_a(v) −
+# F_b(v)| over the pooled support.  ECDF differences are kept as the
+# cross-multiplied integer |cum_a·n_b − cum_b·n_a| (exact longs; the
+# division by n_a·n_b happens once at display), so the max and the
+# top-gap ranking compare integers — no float ECDF ever exists.
+_KS_CUT = "1998-01-01"
+_KS_TOPN = 10
+
+_KS_ORACLE = f"""
+WITH pts AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderdate < TIMESTAMP '{_KS_CUT}' THEN 1 ELSE 0 END AS in_a
+  FROM orders
+),
+per_v AS (
+  SELECT v, CAST(SUM(in_a) AS BIGINT) AS ca, CAST(SUM(1 - in_a) AS BIGINT) AS cb
+  FROM pts GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM per_v
+),
+gaps AS (
+  SELECT v, cum_a, cum_b, n_a, n_b,
+         CAST(ABS(cum_a * n_b - cum_b * n_a) AS BIGINT) AS gap_num
+  FROM cum CROSS JOIN tot
+)
+SELECT v, cum_a, cum_b, gap_num,
+       ROUND(CAST(MAX(gap_num) OVER () AS DOUBLE) / (n_a * n_b), 6) AS ks,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gap_num DESC, v) AS rn FROM gaps
+)
+WHERE rn <= {_KS_TOPN}
+"""
+
+
+@register("b_quality_ks", oracle=_KS_ORACLE, tags=("quality", "drift", "ks"))
+def b_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C170: two-sample Kolmogorov-Smirnov drift between order eras —
+    the unbinned companion to b_quality_drift: PSI sees only the
+    10-bucket histogram; KS scans the full pooled support and finds
+    WHERE the distributions diverge most (the top-{_KS_TOPN} gap
+    points are the actionable output, the global D the alarm value).
+
+    Exactness: see _KS_ORACLE's note — every compared quantity is an
+    exact long, the one ROUND is display-only. Scale shape: one
+    (value)-keyed count rollup, then ECDF windows over |distinct
+    values| rows in ONE global value order. At 100 TB the ECDF pass
+    range-partitions on v (the windows are prefix sums — the
+    b_win_running_sum two-pass plan); the per-value rollup upstream
+    has already collapsed row count to support size."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < F.lit(_KS_CUT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    per_v = pts.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(wcum).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(wcum).cast("bigint").alias("cum_b"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("bigint").alias("n_a"), F.sum("cb").cast("bigint").alias("n_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "cum_a",
+        "cum_b",
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .cast("bigint")
+        .alias("gap_num"),
+    )
+    wrank = Window.orderBy(F.col("gap_num").desc(), "v")
+    wall = Window.partitionBy()
+    return (
+        gaps.withColumn("rn", F.row_number().over(wrank))
+        .withColumn(
+            "ks",
+            F.round(
+                F.max("gap_num").over(wall).cast("double") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .where(F.col("rn") <= _KS_TOPN)
+        .select("v", "cum_a", "cum_b", "gap_num", "ks", "rn")
+    )

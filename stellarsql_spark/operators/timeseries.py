@@ -682,3 +682,88 @@ def b_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rf") == 1, F.col("event_id"))).alias("first_event"),
         F.max(F.when(F.col("rl") == 1, F.col("event_id"))).alias("last_event"),
     )
+
+
+# --- CUSUM changepoint detection on the daily revenue series (C169) --
+
+# Recursion-free CUSUM: the textbook recurrence C_t = max(0, C_{t-1}
+# + dev_t) equals S_t - min_{i<=t} S_i for the prefix sums S of the
+# deviations — a running sum plus a running min, both plain windows.
+# Deviations are scaled by n (dev_t = n·x_t - total) so mean-centering
+# stays exact integer cents; the alarm threshold (5 mean-days of
+# cumulative excess) scales to 5·total on the same axis.
+_CUSUM_ALARM_MEAN_DAYS = 5
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS x_c
+  FROM orders GROUP BY o_orderdate
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(x_c) AS BIGINT) AS total_c
+  FROM daily
+),
+pre AS (
+  SELECT day, x_c, n_days, total_c,
+         CAST(SUM(n_days * x_c - total_c) OVER (ORDER BY day) AS BIGINT) AS s_c
+  FROM daily CROSS JOIN tot
+)
+SELECT day, x_c, s_c,
+       CAST(s_c - MIN(s_c) OVER (ORDER BY day) AS BIGINT) AS cusum_c,
+       (s_c - MIN(s_c) OVER (ORDER BY day)) > {_CUSUM_ALARM_MEAN_DAYS} * total_c AS alarm
+FROM pre
+"""
+
+
+@register("b_ts_changepoint_cusum", oracle=_CUSUM_ORACLE, tags=("timeseries", "changepoint"))
+def b_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C169: CUSUM changepoint detection over the daily revenue
+    series — the classic sequential drift detector (Page 1954,
+    public), here in its prefix-sum normal form so it needs NO
+    recursion: C_t = S_t − min_{i≤t} S_i for prefix sums S_t of the
+    mean-centered deviations, and the alarm fires when the
+    cumulative excess tops {_CUSUM_ALARM_MEAN_DAYS} mean-days.
+
+    Exactness: deviations are pre-multiplied by n_days (n·x_t −
+    total), keeping mean-centering in exact integer cents — no float
+    mean ever enters the running state. Scale shape: the rollup to
+    days is the usual partial-agg shuffle; the two windows share ONE
+    global time order over |days| rows (series-length, not
+    row-count) — at 100 TB the same operator runs per series key
+    with partitioned windows, and a single astronomical series uses
+    the range-partitioned two-pass prefix scan (b_win_running_sum's
+    plan notes)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("x_c")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x_c").cast("bigint").alias("total_c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x_c",
+        "n_days",
+        "total_c",
+        F.sum(F.col("n_days") * F.col("x_c") - F.col("total_c"))
+        .over(w)
+        .cast("bigint")
+        .alias("s_c"),
+    )
+    run_min = F.min("s_c").over(w)
+    return pre.select(
+        "day",
+        "x_c",
+        "s_c",
+        (F.col("s_c") - run_min).cast("bigint").alias("cusum_c"),
+        ((F.col("s_c") - run_min) > _CUSUM_ALARM_MEAN_DAYS * F.col("total_c")).alias(
+            "alarm"
+        ),
+    )

@@ -654,3 +654,158 @@ def b_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_m",
         F.round(F.col("dcg_m").cast("double") / F.col("idcg_m"), 6).alias("ndcg"),
     )
+
+
+# --- MMR diversified re-ranking (C167) -------------------------------
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
+# greedily pick K of the top-k candidates, trading relevance against
+# redundancy: argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).  With
+# λ = 0.7 and every similarity in integer millionths, the objective
+# is the PURE-INTEGER 7·rel_m − 3·maxsim_m (scaled ×10) — selection
+# compares exact longs, so the greedy trajectory is bit-identical
+# cross-engine and each of the K steps unrolls as a CTE (the
+# b_llm_kmeans technique for iterative operators).
+MMR_K = 5  # selections per query
+
+
+def _mmr_oracle() -> str:
+    pair_sim = (
+        "CAST(ROUND(1000000 * (list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))))) AS BIGINT)"
+    )
+    parts = [f"""WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cand AS (
+  SELECT query_id, cid, CAST(ROUND(1000000 * sim6) AS BIGINT) AS rel_m FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS cid,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim6,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 6) DESC, b.vec_id
+           ) AS ern
+    FROM ev a CROSS JOIN ev b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  ) WHERE ern <= {TOP_K}
+),
+psim AS (
+  SELECT ca.query_id, ca.cid AS i, cb.cid AS j, {pair_sim} AS sim_m
+  FROM cand ca
+  JOIN cand cb ON cb.query_id = ca.query_id AND cb.cid <> ca.cid
+  JOIN ev a ON a.vec_id = ca.cid
+  JOIN ev b ON b.vec_id = cb.cid
+),
+sel1 AS (
+  SELECT query_id, cid, 1 AS pick, rel_m, CAST(0 AS BIGINT) AS msim_m,
+         CAST(7 * rel_m AS BIGINT) AS mmr_m10
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel_m DESC, cid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""]
+    for k in range(2, MMR_K + 1):
+        parts.append(f""",
+sc{k} AS (
+  SELECT c.query_id, c.cid, c.rel_m, CAST(MAX(p.sim_m) AS BIGINT) AS msim_m
+  FROM cand c
+  JOIN psim p ON p.query_id = c.query_id AND p.i = c.cid
+  JOIN sel{k - 1} s ON s.query_id = p.query_id AND s.cid = p.j
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{k - 1} x WHERE x.query_id = c.query_id AND x.cid = c.cid
+  )
+  GROUP BY c.query_id, c.cid, c.rel_m
+),
+sel{k} AS (
+  SELECT * FROM sel{k - 1}
+  UNION ALL
+  SELECT query_id, cid, {k} AS pick, rel_m, msim_m,
+         CAST(7 * rel_m - 3 * msim_m AS BIGINT) AS mmr_m10
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY 7 * rel_m - 3 * msim_m DESC, cid
+    ) AS rn
+    FROM sc{k}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT query_id, cid, CAST(pick AS INT) AS pick, rel_m, msim_m, mmr_m10
+FROM sel{MMR_K}""")
+    return "".join(parts)
+
+
+@register("b_llm_mmr", oracle=_mmr_oracle(), tags=("pipeline", "vectors", "rerank", "diversity"))
+def b_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C167: MMR diversified re-ranking over the exact top-k — the
+    post-retrieval stage that keeps a result page from being ten
+    paraphrases of one document (the redundancy the RRF fusion and
+    the quantized re-rank upstream cannot see).
+
+    Greedy selection is inherently sequential, but ONLY over the
+    candidate set: all K steps touch |queries| × k rows, so the
+    unrolled 5-step plan (the b_llm_kmeans technique) costs
+    candidate-set-sized joins regardless of corpus size — at 100 TB
+    MMR runs wherever the final page is assembled, after the
+    distributed scan has reduced the corpus to k candidates per
+    query. Pure-integer objective (module note) makes the greedy
+    trajectory, not just scores, the hash-certified contract."""
+    # The engine computes the PAGE — candidate relevance and all
+    # pairwise candidate similarities, both as exact integer
+    # millionths — and the 5-step greedy runs driver-side over those
+    # ints (|queries| x k rows; the natural serving boundary, the
+    # same pattern as b_llm_cosine_topk's driver-side query read).
+    # An unrolled in-plan variant was measured first: 5 iterations of
+    # joins over the lazily-recomputed candidate lineage cost 26-48 s
+    # of pure job overhead at sf0.01 AND tripped Spark's ambiguous-
+    # self-join resolution into a trivially-true join predicate — the
+    # literal-page form is both faster and safer. Because the
+    # objective is pure integer arithmetic, the Python greedy follows
+    # the exact trajectory the oracle's unrolled CTEs follow.
+    cand_rows = (
+        b_llm_cosine_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cid"),
+            F.round(1_000_000 * F.col("sim")).cast("bigint").alias("rel_m"),
+        )
+        .collect()
+    )
+    cand = spark.createDataFrame(cand_rows, "query_id bigint, cid bigint, rel_m bigint")
+    ev = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cvec = cand.join(ev, cand.cid == ev.vec_id).select("query_id", "cid", "embedding")
+    a = cvec.select("query_id", F.col("cid").alias("i"), F.col("embedding").alias("ea"))
+    b = cvec.select(
+        F.col("query_id").alias("qb"), F.col("cid").alias("j"), F.col("embedding").alias("eb")
+    )
+    pair_m = F.round(
+        1_000_000
+        * (dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))))
+    ).cast("bigint")
+    psim_rows = (
+        a.join(b, (a.query_id == b.qb) & (F.col("i") != F.col("j")))
+        .select("query_id", "i", "j", pair_m.alias("sim_m"))
+        .collect()
+    )
+    rel = {(r.query_id, r.cid): r.rel_m for r in cand_rows}
+    sim = {(r.query_id, r.i, r.j): r.sim_m for r in psim_rows}
+    out = []
+    for q in sorted({r.query_id for r in cand_rows}):
+        cids = sorted(c for (qq, c) in rel if qq == q)
+        selected: list[int] = []
+        for pick in range(1, MMR_K + 1):
+            best = None
+            for c in cids:
+                if c in selected:
+                    continue
+                msim = max((sim[(q, c, s2)] for s2 in selected), default=0)
+                mmr = 7 * rel[(q, c)] - 3 * msim
+                # argmax with ascending-cid tie-break (strict > keeps
+                # the earliest cid on ties, matching the oracle's
+                # ORDER BY ... DESC, cid ROW_NUMBER pick)
+                if best is None or mmr > best[0]:
+                    best = (mmr, c, msim)
+            out.append((q, best[1], pick, rel[(q, best[1])], best[2], best[0]))
+            selected.append(best[1])
+    return spark.createDataFrame(
+        out, "query_id bigint, cid bigint, pick int, rel_m bigint, msim_m bigint, mmr_m10 bigint"
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "stellarsql_spark.operators.quality",
     "stellarsql_spark.operators.graph",
     "stellarsql_spark.operators.skew",
+    "stellarsql_spark.operators.spatial",
     "stellarsql_spark.operators.merge",
     "stellarsql_spark.operators.runtime_filters",
     "stellarsql_spark.sources.bucketed",

@@ -136,3 +136,137 @@ class TestBleuPairs:
             assert 0 <= r.c2 <= r.t2
             assert 0 < r.bp_m <= 1_000_000
             assert 0 <= r.bleu2_m <= r.bp_m
+
+
+class TestMmr:
+    def test_greedy_contract(self, spark):
+        """K picks per query, first pick is the relevance argmax
+        (msim 0), later picks never repeat a doc, and every pick's
+        objective equals 7*rel - 3*msim exactly."""
+        from stellarsql_spark.pipeline.vectors import MMR_K, b_llm_mmr
+
+        rows = b_llm_mmr(spark, SF).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert sorted(r.pick for r in rs) == list(range(1, MMR_K + 1))
+            assert len({r.cid for r in rs}) == MMR_K
+            first = next(r for r in rs if r.pick == 1)
+            assert first.msim_m == 0
+            for r in rs:
+                assert r.mmr_m10 == 7 * r.rel_m - 3 * r.msim_m
+
+    def test_diversity_not_pure_relevance(self, spark):
+        """MMR must actually diversify somewhere: across queries, at
+        least one selection differs from the pure-relevance top-K
+        prefix (λ=0.7 with real redundancy in the page makes this
+        deterministic on the test corpus at sf0.01)."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.pipeline.similarity import b_llm_cosine_topk
+        from stellarsql_spark.pipeline.vectors import MMR_K, b_llm_mmr
+
+        mmr = b_llm_mmr(spark, SF_MED).collect()
+        top = (
+            b_llm_cosine_topk(spark, SF_MED)
+            .where(F.col("rn") <= MMR_K)
+            .collect()
+        )
+        mmr_sets = {}
+        for r in mmr:
+            mmr_sets.setdefault(r.query_id, set()).add(r.cid)
+        top_sets = {}
+        for r in top:
+            top_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert any(mmr_sets[q] != top_sets[q] for q in mmr_sets)
+
+
+class TestGeoDistanceJoin:
+    def test_pairs_within_radius_and_band(self, spark):
+        """Every emitted pair is inside the radius; coordinates stay
+        in the clamped ±60° band (the property the 2° cell guarantee
+        rests on); pairs are canonical (id_a < id_b, no dupes)."""
+        from stellarsql_spark.operators.spatial import (
+            _GEO_RADIUS_M,
+            b_geo_distance_join,
+        )
+
+        rows = b_geo_distance_join(spark, SF_MED).collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            assert r.id_a < r.id_b
+            assert 0 <= r.dist_m < _GEO_RADIUS_M
+            assert (r.id_a, r.id_b) not in seen
+            seen.add((r.id_a, r.id_b))
+
+    def test_no_qualifying_pair_escapes_the_grid(self, spark):
+        """Brute-force all-pairs haversine at sf0.001 must find
+        exactly the grid-blocked result — the completeness property
+        of the 2°-cell + 3x3-offset candidate scheme inside the
+        generated band."""
+        import math
+
+        from stellarsql_spark.operators.spatial import (
+            _GEO_RADIUS_M,
+            b_geo_distance_join,
+        )
+        from stellarsql_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        got = {(r.id_a, r.id_b) for r in b_geo_distance_join(spark, SF).collect()}
+        c = load_table(spark, SF, "customer")
+        h = F.md5(F.col("c_name"))
+        pts = c.select(
+            F.col("c_custkey").alias("id"),
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 120000001 - 60000000).alias("lat_u"),
+            (F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % 360000001 - 180000000).alias("lon_u"),
+        ).collect()
+        want = set()
+        for i, a in enumerate(pts):
+            for b in pts[i + 1:]:
+                la, lb = math.radians(a.lat_u / 1e6), math.radians(b.lat_u / 1e6)
+                dla = (lb - la) / 2
+                dlo = (math.radians(b.lon_u / 1e6) - math.radians(a.lon_u / 1e6)) / 2
+                d = 2 * 6371000 * math.asin(math.sqrt(
+                    math.sin(dla) ** 2 + math.cos(la) * math.cos(lb) * math.sin(dlo) ** 2))
+                if round(d) < _GEO_RADIUS_M:
+                    lo, hi = sorted((a.id, b.id))
+                    want.add((lo, hi))
+        assert got == want
+
+
+class TestCusum:
+    def test_prefix_form_equals_recurrence(self, spark):
+        """The window form S_t - min(S_i) must equal the textbook
+        recurrence C_t = max(0, C_{t-1} + dev_t) replayed in Python
+        over the same integer deviations."""
+        from stellarsql_spark.operators.timeseries import b_ts_changepoint_cusum
+
+        rows = sorted(b_ts_changepoint_cusum(spark, SF).collect(), key=lambda r: r.day)
+        assert rows
+        n = len(rows)
+        total = sum(r.x_c for r in rows)
+        c = 0
+        for r in rows:
+            c = max(0, c + (n * r.x_c - total))
+            assert r.cusum_c == c
+
+
+class TestKs:
+    def test_gap_is_max_and_bounded(self, spark):
+        """ks is the max gap over the support (rn=1 row attains it),
+        gaps are bounded by n_a*n_b, and cumulative counts are
+        monotone in v."""
+        from stellarsql_spark.operators.quality import b_quality_ks
+
+        rows = sorted(b_quality_ks(spark, SF_MED).collect(), key=lambda r: r.rn)
+        assert rows and rows[0].rn == 1
+        top = rows[0]
+        n_a, n_b = max(r.cum_a for r in rows), max(r.cum_b for r in rows)
+        assert n_a > 0 and n_b > 0
+        for r in rows:
+            assert r.gap_num <= top.gap_num
+            assert 0.0 <= r.ks <= 1.0
+            assert r.ks == top.ks  # global D, same on every row
