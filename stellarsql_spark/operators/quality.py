@@ -433,3 +433,77 @@ def b_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _KS_TOPN)
         .select("v", "cum_a", "cum_b", "gap_num", "ks", "rn")
     )
+
+
+# --- Benford first-digit audit (C173) --------------------------------
+
+# First significant digits of naturally-occurring amounts follow
+# P(d) = log10(1 + 1/d); a chi-square against that law is a standard
+# fraud / synthetic-data audit. The first digit is the first char of
+# the exact-cents integer's decimal string (integer-to-string is
+# engine-identical; a power(10, len-1) quotient was tried first and
+# hit DuckDB's double '//' NOT flooring + round-on-CAST-to-BIGINT);
+# each chi-square term is scaled to integer billionths on identical
+# double inputs, so the statistic is an exact long sum.
+_BENFORD_ORACLE = """
+WITH cents AS (
+  SELECT CAST(ROUND(100 * o_totalprice) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM cents
+),
+obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+terms AS (
+  SELECT d, n_obs,
+         CAST(ROUND(1000000 * (CAST(n_obs AS DOUBLE) / n)) AS BIGINT) AS obs_m,
+         CAST(ROUND(1000000 * log10(1 + 1.0 / d)) AS BIGINT) AS exp_m,
+         CAST(ROUND(1000000000 * (CAST(n_obs AS DOUBLE) / n - log10(1 + 1.0 / d))
+              * (CAST(n_obs AS DOUBLE) / n - log10(1 + 1.0 / d))
+              / log10(1 + 1.0 / d)) AS BIGINT) AS chi_b
+  FROM obs CROSS JOIN tot
+)
+SELECT d, n_obs, obs_m, exp_m, chi_b,
+       CAST(SUM(chi_b) OVER () AS BIGINT) AS chi2_b
+FROM terms
+"""
+
+
+@register("b_quality_benford", oracle=_BENFORD_ORACLE, tags=("quality", "benford", "audit"))
+def b_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C173: Benford's-law first-digit audit of order totals — the
+    forensic-accounting screen for fabricated or truncated amounts
+    (synthetic uniform data fails it loudly, which is itself the
+    interesting measurement on this corpus). Completes the drift
+    trio: PSI (binned), KS (unbinned), Benford (digit-structure).
+
+    Exactness: see _BENFORD_ORACLE's note. Scale shape: digit
+    extraction is map-side integer math; the whole statistic reduces
+    through a 9-row digit rollup — corpus-size-independent beyond
+    the one count shuffle, and the map-side partial aggregation
+    carries 9 counters per task."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    c = F.round(100 * F.col("o_totalprice")).cast("bigint")
+    digits = o.select(
+        F.substring(c.cast("string"), 1, 1).cast("bigint").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p_obs = F.col("n_obs").cast("double") / F.col("n")
+    p_exp = F.log10(1 + 1.0 / F.col("d"))
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n_obs",
+        F.round(1_000_000 * p_obs).cast("bigint").alias("obs_m"),
+        F.round(1_000_000 * p_exp).cast("bigint").alias("exp_m"),
+        F.round(1_000_000_000 * (p_obs - p_exp) * (p_obs - p_exp) / p_exp)
+        .cast("bigint")
+        .alias("chi_b"),
+    )
+    return terms.select(
+        "*", F.sum("chi_b").over(Window.partitionBy()).cast("bigint").alias("chi2_b")
+    )

@@ -767,3 +767,101 @@ def b_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarm"
         ),
     )
+
+
+# --- Classical seasonal decomposition (C171) --------------------------
+
+# STL-style additive decomposition by moving averages (the classical
+# `decompose` everybody ships): trend = centered 7-day MA, seasonal =
+# per-weekday mean of the detrended series, residual = remainder.
+# Exactness ladder: the trend stays UNSCALED integer cents as the
+# 7-day SUM (detrended d = 7·x − sum7 multiplies through by 7 instead
+# of dividing); weekday is (epoch_days + 4) % 7 pure arithmetic (the
+# engines disagree on dayofweek() numbering; 1970-01-01 was a
+# Thursday, +4 makes 0 = Sunday); the one division (per-weekday mean)
+# happens on exact integer sums in both engines with a single ROUND
+# at the 1e6 boundary.
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS epoch_d,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS x_c
+  FROM orders GROUP BY 1, 2
+),
+tr AS (
+  SELECT day, epoch_d, x_c,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(x_c) OVER w AS BIGINT) END AS sum7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, CAST((epoch_d + 4) % 7 AS BIGINT) AS dow,
+         CAST(7 * x_c - sum7 AS BIGINT) AS d7
+  FROM tr
+),
+seas AS (
+  SELECT *,
+         CAST(ROUND(1000000 * AVG(d7) OVER (PARTITION BY dow)) AS BIGINT) AS seasonal_m
+  FROM det
+)
+SELECT day, x_c, sum7, dow, seasonal_m,
+       CAST(1000000 * d7 - seasonal_m AS BIGINT) AS resid_m
+FROM seas
+"""
+
+
+@register("b_ts_seasonal_decompose", oracle=_SEASONAL_ORACLE, tags=("timeseries", "decompose"))
+def b_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C171: classical additive seasonal decomposition of the daily
+    revenue series — trend (centered 7-day MA), weekly seasonal
+    component, residual. This is the diagnostic every metrics
+    pipeline runs before anomaly thresholds: b_ev_anomaly's bands and
+    b_ts_seasonal_naive's forecast both implicitly assume the
+    seasonal component this operator makes explicit.
+
+    Exactness: see _SEASONAL_ORACLE's note — one display-scale ROUND,
+    everything else exact integer cents. Scale shape: the day rollup
+    is the only data-sized shuffle; the MA window runs in one
+    series-length time order, the seasonal mean is a 7-partition
+    window — at 100 TB the same plan runs per series key, and the
+    weekday means become a 7-row broadcast join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).cast("bigint").alias("epoch_d"),
+    ).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("x_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "epoch_d",
+        "x_c",
+        F.when(F.count("*").over(w) == 7, F.sum("x_c").over(w).cast("bigint")).alias(
+            "sum7"
+        ),
+    )
+    det = tr.select(
+        "*",
+        ((F.col("epoch_d") + 4) % 7).cast("bigint").alias("dow"),
+        (7 * F.col("x_c") - F.col("sum7")).cast("bigint").alias("d7"),
+    )
+    wd = Window.partitionBy("dow")
+    seas = det.withColumn(
+        "seasonal_m", F.round(1_000_000 * F.avg("d7").over(wd)).cast("bigint")
+    )
+    return seas.select(
+        "day",
+        "x_c",
+        "sum7",
+        "dow",
+        "seasonal_m",
+        (1_000_000 * F.col("d7") - F.col("seasonal_m")).cast("bigint").alias("resid_m"),
+    )

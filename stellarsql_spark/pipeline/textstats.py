@@ -1358,3 +1358,88 @@ def b_llm_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1_000_000 * bp).cast("bigint").alias("bp_m"),
         bleu.alias("bleu2_m"),
     )
+
+
+# --- PMI word co-occurrence (C172) -----------------------------------
+
+_PMI_MIN_COOC = 5   # support floor: pairs must co-occur in >= 5 docs
+_PMI_TOPN = 20
+
+_PMI_ORACLE = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dw),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY word),
+cooc AS (
+  SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word
+  HAVING COUNT(*) >= {_PMI_MIN_COOC}
+),
+scored AS (
+  SELECT w1, w2, c12, d1.df AS df1, d2.df AS df2,
+         CAST(ROUND(1000000 * ln(CAST(n_docs * c12 AS DOUBLE) / (d1.df * d2.df)))
+              AS BIGINT) AS pmi_m
+  FROM cooc JOIN dfreq d1 ON d1.word = w1
+            JOIN dfreq d2 ON d2.word = w2
+            CROSS JOIN n
+)
+SELECT w1, w2, c12, df1, df2, pmi_m, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_m DESC, w1, w2) AS rn FROM scored
+) WHERE rn <= {_PMI_TOPN}
+"""
+
+
+@register("b_llm_pmi_cooc", oracle=_PMI_ORACLE, tags=("pipeline", "text", "cooccurrence"))
+def b_llm_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C172: document-level pointwise mutual information between word
+    pairs — PMI = ln(N·c12/(df1·df2)) — the association statistic
+    under phrase mining, collocation extraction, and count-based
+    embedding matrices (PMI-SVD). The support floor keeps the
+    rare-pair PMI explosion (c12=1 pairs dominate raw PMI) out of
+    the ranking, the standard mitigation.
+
+    100 TB shape: the doc-word incidence dedups in one (doc, word)
+    shuffle; the co-occurrence self-join co-partitions on doc_id so
+    each doc expands its own pair list locally (per-doc cost bounded
+    by distinct-words²; a vocabulary cap or per-doc top-terms filter
+    bounds the hot docs — same skew playbook as the graph wedge
+    join); the pair rollup is the only vocabulary²-keyed exchange
+    and the HAVING floor prunes it before ranking. PMI itself is one
+    ln on identical exact-integer ratios, rounded at the millionth
+    boundary (the b_llm_bm25 convention)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    n_docs = dw.select("doc_id").distinct().count()
+    dfreq = dw.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    a = dw.select("doc_id", F.col("word").alias("w1"))
+    b = dw.select(F.col("doc_id").alias("db"), F.col("word").alias("w2"))
+    cooc = (
+        a.join(b, (a.doc_id == b.db) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .where(F.col("c12") >= _PMI_MIN_COOC)
+    )
+    pmi_m = F.round(
+        1_000_000
+        * F.log(
+            (F.lit(n_docs) * F.col("c12")).cast("double") / (F.col("df1") * F.col("df2"))
+        )
+    ).cast("bigint")
+    w = Window.orderBy(F.col("pmi_m").desc(), "w1", "w2")
+    return (
+        cooc.join(F.broadcast(dfreq.select(F.col("word").alias("w1"), F.col("df").alias("df1"))), "w1")
+        .join(F.broadcast(dfreq.select(F.col("word").alias("w2"), F.col("df").alias("df2"))), "w2")
+        .select("w1", "w2", "c12", "df1", "df2", pmi_m.alias("pmi_m"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PMI_TOPN)
+    )

@@ -270,3 +270,58 @@ class TestKs:
             assert r.gap_num <= top.gap_num
             assert 0.0 <= r.ks <= 1.0
             assert r.ks == top.ks  # global D, same on every row
+
+
+class TestSeasonalDecompose:
+    def test_additive_identity_and_edges(self, spark):
+        """Interior rows satisfy the exact additive identity
+        1e6*(7x - sum7) = seasonal_m + resid_m; the first/last 3 days
+        (incomplete MA window) carry NULL trend and residual."""
+        from stellarsql_spark.operators.timeseries import b_ts_seasonal_decompose
+
+        rows = sorted(
+            b_ts_seasonal_decompose(spark, SF).collect(), key=lambda r: r.day
+        )
+        assert len(rows) > 20
+        for r in rows[:3] + rows[-3:]:
+            assert r.sum7 is None and r.resid_m is None
+        for r in rows[3:-3]:
+            assert r.sum7 is not None
+            assert 1_000_000 * (7 * r.x_c - r.sum7) == r.seasonal_m + r.resid_m
+            assert r.dow == r.day.toordinal() % 7  # ordinal 1 = Mon 0001-01-01 -> 1; Sunday -> 0
+
+
+class TestPmiCooc:
+    def test_support_floor_and_symmetry(self, spark):
+        """Every ranked pair meets the support floor, is canonical
+        (w1 < w2), and co-occurrence can't exceed either word's df."""
+        from stellarsql_spark.pipeline.textstats import _PMI_MIN_COOC, b_llm_pmi_cooc
+
+        rows = b_llm_pmi_cooc(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.w1 < r.w2
+            assert r.c12 >= _PMI_MIN_COOC
+            assert r.c12 <= min(r.df1, r.df2)
+
+
+class TestBenford:
+    def test_digit_domain_and_conservation(self, spark):
+        """Digits are 1..9 only (the power-quotient extraction bug
+        emitted a digit 10 via DuckDB's round-on-cast — pinned),
+        counts conserve the filtered row total, and chi2 equals the
+        term sum."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.quality import b_quality_benford
+
+        rows = b_quality_benford(spark, SF).collect()
+        assert {r.d for r in rows} <= set(range(1, 10))
+        n_src = (
+            load_table(spark, SF, "orders").where(F.col("o_totalprice") > 0).count()
+        )
+        assert sum(r.n_obs for r in rows) == n_src
+        total = sum(r.chi_b for r in rows)
+        for r in rows:
+            assert r.chi2_b == total
