@@ -587,3 +587,192 @@ def b_ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delta_us, 0.5)").cast("double"), 1).alias("p50_us"),
         F.round(F.expr("percentile(delta_us, 0.9)").cast("double"), 1).alias("p90_us"),
     )
+
+
+# --- Market-basket association rules (C175) ---------------------------
+
+_RULES_MIN_SUPPORT = 50   # pair must appear in >= 50 baskets
+_RULES_TOPN = 20
+
+# Directional association rules a=>b over order baskets (items =
+# part brands, 25 of them — the natural basket vocabulary; raw part
+# keys are near-unique so no pair would clear any support floor).
+# support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)).
+# All three are single divisions on exact long counts rounded at the
+# millionth boundary; ranking compares exact longs.
+_RULES_ORACLE = f"""
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM basket),
+freq AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c1 FROM basket GROUP BY item),
+pairs AS (
+  SELECT a.item AS i1, b.item AS i2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM basket a JOIN basket b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {_RULES_MIN_SUPPORT}
+),
+rules AS (
+  SELECT i1 AS antecedent, i2 AS consequent, c12 FROM pairs
+  UNION ALL
+  SELECT i2, i1, c12 FROM pairs
+),
+scored AS (
+  SELECT antecedent, consequent, c12, fa.c1 AS c_ante, fb.c1 AS c_cons,
+         CAST(ROUND(1000000 * CAST(c12 AS DOUBLE) / n_baskets) AS BIGINT) AS support_m,
+         CAST(ROUND(1000000 * CAST(c12 AS DOUBLE) / fa.c1) AS BIGINT) AS conf_m,
+         CAST(ROUND(1000000 * CAST(n_baskets * c12 AS DOUBLE) / (fa.c1 * fb.c1))
+              AS BIGINT) AS lift_m
+  FROM rules JOIN freq fa ON fa.item = antecedent
+             JOIN freq fb ON fb.item = consequent
+             CROSS JOIN n
+)
+SELECT * FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      ORDER BY lift_m DESC, conf_m DESC, antecedent, consequent) AS INT) AS rn
+  FROM scored
+) WHERE rn <= {_RULES_TOPN}
+"""
+
+
+@register("b_basket_rules", oracle=_RULES_ORACLE, tags=("analytics", "basket", "association"))
+def b_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C175: market-basket association rules (support / confidence /
+    lift) over order baskets — the co-purchase miner behind "customers
+    who bought X also bought Y".  Directional rules distinguish it
+    from b_llm_pmi_cooc's symmetric association: confidence P(b|a) is
+    asymmetric and is what a recommender thresholds on.
+
+    100 TB shape: the basket incidence dedups in one (order, item)
+    shuffle with the part dimension broadcast into the scan; the pair
+    self-join co-partitions on the order key so each basket expands
+    its own pairs locally (bounded by basket-size², here <=11 items);
+    the pair rollup keys on a 25-item vocabulary so the final
+    exchange is tiny, and the support floor prunes before ranking.
+    Item frequencies broadcast back onto the rules."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = basket.select("okey").distinct().count()
+    freq = basket.groupBy("item").agg(F.count("*").cast("bigint").alias("c1"))
+    a = basket.select("okey", F.col("item").alias("i1"))
+    b = basket.select(F.col("okey").alias("okey_b"), F.col("item").alias("i2"))
+    pairs = (
+        a.join(b, (a.okey == b.okey_b) & (F.col("i1") < F.col("i2")))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .where(F.col("c12") >= _RULES_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("i1").alias("antecedent"), F.col("i2").alias("consequent"), "c12"
+    ).unionByName(
+        pairs.select(
+            F.col("i2").alias("antecedent"), F.col("i1").alias("consequent"), "c12"
+        )
+    )
+    fa = freq.select(F.col("item").alias("antecedent"), F.col("c1").alias("c_ante"))
+    fb = freq.select(F.col("item").alias("consequent"), F.col("c1").alias("c_cons"))
+    scored = (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "c12",
+            "c_ante",
+            "c_cons",
+            F.round(1_000_000 * F.col("c12").cast("double") / n_baskets)
+            .cast("bigint")
+            .alias("support_m"),
+            F.round(1_000_000 * F.col("c12").cast("double") / F.col("c_ante"))
+            .cast("bigint")
+            .alias("conf_m"),
+            F.round(
+                1_000_000
+                * (F.lit(n_baskets) * F.col("c12")).cast("double")
+                / (F.col("c_ante") * F.col("c_cons"))
+            )
+            .cast("bigint")
+            .alias("lift_m"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("lift_m").desc(), F.col("conf_m").desc(), "antecedent", "consequent"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _RULES_TOPN)
+    )
+
+
+# --- First-order Markov transition matrix (C177) ----------------------
+
+# Event-type transition probabilities per user session stream: the
+# behavioral fingerprint under next-action prediction, bot detection
+# (self-loops on 'error'), and journey modeling.  Probabilities are
+# one division on exact long counts at the millionth boundary; the
+# sequence order is pinned by (ts, event_id) so timestamp collisions
+# cannot flip a transition between engines.
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+trans AS (
+  SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+tot AS (
+  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY prev) AS BIGINT) AS row_total
+  FROM trans
+)
+SELECT prev, next, cnt, row_total,
+       CAST(ROUND(1000000 * CAST(cnt AS DOUBLE) / row_total) AS BIGINT) AS prob_m
+FROM tot
+"""
+
+
+@register("b_ev_markov", oracle=_MARKOV_ORACLE, tags=("analytics", "markov", "sequence"))
+def b_ev_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C177: first-order Markov transition matrix over each user's
+    event sequence — P(next event type | previous event type).  The
+    sequence primitive under next-action prediction and journey
+    modeling; b_ev_paths ranks whole path prefixes, this factors the
+    chain into its one-step kernel.
+
+    Scale shape: the lag window co-partitions on user_id (the same
+    user-keyed shuffle every sessionization op pays — at 100 TB this
+    is one exchange of the event log), then the transition rollup
+    keys on |event types|² = 25 cells, so the second exchange and the
+    per-row normalization window are constant-size.  Determinism: the
+    window orders by (ts, event_id), so same-timestamp events cannot
+    reorder between engines or partitionings."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w))
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wt = Window.partitionBy("prev")
+    tot = trans.withColumn("row_total", F.sum("cnt").over(wt).cast("bigint"))
+    return tot.select(
+        "prev",
+        "next",
+        "cnt",
+        "row_total",
+        F.round(1_000_000 * F.col("cnt").cast("double") / F.col("row_total"))
+        .cast("bigint")
+        .alias("prob_m"),
+    )

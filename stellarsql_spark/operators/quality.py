@@ -507,3 +507,90 @@ def b_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "*", F.sum("chi_b").over(Window.partitionBy()).cast("bigint").alias("chi2_b")
     )
+
+
+# --- Exact ROC-AUC via rank statistics (C174) -------------------------
+
+# AUC equals the Mann-Whitney U statistic normalized by n_pos*n_neg;
+# with ties, U = R_pos - n_pos(n_pos+1)/2 where R_pos sums the
+# AVERAGE rank of each positive.  Everything stays in exact longs by
+# carrying 2x the rank sum: a tie group occupying ranks lo..hi
+# contributes pos_cnt*(lo+hi) to 2*R_pos, and lo+hi is an integer
+# even when the average rank is a half.  The one division (the final
+# normalization) runs on identical exact longs in both engines.
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(ROUND(100 * o_totalprice) AS BIGINT) AS score,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+grp AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS pos_cnt
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT *, CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS hi
+  FROM grp
+),
+tot AS (
+  SELECT CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_cnt * (2 * hi - cnt + 1)) AS BIGINT) AS r2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(ROUND(1000000 * CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2 * n_pos * n_neg)) AS BIGINT) AS auc_m
+FROM tot
+"""
+
+
+@register("b_ev_auc", oracle=_AUC_ORACLE, tags=("quality", "metric", "auc"))
+def b_ev_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C174: exact ROC-AUC of order total as a predictor of urgent
+    priority — the Mann-Whitney rank-sum form with the textbook tie
+    correction (average ranks), kept in exact integer arithmetic (see
+    _AUC_ORACLE's note).  This is the model-evaluation primitive every
+    classifier-quality pipeline needs; the sibling ranking metric is
+    NDCG (b_llm_ndcg).
+
+    Scale shape: one groupBy collapses the corpus to |distinct score|
+    rows (exact cents), the prefix-rank window runs over that rollup,
+    and the statistic reduces to one row.  At 100 TB the rollup is
+    the only data-sized shuffle; a distinct-score cardinality too big
+    for one window task would range-partition the prefix sum (two
+    passes), which changes no value.  The 2x-rank longs bound the
+    corpus at ~2*10^9 rows before u2 needs DECIMAL; past that, swap
+    the BIGINTs for DECIMAL(38,0) unchanged."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.round(100 * F.col("o_totalprice")).cast("bigint").alias("score"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("pos"),
+    )
+    grp = scored.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("pos_cnt"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grp.withColumn("hi", F.sum("cnt").over(w).cast("bigint"))
+    tot = ranked.agg(
+        F.sum("pos_cnt").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_cnt") * (2 * F.col("hi") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    u2 = (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("bigint")
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.round(1_000_000 * u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")))
+        .cast("bigint")
+        .alias("auc_m"),
+    )

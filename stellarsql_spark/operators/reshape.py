@@ -268,3 +268,93 @@ def b_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("pick"))
         .where(F.col("pick") <= _RESERVOIR_K)
     )
+
+
+# --- Weighted priority sampling (C176) --------------------------------
+
+_PRIORITY_K = 150
+
+# Priority sampling (Duffield, Lund & Thorup, JACM 2007): draw uniform
+# u per row, keep the k rows with the largest priority q = w/u, and
+# estimate any subset-sum with w_hat = max(w, tau) where tau is the
+# (k+1)-th priority.  It is the weighted analogue of the md5-rank
+# reservoir (C78): heavy rows are near-certain to survive, light rows
+# survive with probability ~ w/tau, and the estimator is unbiased
+# with near-optimal variance.  Determinism: u is the seed-keyed md5
+# draw (never the engine RNG — see b_sample_seeded), and q compares
+# as a division of two exact longs, which IEEE 754 rounds identically
+# in every engine; ties (astronomically unlikely) break on the key.
+_PRIORITY_ORACLE = f"""
+WITH draw AS (
+  SELECT o_orderkey,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS w_c,
+         CAST(concat('0x', substring(md5('w42:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) + 1 AS u32
+  FROM orders
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      ORDER BY CAST(w_c AS DOUBLE) / u32 DESC, o_orderkey) AS INT) AS rn
+  FROM draw
+),
+tau AS (
+  SELECT CAST(ROUND(1000000 * CAST(w_c AS DOUBLE) / u32) AS BIGINT) AS tau_m
+  FROM ranked WHERE rn = {_PRIORITY_K} + 1
+)
+SELECT o_orderkey, w_c, u32, rn, tau_m,
+       CAST(GREATEST(1000000 * w_c, tau_m) AS BIGINT) AS w_hat_m
+FROM ranked CROSS JOIN tau
+WHERE rn <= {_PRIORITY_K}
+"""
+
+
+@register("b_sample_weighted", oracle=_PRIORITY_ORACLE, tags=("sample", "weighted", "deterministic"))
+def b_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C176: deterministic weighted sampling by priority (q = w/u,
+    keep top-k) with the Horvitz-Thompson adjusted weight column —
+    the importance sampler a training-data pipeline uses to draw a
+    quality- or domain-weighted corpus subset whose subset-sums stay
+    unbiased (w_hat = max(w, tau) reconstructs totals from the
+    sample alone).
+
+    Exactness: see _PRIORITY_ORACLE's note — md5 uniforms and an
+    IEEE-identical long/long division, no engine RNG anywhere.
+    Scale shape: the draw is map-side; top-(k+1) by priority is a
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    tau broadcasts back onto k rows.  At 100 TB nothing but the
+    k-row head ever leaves the executors."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.lit("w42:"), F.col("o_orderkey").cast("string")))
+    draw = o.select(
+        "o_orderkey",
+        F.round(100 * F.col("o_totalprice")).cast("bigint").alias("w_c"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") + 1).alias("u32"),
+    )
+    q = F.col("w_c").cast("double") / F.col("u32")
+    head = (
+        draw.orderBy(q.desc(), "o_orderkey")
+        .limit(_PRIORITY_K + 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(q.desc(), "o_orderkey")).cast("int"),
+        )
+    )
+    tau = head.where(F.col("rn") == _PRIORITY_K + 1).select(
+        F.round(1_000_000 * q).cast("bigint").alias("tau_m")
+    )
+    return (
+        head.where(F.col("rn") <= _PRIORITY_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "o_orderkey",
+            "w_c",
+            "u32",
+            "rn",
+            "tau_m",
+            F.greatest(1_000_000 * F.col("w_c"), F.col("tau_m"))
+            .cast("bigint")
+            .alias("w_hat_m"),
+        )
+    )

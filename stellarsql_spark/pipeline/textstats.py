@@ -1443,3 +1443,108 @@ def b_llm_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _PMI_TOPN)
     )
+
+
+# --- Zipf-law fit of the term-frequency distribution (C178) -----------
+
+_ZIPF_TOPN = 100
+
+# Corpus health diagnostic: natural-language term frequencies follow
+# freq ~ rank^(-s) with s ~= 1; template-heavy or synthetic corpora
+# bend the log-log line.  The fit is OLS of ln(freq) on ln(rank) over
+# the top-100 ranks.  Cross-engine exactness: each ln lands on an
+# exact integer input and is rounded to integer millionths at the
+# term boundary (the b_llm_perplexity convention), so the moment sums
+# (Sx, Sy, Sxy, Sxx over n=100 rows of ~1e6-scaled values) are exact
+# longs and the slope/intercept are single divisions on identical
+# longs.
+_ZIPF_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+  FROM words WHERE word <> '' GROUP BY word
+),
+top AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, word) AS BIGINT) AS r
+  FROM freq QUALIFY r <= {_ZIPF_TOPN}
+),
+pts AS (
+  SELECT CAST(ROUND(1000000 * ln(r)) AS BIGINT) AS x_m,
+         CAST(ROUND(1000000 * ln(f)) AS BIGINT) AS y_m
+  FROM top
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_m) AS BIGINT) AS sx, CAST(SUM(y_m) AS BIGINT) AS sy,
+         CAST(SUM(x_m * y_m) AS BIGINT) AS sxy,
+         CAST(SUM(x_m * x_m) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n, sx, sy, sxy, sxx,
+       CAST(ROUND(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+            AS BIGINT) AS slope_m,
+       CAST(ROUND((1.0 * sy - 1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                  / n) AS BIGINT) AS intercept_m
+FROM mom
+"""
+
+
+@register("b_llm_zipf", oracle=_ZIPF_ORACLE, tags=("pipeline", "text", "zipf"))
+def b_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C178: Zipf-law fit of the corpus term-frequency distribution —
+    OLS slope of ln(freq) vs ln(rank) over the top-100 ranks.  The
+    one-number corpus-health diagnostic (natural text gives slope
+    ~ -1; boilerplate floods or dedup failures flatten the head and
+    steepen the tail), complementing b_llm_freq_quality's per-doc
+    form with a corpus-level statistic.
+
+    Scale shape: the term rollup is the one data-sized shuffle; the
+    top-100 head is a TakeOrderedAndProject (per-partition heaps — no
+    vocabulary-sized global sort); the fit reduces 100 rows to one.
+    Exactness: see _ZIPF_ORACLE's note."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.col("f").desc(), "word")
+        .limit(_ZIPF_TOPN)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "word"))
+            .cast("bigint"),
+        )
+    )
+    pts = top.select(
+        F.round(1_000_000 * F.log("r")).cast("bigint").alias("x_m"),
+        F.round(1_000_000 * F.log("f")).cast("bigint").alias("y_m"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_m").cast("bigint").alias("sx"),
+        F.sum("y_m").cast("bigint").alias("sy"),
+        F.sum(F.col("x_m") * F.col("y_m")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x_m") * F.col("x_m")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return mom.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.round(1_000_000 * slope).cast("bigint").alias("slope_m"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"))
+        .cast("bigint")
+        .alias("intercept_m"),
+    )

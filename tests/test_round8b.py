@@ -325,3 +325,135 @@ class TestBenford:
         total = sum(r.chi_b for r in rows)
         for r in rows:
             assert r.chi2_b == total
+
+
+class TestAuc:
+    def test_matches_bruteforce_pair_count(self, spark):
+        """The rank-sum AUC equals the direct pair definition
+        P(score_pos > score_neg) + 0.5*P(tie), brute-forced over the
+        collected sf0.001 rows."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.quality import b_ev_auc
+
+        row = b_ev_auc(spark, SF).collect()[0]
+        assert 0 <= row.auc_m <= 1_000_000
+        data = (
+            load_table(spark, SF, "orders")
+            .select(
+                F.round(100 * F.col("o_totalprice")).cast("bigint").alias("s"),
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("pos"),
+            )
+            .collect()
+        )
+        pos = sorted(r.s for r in data if r.pos)
+        neg = sorted(r.s for r in data if not r.pos)
+        assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+        import bisect
+
+        # 2*sum over positives of (#neg below + half #neg equal)
+        u2 = sum(
+            2 * bisect.bisect_left(neg, p)
+            + (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p))
+            for p in pos
+        )
+        assert row.u2 == u2
+        assert row.auc_m == round(1_000_000 * u2 / (2 * len(pos) * len(neg)))
+
+
+class TestBasketRules:
+    def test_rule_algebra(self, spark):
+        """Both directions of a pair share c12 (and lift); confidence
+        times antecedent frequency reconstructs c12; support floor and
+        bounds hold."""
+        from stellarsql_spark.operators.events_analytics import (
+            _RULES_MIN_SUPPORT,
+            b_basket_rules,
+        )
+
+        rows = b_basket_rules(spark, SF_MED).collect()
+        assert rows
+        for r in rows:
+            assert r.c12 >= _RULES_MIN_SUPPORT
+            assert r.c12 <= min(r.c_ante, r.c_cons)
+            assert r.conf_m == round(1_000_000 * r.c12 / r.c_ante)
+        by_pair = {}
+        for r in rows:
+            by_pair.setdefault(frozenset((r.antecedent, r.consequent)), []).append(r)
+        for pair_rows in by_pair.values():
+            assert len({r.c12 for r in pair_rows}) == 1
+            assert len({r.lift_m for r in pair_rows}) == 1
+
+
+class TestMarkov:
+    def test_rows_are_distributions(self, spark):
+        """Per-prev probabilities sum to ~1e6 (off by at most the
+        per-cell rounding), row_total is shared within a prev, and
+        transition counts conserve the lag-pair total."""
+        from stellarsql_spark.operators.events_analytics import b_ev_markov
+
+        rows = b_ev_markov(spark, SF).collect()
+        assert rows
+        by_prev = {}
+        for r in rows:
+            by_prev.setdefault(r.prev, []).append(r)
+        for prev, rs in by_prev.items():
+            assert len({r.row_total for r in rs}) == 1
+            assert sum(r.cnt for r in rs) == rs[0].row_total
+            assert abs(sum(r.prob_m for r in rs) - 1_000_000) <= len(rs)
+
+
+class TestWeightedSample:
+    def test_priority_order_and_ht_weights(self, spark):
+        """Every kept row's priority is >= tau (the k+1-th priority);
+        the Horvitz-Thompson weight is max(w, tau); ranks are the
+        contiguous 1..k."""
+        from stellarsql_spark.operators.reshape import _PRIORITY_K, b_sample_weighted
+
+        rows = b_sample_weighted(spark, SF).collect()
+        assert sorted(r.rn for r in rows) == list(range(1, _PRIORITY_K + 1))
+        tau = rows[0].tau_m
+        for r in rows:
+            assert r.tau_m == tau
+            assert round(1_000_000 * r.w_c / r.u32) >= tau - 1  # kept => priority >= tau
+            assert r.w_hat_m == max(1_000_000 * r.w_c, tau)
+
+    def test_heavy_rows_survive(self, spark):
+        """Certain-inclusion rule: a row whose WORST-CASE priority
+        (u at its 2^32 maximum, so q >= w/2^32) still clears tau must
+        be in the sample — checked for every order that qualifies."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.reshape import b_sample_weighted
+
+        rows = b_sample_weighted(spark, SF).collect()
+        tau_m = rows[0].tau_m
+        sampled = {r.o_orderkey for r in rows}
+        certain = (
+            load_table(spark, SF, "orders")
+            .select(
+                "o_orderkey",
+                F.round(100 * F.col("o_totalprice")).cast("bigint").alias("w_c"),
+            )
+            .where(1_000_000 * F.col("w_c") / F.lit(4_294_967_297.0) >= tau_m)
+            .collect()
+        )
+        for r in certain:
+            assert r.o_orderkey in sampled
+
+
+class TestZipf:
+    def test_slope_is_negative_and_moments_consistent(self, spark):
+        """A rank-frequency head always slopes down; the reported
+        slope/intercept reproduce from the integer moments."""
+        from stellarsql_spark.pipeline.textstats import b_llm_zipf
+
+        row = b_llm_zipf(spark, SF).collect()[0]
+        assert row.n > 10
+        assert row.slope_m < 0
+        num = row.n * row.sxy - row.sx * row.sy
+        den = row.n * row.sxx - row.sx * row.sx
+        assert row.slope_m == round(1_000_000 * num / den)
+        assert row.intercept_m == round((row.sy - num / den * row.sx) / row.n)
