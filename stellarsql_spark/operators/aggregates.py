@@ -964,3 +964,89 @@ def b_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- Pareto / ABC analysis (C182) --------------------------------------
+
+# "Which customers make up 80 % of revenue?" — rank customers by
+# revenue, compute each one's running share of the total, and assign
+# the classic A (first 80 %), B (next 15 %), C (tail) classes.  The
+# running share compares as the cross-multiplied exact-long predicate
+# 100 * cum_c <=> threshold * total_c — no float share ever decides a
+# class boundary; the emitted share_m is display-only.
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS rn,
+         CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS cum_c,
+         CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+  FROM cust
+),
+classed AS (
+  SELECT *,
+         CASE WHEN 100 * (cum_c - rev_c) < 80 * total_c THEN 'A'
+              WHEN 100 * (cum_c - rev_c) < 95 * total_c THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
+       CAST(MIN(rn) AS BIGINT) AS first_rank, CAST(MAX(rn) AS BIGINT) AS last_rank,
+       CAST(ROUND(1000000 * CAST(SUM(rev_c) AS DOUBLE) / MAX(total_c)) AS BIGINT) AS share_m
+FROM classed GROUP BY abc
+"""
+
+
+@register("b_agg_pareto", oracle=_PARETO_ORACLE, tags=("agg", "pareto", "abc"))
+def b_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C182: Pareto / ABC classification of customers by revenue
+    share — class A holds the customers covering the first 80 % of
+    revenue (boundary decided BEFORE each row's own contribution, the
+    standard convention so the first customer is always A), B the
+    next 15 %, C the tail; reported per class.
+
+    Exactness: class boundaries compare cross-multiplied exact longs
+    (see _PARETO_ORACLE) — no float ever picks a class.  Scale
+    shape: the customer rollup is the data-sized shuffle; the ranked
+    prefix-sum runs over |customers| rows (range-partition the
+    running sum at extreme cardinality — two passes, same values);
+    the class rollup is 3 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), "o_custkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cust.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("rev_c").over(wcum).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(Window.partitionBy()).cast("bigint").alias("total_c"),
+    )
+    before = 100 * (F.col("cum_c") - F.col("rev_c"))
+    classed = ranked.withColumn(
+        "abc",
+        F.when(before < 80 * F.col("total_c"), "A")
+        .when(before < 95 * F.col("total_c"), "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("rev_c").cast("bigint").alias("class_rev_c"),
+        F.min("rn").cast("bigint").alias("first_rank"),
+        F.max("rn").cast("bigint").alias("last_rank"),
+        F.round(
+            1_000_000 * F.sum("rev_c").cast("double") / F.max("total_c")
+        )
+        .cast("bigint")
+        .alias("share_m"),
+    )

@@ -776,3 +776,57 @@ def b_ev_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_m"),
     )
+
+
+# --- Cumulative unique users (C181) ------------------------------------
+
+# "Total distinct users to date" per day — the growth curve on every
+# dashboard.  A naive windowed COUNT(DISTINCT) over an expanding
+# frame re-scans history per day; the scalable identity is: each user
+# contributes on exactly their FIRST day, so daily new-user counts
+# prefix-sum to the cumulative uniques.  100 TB shape: one user-keyed
+# rollup (min day per user), one day-keyed rollup (|days| rows), one
+# tiny prefix window.
+_CUMUNIQ_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT CAST(CAST(day AS TIMESTAMP) AS VARCHAR) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+@register("b_ev_cumulative_uniques", oracle=_CUMUNIQ_ORACLE, tags=("analytics", "uniques", "growth"))
+def b_ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C181: cumulative distinct users per day via the first-touch
+    decomposition — MIN(day) per user, count new users per day,
+    prefix-sum.  The pattern matters because the naive expanding
+    COUNT(DISTINCT) window is quadratic in history length and keeps
+    per-day distinct state; this form is two slim rollups and never
+    revisits a day.  (b_ev_dau_mau covers the windowed-activity
+    variant; this is the monotone all-time curve.)
+
+    Day is emitted as the timestamp-cast string so both engines
+    serialize the same literal (DuckDB DATE vs Spark DATE stringify
+    identically only through TIMESTAMP — the documented gotcha)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("timestamp").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

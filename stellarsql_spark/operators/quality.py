@@ -594,3 +594,83 @@ def b_ev_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_m"),
     )
+
+
+# --- Chi-square independence test (C180) ------------------------------
+
+# Contingency-table independence between two categoricals (order
+# priority × order status) — the categorical drift / association
+# screen that complements Benford (goodness-of-fit to a fixed law)
+# and KS (continuous distributions).  Expected counts E = row_tot *
+# col_tot / n stay EXACT as the cross-multiplied long numerator
+# (n*obs - row_tot*col_tot); each cell's chi term
+# (obs - E)^2 / E = (n*obs - rt*ct)^2 / (n * rt * ct) is computed as
+# one division of exact longs, scaled to integer millionths.
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+margins AS (
+  SELECT *,
+         CAST(SUM(obs) OVER (PARTITION BY pri) AS BIGINT) AS row_tot,
+         CAST(SUM(obs) OVER (PARTITION BY st) AS BIGINT) AS col_tot,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT pri, st, obs, row_tot, col_tot,
+         CAST(ROUND(1000000 * CAST(n * obs - row_tot * col_tot AS DOUBLE)
+              * (n * obs - row_tot * col_tot)
+              / (CAST(n AS DOUBLE) * n * row_tot * col_tot)) AS BIGINT) AS chi_m
+  FROM margins
+)
+SELECT pri, st, obs, row_tot, col_tot, chi_m,
+       CAST(SUM(chi_m) OVER () AS BIGINT) AS chi2_m
+FROM terms
+"""
+
+
+@register("b_agg_chi2_indep", oracle=_CHI2_ORACLE, tags=("quality", "chi2", "independence"))
+def b_agg_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C180: chi-square test of independence on the priority × status
+    contingency table.  The categorical-association screen (are two
+    dimensions related?) — for feature selection, segment drift, and
+    data-quality checks on supposedly-independent columns.
+
+    Exactness: see _CHI2_ORACLE — expected counts never materialize
+    as floats; the deviation is the cross-multiplied exact long
+    n*obs - rt*ct and each term is one division.  Division order is
+    (double(num) * num) / (double(n)*n*rt*ct) in BOTH engines —
+    IEEE evaluation-order-sensitive, so the trees match exactly.
+    Scale shape: one cell rollup (the 15-cell table) is the only
+    data-sized shuffle; margins are windows over 15 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    m = cells.select(
+        "*",
+        F.sum("obs").over(Window.partitionBy("pri")).cast("bigint").alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("st")).cast("bigint").alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    dev = F.col("n") * F.col("obs") - F.col("row_tot") * F.col("col_tot")
+    chi_m = F.round(
+        1_000_000
+        * dev.cast("double")
+        * dev
+        / (
+            F.col("n").cast("double")
+            * F.col("n")
+            * F.col("row_tot")
+            * F.col("col_tot")
+        )
+    ).cast("bigint")
+    terms = m.select("pri", "st", "obs", "row_tot", "col_tot", chi_m.alias("chi_m"))
+    return terms.select(
+        "*", F.sum("chi_m").over(Window.partitionBy()).cast("bigint").alias("chi2_m")
+    )

@@ -865,3 +865,71 @@ def b_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_m",
         (1_000_000 * F.col("d7") - F.col("seasonal_m")).cast("bigint").alias("resid_m"),
     )
+
+
+# --- Period-over-period growth report (C179) ---------------------------
+
+# The month-over-month / year-over-year revenue report — the single
+# most common BI query shape.  Months key as the integer year*100+mo
+# (pure arithmetic — engine date_trunc return types differ: DuckDB
+# gives DATE, Spark TIMESTAMP).  Growth rates are one division on
+# exact integer cents, rounded at the millionth boundary; missing
+# comparison periods (first month, first year) stay NULL.
+_POP_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT *,
+         LAG(rev_c, 1) OVER (ORDER BY ym) AS prev_mo,
+         LAG(rev_c, 12) OVER (ORDER BY ym) AS prev_yr
+  FROM monthly
+)
+SELECT ym, rev_c, n_orders, prev_mo, prev_yr,
+       CAST(ROUND(1000000 * (CAST(rev_c - prev_mo AS DOUBLE) / prev_mo)) AS BIGINT) AS mom_m,
+       CAST(ROUND(1000000 * (CAST(rev_c - prev_yr AS DOUBLE) / prev_yr)) AS BIGINT) AS yoy_m
+FROM lagged
+"""
+
+
+@register("b_ts_period_over_period", oracle=_POP_ORACLE, tags=("timeseries", "report", "growth"))
+def b_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C179: month-over-month and year-over-year revenue growth — the
+    canonical BI report (LAG 1 for MoM, LAG 12 for YoY on a monthly
+    rollup).  Kept separate from b_win_laglead (row mechanics) and
+    b_ts_resample (regridding): this is the composed reporting
+    pattern with the growth-rate arithmetic pinned exactly.
+
+    Scale shape: the month rollup is the only data-sized shuffle
+    (|months| output rows); both lags run in one window pass over
+    that tiny rollup.  Exactness: see _POP_ORACLE's note."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym")
+    ).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    lagged = monthly.select(
+        "*",
+        F.lag("rev_c", 1).over(w).alias("prev_mo"),
+        F.lag("rev_c", 12).over(w).alias("prev_yr"),
+    )
+    rate = lambda prev: F.round(
+        1_000_000 * (F.col("rev_c") - F.col(prev)).cast("double") / F.col(prev)
+    ).cast("bigint")
+    return lagged.select(
+        "ym", "rev_c", "n_orders", "prev_mo", "prev_yr",
+        rate("prev_mo").alias("mom_m"),
+        rate("prev_yr").alias("yoy_m"),
+    )

