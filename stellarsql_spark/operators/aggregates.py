@@ -1050,3 +1050,102 @@ def b_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_m"),
     )
+
+
+# --- Winsorized / trimmed mean (C186) -----------------------------------
+
+_WINSOR_LO_PCT = 5
+_WINSOR_HI_PCT = 95
+
+# Robust central tendency for a heavy-tailed money column: winsorize
+# (clamp to the p5/p95 values) and trim (drop beyond them).  The
+# percentile CUTS are rank-defined on the exact-cents value rollup —
+# lo = smallest v with cum >= ceil(5n/100) — so both engines pick the
+# same actual data values; no interpolated quantile ever appears.
+# Means divide exact long sums once, at the millionth boundary.
+_WINSOR_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(ROUND(100 * o_totalprice) AS BIGINT) AS v FROM orders
+),
+grp AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v
+),
+ranked AS (
+  SELECT *, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM grp
+),
+cuts AS (
+  SELECT MIN(CASE WHEN 100 * cum >= {_WINSOR_LO_PCT} * n THEN v END) AS lo_c,
+         MIN(CASE WHEN 100 * cum >= {_WINSOR_HI_PCT} * n THEN v END) AS hi_c,
+         MAX(n) AS n_tot
+  FROM ranked
+),
+agg AS (
+  SELECT n_tot AS n, lo_c, hi_c,
+         CAST(SUM(cnt * CASE WHEN v < lo_c THEN lo_c
+                             WHEN v > hi_c THEN hi_c ELSE v END) AS BIGINT) AS wsum_c,
+         CAST(SUM(CASE WHEN v BETWEEN lo_c AND hi_c THEN cnt * v END) AS BIGINT) AS tsum_c,
+         CAST(SUM(CASE WHEN v BETWEEN lo_c AND hi_c THEN cnt END) AS BIGINT) AS t_n
+  FROM ranked CROSS JOIN cuts
+  GROUP BY n_tot, lo_c, hi_c
+)
+SELECT n, lo_c, hi_c, t_n,
+       CAST(ROUND(1000000 * CAST(wsum_c AS DOUBLE) / n) AS BIGINT) AS winsor_mean_m,
+       CAST(ROUND(1000000 * CAST(tsum_c AS DOUBLE) / t_n) AS BIGINT) AS trim_mean_m
+FROM agg
+"""
+
+
+@register("b_agg_winsorize", oracle=_WINSOR_ORACLE, tags=("agg", "robust", "winsorize"))
+def b_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C186: winsorized and trimmed means of order totals at the
+    5/95 rank cuts — the robust-mean pair (clamp vs drop) that
+    reporting uses when a fat tail or bad loads poison the plain AVG.
+    Complements b_ts_outlier_mad (per-point flagging) with the
+    corpus-level robust estimate, and b_agg_percentiles (the cuts
+    themselves) with the estimators built on them.
+
+    Scale shape: the value rollup collapses to |distinct cents| rows;
+    the rank prefix runs over that rollup; cuts broadcast back as a
+    single row.  Exactness: see _WINSOR_ORACLE — rank-defined cuts,
+    exact long sums, two rounded divisions."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    grp = o.select(
+        F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v")
+    ).groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grp.select(
+        "*",
+        F.sum("cnt").over(wv).cast("bigint").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cuts = ranked.agg(
+        F.min(F.when(100 * F.col("cum") >= _WINSOR_LO_PCT * F.col("n"), F.col("v"))).alias("lo_c"),
+        F.min(F.when(100 * F.col("cum") >= _WINSOR_HI_PCT * F.col("n"), F.col("v"))).alias("hi_c"),
+        F.max("n").alias("n_tot"),
+    )
+    j = ranked.crossJoin(F.broadcast(cuts))
+    clamped = F.when(F.col("v") < F.col("lo_c"), F.col("lo_c")).when(
+        F.col("v") > F.col("hi_c"), F.col("hi_c")
+    ).otherwise(F.col("v"))
+    inside = F.col("v").between(F.col("lo_c"), F.col("hi_c"))
+    agg = j.groupBy("n_tot", "lo_c", "hi_c").agg(
+        F.sum(F.col("cnt") * clamped).cast("bigint").alias("wsum_c"),
+        F.sum(F.when(inside, F.col("cnt") * F.col("v"))).cast("bigint").alias("tsum_c"),
+        F.sum(F.when(inside, F.col("cnt"))).cast("bigint").alias("t_n"),
+    )
+    return agg.select(
+        F.col("n_tot").alias("n"),
+        "lo_c",
+        "hi_c",
+        "t_n",
+        F.round(1_000_000 * F.col("wsum_c").cast("double") / F.col("n_tot"))
+        .cast("bigint")
+        .alias("winsor_mean_m"),
+        F.round(1_000_000 * F.col("tsum_c").cast("double") / F.col("t_n"))
+        .cast("bigint")
+        .alias("trim_mean_m"),
+    )

@@ -830,3 +830,97 @@ def b_ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# --- Cohort LTV curves (C185) -------------------------------------------
+
+_LTV_MAX_AGE = 11   # report the first 12 months of each cohort's life
+
+# Lifetime-value curves: customers cohort by their FIRST order month;
+# each cohort's cumulative revenue per account is tracked against
+# cohort age in months.  The retention matrix's revenue twin
+# (b_ev_retention counts active users; this sums what they spend).
+# Month arithmetic is the integer index year*12+month; per-customer
+# averages divide exact long cents once per (cohort, age) cell.
+_LTV_ORACLE = f"""
+WITH first_mo AS (
+  SELECT o_custkey,
+         CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS cohort_mi
+  FROM orders GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_mi, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM first_mo GROUP BY cohort_mi
+),
+aged AS (
+  SELECT f.cohort_mi,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort_mi AS BIGINT) AS age,
+         CAST(SUM(CAST(ROUND(100 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders o JOIN first_mo f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_mi, age, rev_c,
+         CAST(SUM(rev_c) OVER (PARTITION BY cohort_mi ORDER BY age) AS BIGINT) AS cum_rev_c
+  FROM aged
+)
+SELECT c.cohort_mi, c.age, s.n_cust, c.rev_c, c.cum_rev_c,
+       CAST(ROUND(CAST(c.cum_rev_c AS DOUBLE) / s.n_cust) AS BIGINT) AS ltv_c
+FROM cum c JOIN sizes s ON c.cohort_mi = s.cohort_mi
+WHERE c.age <= {_LTV_MAX_AGE}
+"""
+
+
+@register("b_ev_cohort_ltv", oracle=_LTV_ORACLE, tags=("analytics", "cohort", "ltv"))
+def b_ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C185: cohort lifetime-value curves — cumulative revenue per
+    account by cohort age, for each first-order-month cohort's first
+    year.  The revenue companion to b_ev_retention's activity matrix;
+    together they are the growth-accounting pair every subscription
+    and marketplace report is built on.
+
+    Scale shape: first-touch rollup (customer-keyed, the one
+    data-sized shuffle), self-join back on the customer key
+    (co-partitioned), then a (cohort, age) rollup bounded by
+    months² cells; the cumulative window runs per cohort over <=
+    |ages| rows.  Exactness: integer month indexes, exact cents, one
+    rounded division per cell."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    first_mo = o.groupBy("o_custkey").agg(F.min(mi).alias("cohort_mi"))
+    sizes = first_mo.groupBy("cohort_mi").agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    aged = (
+        o.join(first_mo, "o_custkey")
+        .groupBy(
+            "cohort_mi", (mi - F.col("cohort_mi")).cast("bigint").alias("age")
+        )
+        .agg(
+            F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_mi")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = aged.withColumn("cum_rev_c", F.sum("rev_c").over(w).cast("bigint"))
+    return (
+        cum.where(F.col("age") <= _LTV_MAX_AGE)
+        .join(F.broadcast(sizes), "cohort_mi")
+        .select(
+            "cohort_mi",
+            "age",
+            "n_cust",
+            "rev_c",
+            "cum_rev_c",
+            F.round(F.col("cum_rev_c").cast("double") / F.col("n_cust"))
+            .cast("bigint")
+            .alias("ltv_c"),
+        )
+    )

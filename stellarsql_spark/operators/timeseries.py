@@ -933,3 +933,88 @@ def b_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate("prev_mo").alias("mom_m"),
         rate("prev_yr").alias("yoy_m"),
     )
+
+
+# --- Theil-Sen robust trend (C184) --------------------------------------
+
+# Median-of-pairwise-slopes trend estimator (Theil 1950, Sen 1968) —
+# the robust alternative to OLS (b_agg_regression): a single
+# corrupted month cannot move it.  Slopes are dy/dx on exact longs
+# (cents / month-index) — one IEEE division, identical cross-engine;
+# the median picks the lower-median ELEMENT (rank ceil(n/2) in
+# (slope, i, j) order), so the chosen value is an actual pair's
+# slope, reproducible bit-for-bit.
+_THEILSEN_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.mi AS i, b.mi AS j,
+         CAST(b.rev_c - a.rev_c AS DOUBLE) / (b.mi - a.mi) AS slope
+  FROM monthly a JOIN monthly b ON a.mi < b.mi
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rn,
+         COUNT(*) OVER () AS n_pairs
+  FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(ROUND(1000000 * slope) AS BIGINT) AS slope_m,
+       i AS med_i, j AS med_j
+FROM ranked WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+"""
+
+
+@register("b_ts_theilsen", oracle=_THEILSEN_ORACLE, tags=("timeseries", "robust", "trend"))
+def b_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C184: Theil-Sen robust trend of monthly revenue — the median of
+    all pairwise slopes.  Outlier-immune where b_agg_regression's OLS
+    is not (breakdown point 29%); the trend number a reporting
+    pipeline should alarm on.
+
+    Scale shape: the month rollup collapses the corpus to |months|
+    rows; the pair expansion is |months|²/2 over a broadcast of that
+    tiny rollup (BroadcastNestedLoopJoin — bounded by the calendar,
+    never by the corpus); the median is one rank pick.  Exactness:
+    see _THEILSEN_ORACLE's note — the median is an element, not an
+    interpolation."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mi")
+    ).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    n_months = monthly.count()
+    a = monthly.select(F.col("mi").alias("i"), F.col("rev_c").alias("ra"))
+    b = monthly.select(F.col("mi").alias("j"), F.col("rev_c").alias("rb"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        ((F.col("rb") - F.col("ra")).cast("double") / (F.col("j") - F.col("i"))).alias(
+            "slope"
+        ),
+    )
+    w = Window.orderBy("slope", "i", "j")
+    ranked = pairs.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("rn") == F.ceil(F.col("n_pairs") / 2.0).cast("bigint")
+    ).select(
+        F.lit(n_months).cast("bigint").alias("n_months"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(1_000_000 * F.col("slope")).cast("bigint").alias("slope_m"),
+        F.col("i").alias("med_i"),
+        F.col("j").alias("med_j"),
+    )

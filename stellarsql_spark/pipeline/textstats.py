@@ -1548,3 +1548,97 @@ def b_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_m"),
     )
+
+
+# --- Boilerplate chunk mining (C183) -----------------------------------
+
+_BP_CHUNK = 10      # words per aligned chunk
+_BP_MIN_DOCS = 3    # chunk must recur in >= 3 distinct docs
+_BP_TOPN = 15
+
+# CCNet-style paragraph-hash boilerplate mining, adapted to this
+# corpus's structure (no newlines — "paragraphs" are the aligned
+# 10-word chunks b_llm_chunking uses).  Catalogs the chunks recurring
+# across >= 3 distinct documents: headers, navigation strings, and
+# license blurbs are exactly what this surfaces in a web corpus, and
+# removing them (rather than whole near-dup docs) is the CCNet
+# pipeline's first cleaning stage.  Different output contract from
+# b_llm_substring_dedup (sliding-window pair detection): this emits
+# the boilerplate CATALOG — the chunk text itself, its document
+# reach, and its repetition count.
+_BOILERPLATE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w.word AS word, w.pos AS pos
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(string_split(text, ' ')) AS word,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+       ) AS w
+),
+chunks AS (
+  SELECT doc_id, (pos - 1) // {_BP_CHUNK} AS cid,
+         string_agg(word, ' ' ORDER BY pos) AS chunk,
+         COUNT(*) AS n_words
+  FROM words GROUP BY doc_id, (pos - 1) // {_BP_CHUNK}
+  HAVING COUNT(*) = {_BP_CHUNK}
+),
+stats AS (
+  SELECT chunk,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM chunks GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+)
+SELECT chunk, n_docs, n_occ, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, chunk) AS rn
+  FROM stats
+) WHERE rn <= {_BP_TOPN}
+"""
+
+
+@register("b_llm_boilerplate", oracle=_BOILERPLATE_ORACLE, tags=("pipeline", "text", "boilerplate"))
+def b_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C183: boilerplate chunk catalog — aligned {chunk}-word segments
+    recurring in >= {mind} distinct documents, ranked by document
+    reach.  The CCNet cleaning stage that precedes document-level
+    dedup: repeated segments are removed from otherwise-unique pages.
+
+    100 TB shape: chunking is map-side (posexplode + integer-divide
+    group); the only data-sized exchange keys on (doc, chunk-id) and
+    immediately reduces again on the chunk hash — in production the
+    md5 of the chunk shuffles, not the text (the b_llm_dedup_exact
+    move); here the chunk strings are 10 words and the catalog is
+    support-floored before ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    chunks = (
+        words.groupBy("doc_id", (F.col("pos") / _BP_CHUNK).cast("int").alias("cid"))
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "word")))
+                        .getField("word")).alias("chunk"),
+            F.count("*").alias("n_words"),
+        )
+        .where(F.col("n_words") == _BP_CHUNK)
+    )
+    stats = (
+        chunks.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= _BP_MIN_DOCS)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
+    return (
+        stats.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _BP_TOPN)
+    )
+
+
+b_llm_boilerplate.__doc__ = b_llm_boilerplate.__doc__.format(
+    chunk=_BP_CHUNK, mind=_BP_MIN_DOCS
+)

@@ -546,3 +546,125 @@ class TestPareto:
         assert 100 * rows["A"].class_rev_c >= 80 * total
         for r in rows.values():
             assert r.n_cust == r.last_rank - r.first_rank + 1
+
+
+class TestBoilerplate:
+    def test_chunk_contract(self, spark):
+        """Every catalog entry is a full 10-word chunk seen in >= 3
+        docs, occurrences dominate document reach, and every chunk
+        text actually occurs in the corpus at an aligned boundary."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.textstats import (
+            _BP_CHUNK,
+            _BP_MIN_DOCS,
+            b_llm_boilerplate,
+        )
+
+        rows = b_llm_boilerplate(spark, SF_MED).collect()
+        assert rows
+        docs = load_table(spark, SF_MED, "documents").select("text").collect()
+        aligned = set()
+        for d in docs:
+            ws = d.text.split(" ")
+            for i in range(0, len(ws) - _BP_CHUNK + 1, _BP_CHUNK):
+                aligned.add(" ".join(ws[i : i + _BP_CHUNK]))
+        for r in rows:
+            assert len(r.chunk.split(" ")) == _BP_CHUNK
+            assert r.n_docs >= _BP_MIN_DOCS
+            assert r.n_occ >= r.n_docs
+            assert r.chunk in aligned
+
+
+class TestTheilSen:
+    def test_median_slope_against_bruteforce(self, spark):
+        """The reported slope equals the lower-median of the
+        brute-forced pairwise slope list at sf0.001."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.timeseries import b_ts_theilsen
+
+        row = b_ts_theilsen(spark, SF).collect()[0]
+        monthly = (
+            load_table(spark, SF, "orders")
+            .groupBy(
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+            )
+            .agg(
+                F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint")).alias("rev")
+            )
+            .collect()
+        )
+        pts = sorted((r.mi, r.rev) for r in monthly)
+        slopes = sorted(
+            (b[1] - a[1]) / (b[0] - a[0])
+            for i, a in enumerate(pts)
+            for b in pts[i + 1 :]
+        )
+        assert row.n_months == len(pts)
+        assert row.n_pairs == len(slopes)
+        import math
+
+        med = slopes[math.ceil(len(slopes) / 2) - 1]
+        assert row.slope_m == round(1_000_000 * med)
+
+
+class TestCohortLtv:
+    def test_curves_monotone_and_age0_complete(self, spark):
+        """Within a cohort the LTV curve never decreases; age 0 exists
+        for every cohort (the first order IS the cohort assignment);
+        cohort sizes conserve the customer count."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_cohort_ltv
+
+        rows = b_ev_cohort_ltv(spark, SF).collect()
+        assert rows
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r.cohort_mi, []).append(r)
+        sizes = {}
+        for c, rs in by_cohort.items():
+            rs.sort(key=lambda r: r.age)
+            assert rs[0].age == 0
+            assert len({r.n_cust for r in rs}) == 1
+            sizes[c] = rs[0].n_cust
+            cums = [r.cum_rev_c for r in rs]
+            assert cums == sorted(cums)
+            run = 0
+            for r in rs:
+                run += r.rev_c
+                assert r.cum_rev_c == run
+        n_cust = (
+            load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+        )
+        assert sum(sizes.values()) == n_cust
+
+
+class TestWinsorize:
+    def test_against_bruteforce(self, spark):
+        """Cuts, winsorized mean, and trimmed mean all reproduce from
+        a brute-force pass over the collected cents at sf0.001."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_winsorize
+
+        row = b_agg_winsorize(spark, SF).collect()[0]
+        vals = sorted(
+            r.v
+            for r in load_table(spark, SF, "orders")
+            .select(F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v"))
+            .collect()
+        )
+        n = len(vals)
+        lo = vals[math.ceil(5 * n / 100) - 1]
+        hi = vals[math.ceil(95 * n / 100) - 1]
+        assert (row.n, row.lo_c, row.hi_c) == (n, lo, hi)
+        wvals = [min(max(v, lo), hi) for v in vals]
+        tvals = [v for v in vals if lo <= v <= hi]
+        assert row.t_n == len(tvals)
+        assert row.winsor_mean_m == round(1_000_000 * sum(wvals) / n)
+        assert row.trim_mean_m == round(1_000_000 * sum(tvals) / len(tvals))
+        assert row.lo_c <= row.hi_c
