@@ -1149,3 +1149,116 @@ def b_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trim_mean_m"),
     )
+
+
+# --- Box-plot statistics per group (C188) --------------------------------
+
+# Per-priority five-number summaries with Tukey outlier counts — the
+# box plot's data contract.  Quartiles are rank-defined on each
+# group's value rollup (smallest v with 4*cum >= q*n — actual data
+# values, the b_agg_winsorize convention); whiskers compare at 2×
+# scale so the 1.5·IQR fences stay exact longs (2v vs 2q1 - 3·IQR).
+_BOXPLOT_ORACLE = """
+WITH vals AS (
+  SELECT o_orderpriority AS pri,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS v
+  FROM orders
+),
+grp AS (
+  SELECT pri, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY pri, v
+),
+ranked AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY pri ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY pri) AS BIGINT) AS n
+  FROM grp
+),
+cuts AS (
+  SELECT pri, MAX(n) AS n,
+         MIN(CASE WHEN 4 * cum >= n THEN v END) AS q1_c,
+         MIN(CASE WHEN 2 * cum >= n THEN v END) AS med_c,
+         MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) AS q3_c
+  FROM ranked GROUP BY pri
+),
+fenced AS (
+  SELECT r.pri, r.v, r.cnt, c.n, c.q1_c, c.med_c, c.q3_c,
+         c.q3_c - c.q1_c AS iqr_c
+  FROM ranked r JOIN cuts c ON r.pri = c.pri
+)
+SELECT pri, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(q1_c) AS BIGINT) AS q1_c,
+       CAST(MAX(med_c) AS BIGINT) AS med_c,
+       CAST(MAX(q3_c) AS BIGINT) AS q3_c,
+       CAST(MAX(iqr_c) AS BIGINT) AS iqr_c,
+       CAST(COALESCE(SUM(CASE WHEN 2 * v < 2 * q1_c - 3 * iqr_c THEN cnt END), 0) AS BIGINT) AS n_out_lo,
+       CAST(COALESCE(SUM(CASE WHEN 2 * v > 2 * q3_c + 3 * iqr_c THEN cnt END), 0) AS BIGINT) AS n_out_hi
+FROM fenced GROUP BY pri
+"""
+
+
+@register("b_agg_boxplot", oracle=_BOXPLOT_ORACLE, tags=("agg", "boxplot", "robust"))
+def b_agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C188: per-group box-plot statistics — rank-defined quartiles,
+    IQR, and Tukey 1.5·IQR outlier counts for each order priority.
+    The grouped companion to b_agg_winsorize's corpus-level robust
+    means; together they cover the two robust-reporting shapes.
+
+    Exactness: see _BOXPLOT_ORACLE — quartiles are actual data
+    values picked by integer rank predicates; fences compare at 2×
+    scale so 1.5·IQR never materializes as a float.  Scale shape:
+    the (group, value) rollup is the data-sized shuffle; prefix
+    ranks run per group; cuts join back group-keyed (5 rows,
+    broadcast)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    grp = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v"),
+    ).groupBy("pri", "v").agg(F.count("*").cast("bigint").alias("cnt"))
+    ranked = grp.select(
+        "*",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("pri").orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("pri")).cast("bigint").alias("n"),
+    )
+    cuts = ranked.groupBy("pri").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v"))).alias("q1_c"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v"))).alias("med_c"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))).alias("q3_c"),
+    )
+    fenced = ranked.select("pri", "v", "cnt").join(
+        F.broadcast(
+            cuts.select(
+                "pri", "n", "q1_c", "med_c", "q3_c",
+                (F.col("q3_c") - F.col("q1_c")).alias("iqr_c"),
+            )
+        ),
+        "pri",
+    )
+    return fenced.groupBy("pri").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("q1_c").cast("bigint").alias("q1_c"),
+        F.max("med_c").cast("bigint").alias("med_c"),
+        F.max("q3_c").cast("bigint").alias("q3_c"),
+        F.max("iqr_c").cast("bigint").alias("iqr_c"),
+        F.coalesce(
+            F.sum(F.when(2 * F.col("v") < 2 * F.col("q1_c") - 3 * F.col("iqr_c"), F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_out_lo"),
+        F.coalesce(
+            F.sum(F.when(2 * F.col("v") > 2 * F.col("q3_c") + 3 * F.col("iqr_c"), F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_out_hi"),
+    )

@@ -1018,3 +1018,88 @@ def b_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("med_i"),
         F.col("j").alias("med_j"),
     )
+
+
+# --- Shipping-delay SLA report (C190) -------------------------------------
+
+# Monthly fulfillment-latency report: days from order to line-item
+# ship, per order month — n, mean, and rank-defined p50/p90 (actual
+# day values, the b_agg_winsorize cut convention).  Day differences
+# are exact integer epoch-day subtraction; the mean divides exact
+# long day sums once per month.
+_SLA_ORACLE = """
+WITH delays AS (
+  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+         CAST(epoch_us(l.l_shipdate) // 86400000000
+              - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+grp AS (
+  SELECT ym, d, CAST(COUNT(*) AS BIGINT) AS cnt FROM delays GROUP BY ym, d
+),
+ranked AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY ym ORDER BY d) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY ym) AS BIGINT) AS n,
+         CAST(SUM(cnt * d) OVER (PARTITION BY ym) AS BIGINT) AS dsum
+  FROM grp
+)
+SELECT ym, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN 2 * cum >= n THEN d END) AS BIGINT) AS p50_d,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN d END) AS BIGINT) AS p90_d,
+       CAST(ROUND(1000000 * CAST(MAX(dsum) AS DOUBLE) / MAX(n)) AS BIGINT) AS mean_m
+FROM ranked GROUP BY ym
+"""
+
+
+@register("b_ts_sla_report", oracle=_SLA_ORACLE, tags=("timeseries", "report", "latency"))
+def b_ts_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C190: monthly shipping-latency SLA report — count, mean, and
+    rank-defined p50/p90 of order-to-ship days per order month.  The
+    operational-latency report shape (same math serves API latency,
+    ticket resolution, delivery SLAs); composes the fact-to-fact
+    co-partitioned join with the grouped rank-cut percentile
+    machinery.
+
+    Scale shape: orders⋈lineitem shuffles on the shared order key
+    (co-partitioned; the layout twin would bucket both at rest — see
+    b_join_inner_bucketed); the (month, delay) rollup bounds the
+    window input at months × |distinct delays| rows.  Exactness:
+    epoch-day integer subtraction; percentiles are actual day
+    values; one rounded division per month."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch_day = lambda c: F.expr(
+        f"unix_micros(cast({c} as timestamp)) div 86400000000"
+    ).cast("bigint")
+    delays = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+        (epoch_day("l_shipdate") - epoch_day("o_orderdate")).alias("d"),
+    )
+    grp = delays.groupBy("ym", "d").agg(F.count("*").cast("bigint").alias("cnt"))
+    wp = Window.partitionBy("ym")
+    ranked = grp.select(
+        "*",
+        F.sum("cnt")
+        .over(wp.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("cnt").over(wp).cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("d")).over(wp).cast("bigint").alias("dsum"),
+    )
+    return ranked.groupBy("ym").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("d")))
+        .cast("bigint")
+        .alias("p50_d"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("d")))
+        .cast("bigint")
+        .alias("p90_d"),
+        F.round(1_000_000 * F.max("dsum").cast("double") / F.max("n"))
+        .cast("bigint")
+        .alias("mean_m"),
+    )

@@ -1642,3 +1642,136 @@ def b_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 b_llm_boilerplate.__doc__ = b_llm_boilerplate.__doc__.format(
     chunk=_BP_CHUNK, mind=_BP_MIN_DOCS
 )
+
+
+# --- RAKE keyword extraction (C187) --------------------------------------
+
+_RAKE_STOP = ("a", "the")   # the corpus's function words
+_RAKE_MAX_LEN = 6
+_RAKE_TOPN = 15
+
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-delimited word runs (capped at 6
+# words); each word scores degree/frequency over all candidate
+# OCCURRENCES (degree sums the lengths of phrases containing it),
+# and a distinct phrase scores the sum of its member words' scores.
+# Word scores round to integer millionths BEFORE the phrase sum, so
+# the phrase score is an order-independent exact long sum.
+_RAKE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w.word AS word, w.pos AS pos
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(string_split(text, ' ')) AS word,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+       ) AS w
+),
+runs AS (
+  SELECT doc_id, word, pos,
+         SUM(CASE WHEN word IN ('a', 'the') THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM words
+),
+occurrences AS (
+  SELECT doc_id, pid,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM runs WHERE word NOT IN ('a', 'the') AND word <> ''
+  GROUP BY doc_id, pid
+  HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+),
+wstats AS (
+  SELECT m.word, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(o.plen) AS BIGINT) AS deg
+  FROM occurrences o,
+       LATERAL (SELECT UNNEST(string_split(o.phrase, ' ')) AS word) AS m
+  GROUP BY m.word
+),
+wscore AS (
+  SELECT word, CAST(ROUND(1000000 * CAST(deg AS DOUBLE) / freq) AS BIGINT) AS score_m
+  FROM wstats
+),
+cand AS (
+  SELECT phrase, CAST(MAX(plen) AS BIGINT) AS plen, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM occurrences GROUP BY phrase
+),
+pscore AS (
+  SELECT c.phrase, c.plen, c.n_occ, CAST(SUM(s.score_m) AS BIGINT) AS rake_m
+  FROM cand c,
+       LATERAL (SELECT UNNEST(string_split(c.phrase, ' ')) AS word) AS m
+       JOIN wscore s ON s.word = m.word
+  GROUP BY c.phrase, c.plen, c.n_occ
+)
+SELECT phrase, plen, n_occ, rake_m, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rake_m DESC, phrase) AS rn FROM pscore
+) WHERE rn <= {_RAKE_TOPN}
+"""
+
+
+@register("b_llm_rake", oracle=_RAKE_ORACLE, tags=("pipeline", "text", "keywords"))
+def b_llm_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C187: RAKE keyword extraction — stopword-delimited candidate
+    phrases scored by the sum of member-word degree/frequency ratios.
+    The zero-training keyphrase miner used for corpus tagging and
+    topic labeling; complements b_llm_pmi_cooc (pairwise association)
+    with multi-word unit extraction.
+
+    100 TB shape: the phrase segmentation is a per-doc window over
+    the (doc, pos) exploded stream (doc-co-partitioned, the text
+    ops' standard shuffle); word stats key on the vocabulary and the
+    phrase rollup on distinct phrase text — both support-bounded;
+    the word-score join broadcasts the vocabulary-sized score table.
+    Exactness: see _RAKE_ORACLE's note."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    is_stop = F.col("word").isin(*_RAKE_STOP)
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = words.withColumn("pid", F.sum(is_stop.cast("int")).over(wrun))
+    occurrences = (
+        runs.where(~is_stop & (F.col("word") != ""))
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.collect_list(F.struct("pos", "word"))).getField("word"),
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("plen"),
+        )
+        .where(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    members = occurrences.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    wscore = (
+        members.groupBy("word")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .select(
+            "word",
+            F.round(1_000_000 * F.col("deg").cast("double") / F.col("freq"))
+            .cast("bigint")
+            .alias("score_m"),
+        )
+    )
+    cand = occurrences.groupBy("phrase").agg(
+        F.max("plen").cast("bigint").alias("plen"),
+        F.count("*").cast("bigint").alias("n_occ"),
+    )
+    pscore = (
+        cand.select("phrase", "plen", "n_occ", F.explode(F.split("phrase", " ")).alias("word"))
+        .join(F.broadcast(wscore), "word")
+        .groupBy("phrase", "plen", "n_occ")
+        .agg(F.sum("score_m").cast("bigint").alias("rake_m"))
+    )
+    w = Window.orderBy(F.col("rake_m").desc(), "phrase")
+    return (
+        pscore.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _RAKE_TOPN)
+    )

@@ -727,3 +727,111 @@ def b_llm_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("fp").alias("content_checksum"),
     )
+
+
+# --- ANALYZE-style column statistics (C189) -------------------------------
+
+# The stats-collection pass a cost-based optimizer runs (ANALYZE
+# TABLE ... COMPUTE STATISTICS FOR COLUMNS): per-column null count,
+# exact NDV, and min/max, emitted as one row per column.  Values
+# serialize engine-identically: integers and exact cents as decimal
+# strings, dates through TIMESTAMP (the documented DATE-stringify
+# gotcha), plain strings verbatim.  One pass over the table computes
+# every column's stats (a single global aggregate — no per-column
+# re-scan).
+_COLSTATS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_orderdate_s,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS o_totalprice_c
+  FROM orders
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS nn1, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+         CAST(COUNT(o_custkey) AS BIGINT) AS nn2, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+         CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+         CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+         MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+         CAST(COUNT(o_orderpriority) AS BIGINT) AS nn4, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd4,
+         MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4,
+         CAST(COUNT(o_orderdate_s) AS BIGINT) AS nn5, CAST(COUNT(DISTINCT o_orderdate_s) AS BIGINT) AS nd5,
+         MIN(o_orderdate_s) AS mn5, MAX(o_orderdate_s) AS mx5,
+         CAST(COUNT(o_totalprice_c) AS BIGINT) AS nn6, CAST(COUNT(DISTINCT o_totalprice_c) AS BIGINT) AS nd6,
+         CAST(MIN(o_totalprice_c) AS VARCHAR) AS mn6, CAST(MAX(o_totalprice_c) AS VARCHAR) AS mx6
+  FROM base
+)
+SELECT col, n_rows, n_null, ndv, min_s, max_s FROM (
+  SELECT 'o_orderkey' AS col, n_rows, n_rows - nn1 AS n_null, nd1 AS ndv, mn1 AS min_s, mx1 AS max_s FROM agg
+  UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM agg
+  UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM agg
+  UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM agg
+  UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM agg
+  UNION ALL SELECT 'o_totalprice_cents', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM agg
+)
+"""
+
+
+@register("b_layout_colstats", oracle=_COLSTATS_ORACLE, tags=("layout", "stats", "analyze"))
+def b_layout_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C189: ANALYZE-style per-column statistics (null count, exact
+    NDV, min/max) for the orders table in ONE scan — the stats pass
+    a cost-based optimizer feeds on, and the operational data-profile
+    report (b_quality_profile covers rule checks; this is the
+    optimizer-stats contract).
+
+    Scale shape: a single global aggregate computes every column's
+    stats in one pass — 6 exact count-distincts share the scan (at
+    extreme cardinality swap exact NDV for HLL, the b_agg_hll_merge
+    path); the unpivot to rows touches one row.  Serialization: see
+    _COLSTATS_ORACLE (integers/cents as decimal strings, dates via
+    TIMESTAMP)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").cast("string").alias("o_orderdate_s"),
+        F.round(100 * F.col("o_totalprice")).cast("bigint").alias("o_totalprice_c"),
+    )
+    cols = [
+        ("o_orderkey", "o_orderkey", True),
+        ("o_custkey", "o_custkey", True),
+        ("o_orderstatus", "o_orderstatus", False),
+        ("o_orderpriority", "o_orderpriority", False),
+        ("o_orderdate", "o_orderdate_s", False),
+        ("o_totalprice_cents", "o_totalprice_c", True),
+    ]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for i, (_, src, numeric) in enumerate(cols):
+        aggs += [
+            F.count(src).cast("bigint").alias(f"nn{i}"),
+            F.countDistinct(src).cast("bigint").alias(f"nd{i}"),
+            (F.min(src).cast("string") if numeric else F.min(src)).alias(f"mn{i}"),
+            (F.max(src).cast("string") if numeric else F.max(src)).alias(f"mx{i}"),
+        ]
+    agg = base.agg(*aggs)
+    stack_args = []
+    for i, (name, _, _) in enumerate(cols):
+        stack_args.append(f"'{name}'")
+        stack_args.append(f"n_rows - nn{i}")
+        stack_args.append(f"nd{i}")
+        stack_args.append(f"mn{i}")
+        stack_args.append(f"mx{i}")
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, "
+            + ", ".join(stack_args)
+            + ") as (col, n_null, ndv, min_s, max_s)"
+        ),
+        "n_rows",
+    ).select(
+        "col",
+        "n_rows",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        "min_s",
+        "max_s",
+    )

@@ -668,3 +668,125 @@ class TestWinsorize:
         assert row.winsor_mean_m == round(1_000_000 * sum(wvals) / n)
         assert row.trim_mean_m == round(1_000_000 * sum(tvals) / len(tvals))
         assert row.lo_c <= row.hi_c
+
+
+class TestRake:
+    def test_phrase_contract(self, spark):
+        """Candidate phrases contain no stopwords, respect the length
+        cap, and each phrase's score equals the sum of its members'
+        word scores recomputed brute-force from the candidate set."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.textstats import (
+            _RAKE_MAX_LEN,
+            _RAKE_STOP,
+            b_llm_rake,
+        )
+
+        rows = b_llm_rake(spark, SF).collect()
+        assert rows
+        # brute-force the candidate set and word stats
+        docs = load_table(spark, SF, "documents").select("text").collect()
+        occurrences = []
+        for d in docs:
+            run = []
+            for w in d.text.split(" ") + [next(iter(_RAKE_STOP))]:
+                if w in _RAKE_STOP or w == "":
+                    if run and len(run) <= _RAKE_MAX_LEN:
+                        occurrences.append(tuple(run))
+                    run = []
+                else:
+                    run.append(w)
+        freq, deg = {}, {}
+        for ph in occurrences:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+        score = {w: round(1_000_000 * deg[w] / freq[w]) for w in freq}
+        for r in rows:
+            words = r.phrase.split(" ")
+            assert 1 <= len(words) <= _RAKE_MAX_LEN
+            assert not any(w in _RAKE_STOP for w in words)
+            assert r.rake_m == sum(score[w] for w in words)
+            assert r.n_occ == sum(1 for ph in occurrences if " ".join(ph) == r.phrase)
+
+
+class TestBoxplot:
+    def test_quartiles_and_fences(self, spark):
+        """Quartiles are ordered actual data values, outlier counts
+        match a brute-force Tukey fence pass, counts conserve."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_boxplot
+
+        rows = {r.pri: r for r in b_agg_boxplot(spark, SF).collect()}
+        data = {}
+        for r in (
+            load_table(spark, SF, "orders")
+            .select(
+                "o_orderpriority",
+                F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v"),
+            )
+            .collect()
+        ):
+            data.setdefault(r.o_orderpriority, []).append(r.v)
+        assert set(rows) == set(data)
+        import math
+
+        for pri, vals in data.items():
+            vals.sort()
+            n = len(vals)
+            r = rows[pri]
+            assert r.n == n
+            assert r.q1_c == vals[math.ceil(n / 4) - 1]
+            assert r.med_c == vals[math.ceil(n / 2) - 1]
+            assert r.q3_c == vals[math.ceil(3 * n / 4) - 1]
+            assert r.q1_c <= r.med_c <= r.q3_c
+            assert r.iqr_c == r.q3_c - r.q1_c
+            lo = sum(1 for v in vals if 2 * v < 2 * r.q1_c - 3 * r.iqr_c)
+            hi = sum(1 for v in vals if 2 * v > 2 * r.q3_c + 3 * r.iqr_c)
+            assert (r.n_out_lo, r.n_out_hi) == (lo, hi)
+
+
+class TestColstats:
+    def test_stats_match_table(self, spark):
+        """One row per profiled column; NDV/nulls/min/max agree with
+        direct queries; key column's NDV equals the row count."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.sources.io import b_layout_colstats
+
+        rows = {r.col: r for r in b_layout_colstats(spark, SF).collect()}
+        o = load_table(spark, SF, "orders")
+        n = o.count()
+        assert len(rows) == 6
+        for r in rows.values():
+            assert r.n_rows == n and r.n_null == 0
+            assert 1 <= r.ndv <= n
+            # numeric columns serialize as decimal strings: compare as ints
+            if r.col in ("o_orderkey", "o_custkey", "o_totalprice_cents"):
+                assert int(r.min_s) <= int(r.max_s)
+            else:
+                assert r.min_s <= r.max_s
+        assert rows["o_orderkey"].ndv == n
+        assert rows["o_orderstatus"].ndv == o.select("o_orderstatus").distinct().count()
+        assert int(rows["o_orderkey"].min_s) == o.agg(F.min("o_orderkey")).collect()[0][0]
+
+
+class TestSlaReport:
+    def test_percentiles_bound_mean_and_counts_conserve(self, spark):
+        """p50 <= p90 and per-month counts sum to the join row count.
+        (Delays CAN be negative on this synthetic corpus — ship and
+        order dates are drawn independently, unlike real TPC-H.)"""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.timeseries import b_ts_sla_report
+
+        rows = b_ts_sla_report(spark, SF).collect()
+        assert rows
+        o = load_table(spark, SF, "orders").select("o_orderkey")
+        li = load_table(spark, SF, "lineitem").select("l_orderkey")
+        n_join = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert sum(r.n for r in rows) == n_join
+        for r in rows:
+            assert r.p50_d <= r.p90_d
