@@ -723,3 +723,51 @@ def b_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("vector").alias("has_vector"),
         F.length(F.regexp_replace("text", "data", "D")).alias("len_replaced"),
     )
+
+
+# --- Formatting-function parity (C193) -------------------------------------
+
+# Cross-engine output formatting: zero-padded ids (printf %08d ≡
+# lpad), thousands-grouped money strings built from the exact-cents
+# integer (Spark format_number rounds HALF_UP on DOUBLES — never
+# engine-format a float; group the integer's digit string instead),
+# and pattern-formatted dates (Spark date_format uses JDK patterns,
+# DuckDB strftime %-codes — 'yyyy-MM' ≡ '%Y-%m').
+_FORMAT_ORACLE = """
+SELECT o_orderkey,
+       printf('%08d', o_orderkey) AS key_padded,
+       format('{:,}', CAST(ROUND(100 * o_totalprice) AS BIGINT) // 100) AS dollars_grouped,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       upper(substring(o_orderpriority, 3, 100)) || ' #' || CAST(o_orderkey AS VARCHAR) AS label
+FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+"""
+
+
+@register("b_fn_format", oracle=_FORMAT_ORACLE, tags=("functions", "format"))
+def b_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C193: output-formatting parity — zero-padded keys, thousands-
+    grouped dollar strings, yyyy-MM month labels, and concatenated
+    display labels.  Formatting is where engines silently diverge
+    (float rounding mode, locale grouping, pattern dialects); this
+    key pins a cross-engine-stable recipe: pad/group INTEGER digit
+    strings derived from exact cents, and match JDK date patterns to
+    strftime codes explicitly.
+
+    Map-side only; the LIMIT-by-key filter pushes to the scan."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    dollars = (F.round(100 * F.col("o_totalprice")).cast("bigint") / 100).cast(
+        "bigint"
+    )
+    # thousands-group the digit string: format_number on a BIGINT is
+    # exact (no float rounding enters)
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("key_padded"),
+        F.format_number(dollars, 0).alias("dollars_grouped"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.concat(
+            F.upper(F.expr("substring(o_orderpriority, 3)")),
+            F.lit(" #"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("label"),
+    ).orderBy("o_orderkey")

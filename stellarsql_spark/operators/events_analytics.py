@@ -924,3 +924,67 @@ def b_ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ltv_c"),
         )
     )
+
+
+# --- Churn analysis (C192) ------------------------------------------------
+
+# Churn = no order in the trailing 12 months before the corpus's
+# last order date, reported as a rate per first-order-year cohort.
+# The month cutoff is integer arithmetic on year*12+month indexes
+# (no date intervals cross engines); rates divide exact long counts
+# once per cohort.
+_CHURN_ORACLE = """
+WITH span AS (
+  SELECT CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS last_mi
+  FROM orders
+),
+cust AS (
+  SELECT o_custkey,
+         CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS first_mi,
+         CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS last_order_mi
+  FROM orders GROUP BY o_custkey
+),
+flagged AS (
+  SELECT CAST(first_mi // 12 AS BIGINT) AS cohort_yr,
+         CASE WHEN last_order_mi < last_mi - 12 THEN 1 ELSE 0 END AS churned
+  FROM cust CROSS JOIN span
+)
+SELECT cohort_yr,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(churned) AS BIGINT) AS n_churned,
+       CAST(ROUND(1000000 * CAST(SUM(churned) AS DOUBLE) / COUNT(*)) AS BIGINT) AS churn_m
+FROM flagged GROUP BY cohort_yr
+"""
+
+
+@register("b_ev_churn", oracle=_CHURN_ORACLE, tags=("analytics", "churn", "cohort"))
+def b_ev_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C192: churn-rate report — a customer churns if their LAST
+    order predates the corpus horizon by more than 12 months; rates
+    per first-order-year cohort.  The subscription-analytics staple
+    that b_ev_retention (activity matrix) and b_ev_cohort_ltv
+    (revenue) complete: acquisition cohort × survival.
+
+    Scale shape: one customer-keyed rollup carrying both MIN and MAX
+    month in the same pass, the horizon as a 1-row broadcast, then a
+    |years|-cell rollup.  Exactness: integer month indexes, one
+    rounded division per cohort."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    span = o.agg(F.max(mi).alias("last_mi"))
+    cust = o.groupBy("o_custkey").agg(
+        F.min(mi).alias("first_mi"), F.max(mi).alias("last_order_mi")
+    )
+    flagged = cust.crossJoin(F.broadcast(span)).select(
+        F.expr("first_mi div 12").cast("bigint").alias("cohort_yr"),
+        F.when(F.col("last_order_mi") < F.col("last_mi") - 12, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    return flagged.groupBy("cohort_yr").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        F.round(1_000_000 * F.sum("churned").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("churn_m"),
+    )

@@ -1103,3 +1103,72 @@ def b_ts_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_m"),
     )
+
+
+# --- Maximum drawdown (C194) -----------------------------------------------
+
+# Peak-to-trough maximum drawdown of the cumulative daily revenue
+# series — the risk statistic for any cumulative metric (and the
+# canonical running-max exercise: dd_t = max_{i<=t} C_i - C_t needs
+# one prefix-sum and one prefix-max, no recursion).  Everything is
+# exact integer cents until the display ratio.
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS x_c
+  FROM orders GROUP BY 1
+),
+curve AS (
+  SELECT day, x_c,
+         CAST(SUM(x_c) OVER (ORDER BY day) AS BIGINT) AS cum_c
+  FROM daily
+),
+dd AS (
+  SELECT *, CAST(MAX(cum_c) OVER (ORDER BY day) AS BIGINT) AS peak_c
+  FROM curve
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(peak_c - cum_c) AS BIGINT) AS max_dd_c,
+       CAST(MAX(peak_c) AS BIGINT) AS final_peak_c,
+       CAST(ROUND(1000000 * CAST(MAX(peak_c - cum_c) AS DOUBLE) / MAX(peak_c))
+            AS BIGINT) AS max_dd_m
+FROM dd
+"""
+
+
+@register("b_ts_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("timeseries", "risk", "drawdown"))
+def b_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C194: maximum drawdown of cumulative daily revenue — the
+    largest peak-to-trough drop, via prefix-sum + prefix-max (the
+    same no-recursion normal form as b_ts_changepoint_cusum, whose
+    statistic is the mirror image: C_t = S_t - min prefix).
+
+    Scale shape: day rollup (the only data-sized shuffle), two
+    prefix windows over |days| rows, one global reduce.  At 100 TB
+    the same plan runs per portfolio/series key with the windows
+    partitioned by it."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("x_c")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        F.sum("x_c").over(w).cast("bigint").alias("cum_c"),
+    ).select("day", "cum_c", F.max("cum_c").over(w).cast("bigint").alias("peak_c"))
+    return dd.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max(F.col("peak_c") - F.col("cum_c")).cast("bigint").alias("max_dd_c"),
+        F.max("peak_c").cast("bigint").alias("final_peak_c"),
+        F.round(
+            1_000_000
+            * F.max(F.col("peak_c") - F.col("cum_c")).cast("double")
+            / F.max("peak_c")
+        )
+        .cast("bigint")
+        .alias("max_dd_m"),
+    )

@@ -1775,3 +1775,110 @@ def b_llm_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         pscore.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= _RAKE_TOPN)
     )
+
+
+# --- Positional phrase search (C191) --------------------------------------
+
+_PHRASE_TOPQ = 5   # search the corpus's 5 most frequent bigrams
+
+# Exact phrase search via a positional inverted index — the search
+# primitive bag-of-words indexes can't answer ("new york" is not
+# "york new").  Postings carry (doc, term, pos); a two-term phrase
+# match joins term-1 postings at pos with term-2 postings at pos+1,
+# co-partitioned on doc.  Query phrases are the corpus's own top
+# bigrams so the key stays self-contained and support is guaranteed.
+_PHRASE_ORACLE = f"""
+WITH postings AS (
+  SELECT doc_id, w.word AS term, w.pos AS pos
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(string_split(text, ' ')) AS word,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+       ) AS w
+  WHERE w.word <> ''
+),
+bigrams AS (
+  SELECT a.term AS t1, b.term AS t2, CAST(COUNT(*) AS BIGINT) AS bf
+  FROM postings a JOIN postings b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+queries AS (
+  SELECT t1, t2, bf, CAST(qid AS INT) AS qid FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY bf DESC, t1, t2) AS qid FROM bigrams
+  ) WHERE qid <= {_PHRASE_TOPQ}
+),
+hits AS (
+  SELECT q.qid, q.t1, q.t2, a.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(MIN(a.pos) AS BIGINT) AS first_pos
+  FROM queries q
+       JOIN postings a ON a.term = q.t1
+       JOIN postings b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = q.t2
+  GROUP BY q.qid, q.t1, q.t2, a.doc_id
+)
+SELECT qid, t1, t2, doc_id, n_hits, first_pos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+FROM hits
+QUALIFY rn <= 10
+"""
+
+
+@register("b_llm_phrase_search", oracle=_PHRASE_ORACLE, tags=("pipeline", "search", "phrase"))
+def b_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C191: exact phrase search over a positional inverted index —
+    per query phrase, the top-10 documents by phrase-hit count with
+    the first match position.  Extends b_llm_inverted_index (term →
+    docs) with the positions a phrase/proximity query needs; the
+    query set is the corpus's 5 hottest bigrams (self-contained, like
+    b_llm_bm25's more-like-this queries).
+
+    100 TB shape: postings explode map-side and shuffle once on doc
+    (the adjacency self-join is doc-co-partitioned — each doc matches
+    its own positions locally); query phrases broadcast into the
+    term-1 postings scan, so the candidate stream is postings-of-t1
+    sized, never corpus-sized; per-query ranking is a WindowGroupLimit
+    top-10."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).where(F.col("term") != "")
+    a = postings.select("doc_id", F.col("term").alias("t1"), F.col("pos").alias("p1"))
+    b = postings.select(
+        F.col("doc_id").alias("doc_b"), F.col("term").alias("t2b"), F.col("pos").alias("p2")
+    )
+    bigrams = (
+        a.join(b, (a.doc_id == b.doc_b) & (F.col("p2") == F.col("p1") + 1))
+        .groupBy("t1", F.col("t2b").alias("t2"))
+        .agg(F.count("*").cast("bigint").alias("bf"))
+    )
+    wq = Window.orderBy(F.col("bf").desc(), "t1", "t2")
+    queries = (
+        bigrams.withColumn("qid", F.row_number().over(wq).cast("int"))
+        .where(F.col("qid") <= _PHRASE_TOPQ)
+    )
+    cand = a.join(
+        F.broadcast(queries.select("qid", "t1", "t2")), "t1"
+    )  # postings of t1 joined to the tiny query table
+    hits = (
+        cand.join(
+            b,
+            (F.col("doc_b") == F.col("doc_id"))
+            & (F.col("p2") == F.col("p1") + 1)
+            & (F.col("t2b") == F.col("t2")),
+        )
+        .groupBy("qid", "t1", "t2", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            (F.min("p1") + 1).cast("bigint").alias("first_pos"),  # 1-based like the oracle
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("n_hits").desc(), "doc_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(wr).cast("int"))
+        .where(F.col("rn") <= 10)
+        .select("qid", "t1", "t2", "doc_id", "n_hits", "first_pos", "rn")
+    )

@@ -790,3 +790,122 @@ class TestSlaReport:
         assert sum(r.n for r in rows) == n_join
         for r in rows:
             assert r.p50_d <= r.p90_d
+
+
+class TestPhraseSearch:
+    def test_hits_are_real_phrase_matches(self, spark):
+        """Every reported hit doc actually contains the query bigram
+        adjacently, n_hits matches a brute-force scan, and first_pos
+        points at a genuine occurrence (1-based)."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.textstats import b_llm_phrase_search
+
+        rows = b_llm_phrase_search(spark, SF).collect()
+        assert rows
+        texts = {
+            r.doc_id: r.text.split(" ")
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        for r in rows:
+            ws = texts[r.doc_id]
+            hits = [
+                i + 1
+                for i in range(len(ws) - 1)
+                if ws[i] == r.t1 and ws[i + 1] == r.t2
+            ]
+            assert r.n_hits == len(hits) > 0
+            assert r.first_pos == hits[0]
+
+    def test_per_query_ranking(self, spark):
+        """Within each query, ranks are contiguous from 1 and hit
+        counts are non-increasing."""
+        from stellarsql_spark.pipeline.textstats import b_llm_phrase_search
+
+        rows = b_llm_phrase_search(spark, SF).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for rs in by_q.values():
+            rs.sort(key=lambda r: r.rn)
+            assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+            assert all(a.n_hits >= b.n_hits for a, b in zip(rs, rs[1:]))
+
+
+class TestChurn:
+    def test_flags_against_bruteforce(self, spark):
+        """Cohort counts and churn flags reproduce from a direct
+        per-customer min/max month pass."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_churn
+
+        rows = {r.cohort_yr: r for r in b_ev_churn(spark, SF).collect()}
+        mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+        cust = (
+            load_table(spark, SF, "orders")
+            .groupBy("o_custkey")
+            .agg(F.min(mi).alias("fm"), F.max(mi).alias("lm"))
+            .collect()
+        )
+        horizon = max(r.lm for r in cust)
+        agg = {}
+        for r in cust:
+            yr = r.fm // 12
+            n, c = agg.get(yr, (0, 0))
+            agg[yr] = (n + 1, c + (1 if r.lm < horizon - 12 else 0))
+        assert set(rows) == set(agg)
+        for yr, (n, c) in agg.items():
+            assert (rows[yr].n_cust, rows[yr].n_churned) == (n, c)
+            assert rows[yr].churn_m == round(1_000_000 * c / n)
+
+
+class TestFormat:
+    def test_formats_are_exact(self, spark):
+        """Padded keys parse back, grouped dollars reconstruct the
+        integer value, month labels match the date, label carries the
+        de-prefixed priority."""
+        from stellarsql_spark.functions.families import b_fn_format
+
+        rows = b_fn_format(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert len(r.key_padded) == 8 and int(r.key_padded) == r.o_orderkey
+            assert r.dollars_grouped.replace(",", "").isdigit()
+            if len(r.dollars_grouped) > 4:
+                assert "," in r.dollars_grouped
+            assert len(r.order_month) == 7 and r.order_month[4] == "-"
+            assert r.label.endswith(f"#{r.o_orderkey}")
+
+
+class TestDrawdown:
+    def test_against_bruteforce(self, spark):
+        """Max drawdown reproduces from a sequential pass over the
+        daily cumulative series."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.timeseries import b_ts_drawdown
+
+        row = b_ts_drawdown(spark, SF).collect()[0]
+        daily = sorted(
+            (
+                (r.day, r.x)
+                for r in load_table(spark, SF, "orders")
+                .groupBy(F.col("o_orderdate").alias("day"))
+                .agg(
+                    F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint")).alias(
+                        "x"
+                    )
+                )
+                .collect()
+            )
+        )
+        cum = peak = best = 0
+        for _, x in daily:
+            cum += x
+            peak = max(peak, cum)
+            best = max(best, peak - cum)
+        assert row.n_days == len(daily)
+        assert row.max_dd_c == best
+        assert row.final_peak_c == peak
