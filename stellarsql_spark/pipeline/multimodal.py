@@ -640,3 +640,206 @@ def b_mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(scene_cut_batch, schema=SCENE_SCHEMA)
+
+
+# --- real image codec #2: pure-python PNG (C195) -----------------------
+#
+# Vendored from the public PNG spec (RFC 2083 / ISO 15948): 8-byte
+# signature, length-type-data-CRC chunks, IHDR geometry, zlib IDAT,
+# and the five scanline filters.  stdlib zlib supplies inflate and
+# crc32 — no image library needed.  The encoder writes filter-0
+# truecolor scanlines; the DECODER implements all five filters (the
+# adversarial gate feeds it shapes the encoder never emits).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MAX_DIM = 4096  # refuse absurd IHDR geometry before allocating
+
+
+def _png_encode(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal truecolor (color type 2, 8-bit) PNG: IHDR + one zlib
+    IDAT of filter-0 scanlines + IEND.  Real, viewer-openable bytes."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + bytes(rgb) * width) * height  # filter 0 per scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/
+    Paeth) into raw RGB bytes.  Raises ValueError on any malformed
+    shape — never IndexErrors its way through hostile input."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size does not match geometry")
+    out = bytearray(stride * height)
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        off = y * stride
+        if ftype == 0:
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for i, b in enumerate(line):
+                left = out[off + i - bpp] if i >= bpp else 0
+                out[off + i] = (b + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i, b in enumerate(line):
+                up = out[prev_off + off + i] if y > 0 else 0
+                out[off + i] = (b + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i, b in enumerate(line):
+                left = out[off + i - bpp] if i >= bpp else 0
+                up = out[prev_off + off + i] if y > 0 else 0
+                out[off + i] = (b + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i, b in enumerate(line):
+                a = out[off + i - bpp] if i >= bpp else 0
+                c_up = out[prev_off + off + i] if y > 0 else 0
+                c_ul = out[prev_off + off + i - bpp] if (y > 0 and i >= bpp) else 0
+                p = a + c_up - c_ul
+                pa, pb, pc = abs(p - a), abs(p - c_up), abs(p - c_ul)
+                pred = a if (pa <= pb and pa <= pc) else (c_up if pb <= pc else c_ul)
+                out[off + i] = (b + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _png_decode(data: bytes) -> tuple[int, int, int, int]:
+    """Parse + CRC-verify the chunk stream, inflate IDAT, unfilter,
+    and return (width, height plus mean r,g,b folded below).  Returns
+    (w, h, mean_r, mean_g, mean_b) for 8-bit truecolor; raises
+    ValueError on any malformed input in O(input) time."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated chunk")
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR or IEND")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if not (0 < w <= _PNG_MAX_DIM and 0 < h <= _PNG_MAX_DIM):
+        raise ValueError("refused IHDR geometry")
+    if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported PNG variant")
+    # inflate with an output cap: a zlib bomb cannot oversize-allocate
+    cap = (3 * w + 1) * h
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), cap)
+    if d.decompress(b"", 1):
+        raise ValueError("IDAT inflates past the declared geometry")
+    px = _png_unfilter(raw, w, h, 3)
+    n = w * h
+    return (
+        w,
+        h,
+        sum(px[0::3]) // n,
+        sum(px[1::3]) // n,
+        sum(px[2::3]) // n,
+    )
+
+
+_PNG_QUARANTINE = (-1, -1, -1, -1, -1)
+
+_PNG_SCHEMA = (
+    "doc_id long, width int, height int, mean_r int, mean_g int, mean_b int, crc_ok boolean"
+)
+
+
+def _png_roundtrip_batch(batches):
+    """Arrow-batched PNG encode→decode round trip (same shape as the
+    BMP pipeline: encode from md5 bytes, decode the real binary,
+    quarantine malformed payloads as -1 rows)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h = 1 + p[0] % 16, 1 + p[1] % 16
+            img = _png_encode(w, h, (p[2], p[3], p[4]))
+            try:
+                dec = _png_decode(img)
+                rows.append((int(doc_id), *dec, True))
+            except ValueError:
+                rows.append((int(doc_id), *_PNG_QUARANTINE, False))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "crc_ok"],
+        )
+
+
+_PNG_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substring(md5(text), 3, 2)) AS INT) AS b1,
+         CAST(concat('0x', substring(md5(text), 5, 2)) AS INT) AS b2,
+         CAST(concat('0x', substring(md5(text), 7, 2)) AS INT) AS b3,
+         CAST(concat('0x', substring(md5(text), 9, 2)) AS INT) AS b4
+  FROM documents
+)
+SELECT doc_id,
+       1 + b0 % 16 AS width,
+       1 + b1 % 16 AS height,
+       b2 AS mean_r, b3 AS mean_g, b4 AS mean_b,
+       TRUE AS crc_ok
+FROM m
+"""
+
+
+@register("b_mm_decode_png", oracle=_PNG_ORACLE, tags=("pipeline", "multimodal", "codec"))
+def b_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C195: REAL PNG decode over binary columns — chunk walk with
+    CRC-32 verification, capped zlib inflate, and all five scanline
+    filters (the BMP twin b_mm_decode_bmp covers uncompressed
+    containers; PNG adds the checksum + compression layers a real
+    ingest meets).  The oracle predicts the decode output
+    arithmetically from the md5 bytes, so a wrong filter
+    reconstruction, CRC scope (type+data, not data), or geometry
+    check fails the hash.
+
+    Scale shape: pure mapInPandas — no shuffle; per-row work is
+    bounded by the decoded geometry (and hostile geometry is refused
+    BEFORE allocation, the adversarial-gate contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(_png_roundtrip_batch, schema=_PNG_SCHEMA)

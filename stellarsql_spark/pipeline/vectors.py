@@ -809,3 +809,102 @@ def b_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_id bigint, cid bigint, pick int, rel_m bigint, msim_m bigint, mmr_m10 bigint"
     )
+
+
+# --- int4 pack/unpack quantization (C196) --------------------------------
+
+# The storage tier below int8 (b_llm_quant_int8): symmetric 4-bit
+# codes q = round(7·x/maxabs) in [-7, 7], TWO codes packed per byte
+# ((hi+8)<<4 | (lo+8)) — an 8× footprint cut vs fp32.  The packing
+# runs in one Arrow kernel (numpy bit ops, zero shuffle) that also
+# UNPACKS its own bytes and verifies the roundtrip, so the binary
+# layout is tested, not assumed.  The oracle replays the code
+# arithmetic and the reconstruction-error bound from the same floats.
+_INT4_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST(len(embedding) AS INT) AS dim,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, dim, maxabs,
+         list_transform(e, x -> CAST(ROUND(7.0 * x / maxabs) AS BIGINT)) AS qv,
+         list_max(list_transform(e, x ->
+             abs(x - ROUND(7.0 * x / maxabs) * maxabs / 7.0))) AS max_err
+  FROM base
+)
+SELECT vec_id, dim,
+       CAST((dim + 1) // 2 AS INT) AS n_bytes_packed,
+       CAST(list_max(list_transform(qv, c -> abs(c))) AS BIGINT) AS max_code,
+       TRUE AS roundtrip_exact,
+       CAST(ROUND(1000000 * max_err) AS BIGINT) AS max_err_m
+FROM q
+"""
+
+
+def _int4_pack_batch(batches):
+    """Arrow kernel: quantize to 4-bit codes, pack two per byte,
+    unpack the packed bytes back, and verify the roundtrip."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+            x = np.asarray(emb, dtype=np.float64)
+            maxabs = np.abs(x).max()
+            # round-half-up to match SQL ROUND (numpy rounds half-even)
+            v = 7.0 * x / maxabs
+            # SQL ROUND is half-AWAY-FROM-ZERO; numpy rounds half-even
+            q = np.where(v < 0, np.ceil(v - 0.5), np.floor(v + 0.5)).astype(np.int64)
+            codes = (q + 8).astype(np.uint8)       # [1, 15]
+            if len(codes) % 2:
+                codes = np.append(codes, np.uint8(8))  # zero-code pad
+            packed = ((codes[0::2] << 4) | codes[1::2]).tobytes()
+            # unpack and verify
+            pb = np.frombuffer(packed, dtype=np.uint8).astype(np.int64)
+            un = np.empty(2 * len(pb), dtype=np.int64)
+            un[0::2] = (pb >> 4) - 8
+            un[1::2] = (pb & 0x0F) - 8
+            ok = bool(np.array_equal(un[: len(x)], q))
+            err = np.abs(x - q * maxabs / 7.0).max()
+            out.append(
+                (
+                    int(vec_id),
+                    len(x),
+                    len(packed),
+                    int(np.abs(q).max()),
+                    ok,
+                    int(round(1_000_000 * err)),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "vec_id", "dim", "n_bytes_packed", "max_code",
+                "roundtrip_exact", "max_err_m",
+            ],
+        )
+
+
+@register("b_llm_quant_int4", oracle=_INT4_ORACLE, tags=("pipeline", "vectors", "quantization"))
+def b_llm_quant_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C196: int4 pack/unpack quantization — symmetric 4-bit codes,
+    two per byte, with the unpack roundtrip VERIFIED per vector and
+    the worst-case reconstruction error reported.  Completes the
+    serving-quantization ladder (fp32 → int8 C157 → packed int4):
+    at 100 TB of embeddings the packed column is 8× smaller than
+    fp32, and this key pins the bit layout an external scorer would
+    need to read it.
+
+    Scale shape: one Arrow map kernel, no shuffle; the oracle
+    replays code arithmetic + error bound from the same floats
+    (round-half-up matched explicitly — numpy's default is
+    half-even, SQL ROUND is half-up; pinned in the kernel)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "vec_id long, dim int, n_bytes_packed int, max_code long, "
+        "roundtrip_exact boolean, max_err_m long"
+    )
+    return e.select("vec_id", "embedding").mapInPandas(_int4_pack_batch, schema=schema)

@@ -909,3 +909,133 @@ class TestDrawdown:
         assert row.n_days == len(daily)
         assert row.max_dd_c == best
         assert row.final_peak_c == peak
+
+
+class TestPngCodec:
+    def test_roundtrip_and_quarantine(self):
+        """Encode→decode inverts exactly; hostile payloads (wrong
+        signature, truncation, flipped CRC, zlib bomb) raise
+        ValueError fast — the quarantine contract."""
+        import struct
+        import zlib
+
+        from stellarsql_spark.pipeline.multimodal import _png_decode, _png_encode
+
+        img = _png_encode(7, 3, (250, 1, 128))
+        assert _png_decode(img) == (7, 3, 250, 1, 128)
+        hostile = {
+            "not_png": b"BM" + img[2:],
+            "truncated": img[:25],
+            "crc_flip": img[:20] + bytes([img[20] ^ 1]) + img[21:],
+            "empty": b"",
+        }
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        hostile["bomb"] = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100000))
+            + chunk(b"IEND", b"")
+        )
+        hostile["huge_dims"] = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+        import pytest
+
+        for name, payload in hostile.items():
+            with pytest.raises(ValueError):
+                _png_decode(payload)
+
+    def test_all_five_filters_invert(self):
+        """The decoder's unfilter inverts a forward pass that uses
+        every PNG filter type (the encoder only emits type 0 — this
+        pins the paths the adversarial gate exercises)."""
+        import random
+
+        from stellarsql_spark.pipeline.multimodal import _png_unfilter
+
+        w, h, bpp = 4, 10, 3
+        rng = random.Random(11)
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        stride = w * bpp
+        out = bytearray()
+        for y in range(h):
+            ft = y % 5
+            out.append(ft)
+            for i in range(stride):
+                x = pixels[y * stride + i]
+                a = pixels[y * stride + i - bpp] if i >= bpp else 0
+                b = pixels[(y - 1) * stride + i] if y > 0 else 0
+                c = (
+                    pixels[(y - 1) * stride + i - bpp]
+                    if (y > 0 and i >= bpp)
+                    else 0
+                )
+                if ft == 0:
+                    out.append(x)
+                elif ft == 1:
+                    out.append((x - a) & 0xFF)
+                elif ft == 2:
+                    out.append((x - b) & 0xFF)
+                elif ft == 3:
+                    out.append((x - (a + b) // 2) & 0xFF)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out.append((x - pred) & 0xFF)
+        assert bytes(_png_unfilter(bytes(out), w, h, bpp)) == pixels
+
+    def test_spark_pipeline(self, spark):
+        """The Arrow pipeline decodes every document's PNG with
+        crc_ok true and no quarantine rows on well-formed input."""
+        from stellarsql_spark.pipeline.multimodal import b_mm_decode_png
+
+        rows = b_mm_decode_png(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.crc_ok
+            assert 1 <= r.width <= 16 and 1 <= r.height <= 16
+            assert 0 <= r.mean_r <= 255
+
+
+class TestInt4Pack:
+    def test_packed_layout_and_bounds(self, spark):
+        """Every vector roundtrips exactly through the packed bytes,
+        codes stay in [-7, 7], the packed size is ceil(dim/2), and
+        the reconstruction error is bounded by half a quantization
+        step (maxabs/14)."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.vectors import b_llm_quant_int4
+
+        rows = b_llm_quant_int4(spark, SF).collect()
+        assert rows
+        maxabs = {
+            r.vec_id: r.m
+            for r in load_table(spark, SF, "embeddings")
+            .select(
+                "vec_id",
+                F.array_max(
+                    F.transform("embedding", lambda x: F.abs(x.cast("double")))
+                ).alias("m"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r.roundtrip_exact
+            assert 0 <= r.max_code <= 7
+            assert r.n_bytes_packed == (r.dim + 1) // 2
+            # half-step bound (+1 for the millionth rounding)
+            assert r.max_err_m <= round(1_000_000 * maxabs[r.vec_id] / 14) + 1
