@@ -988,3 +988,122 @@ def b_ev_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("churn_m"),
     )
+
+
+# --- Max concurrent sessions via sweep line (C198) --------------------------
+
+_CONCUR_TTL_US = 300_000_000  # a session extends 5 min past its event
+
+# "Peak concurrent users" — the interval-stacking question every
+# capacity planner asks.  The sweep-line normal form: each interval
+# emits +1 at its start and -1 at its end, the running sum over the
+# time-ordered deltas is the concurrency curve, and its max is the
+# answer — no interval self-join, no per-tick expansion.  Ties order
+# (ts, delta) so an end at time T closes BEFORE a start at T opens
+# (half-open intervals, the convention that keeps adjacent sessions
+# from double-counting).
+_CONCUR_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, ts AS t0,
+         ts + INTERVAL 300 SECOND AS t1
+  FROM events
+),
+deltas AS (
+  SELECT t0 AS t, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT t1, CAST(-1 AS BIGINT) FROM iv
+),
+curve AS (
+  SELECT t, delta,
+         CAST(SUM(delta) OVER (ORDER BY t, delta) AS BIGINT) AS concurrent
+  FROM deltas
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_deltas,
+       CAST(MAX(concurrent) AS BIGINT) AS peak,
+       CAST(CAST(MIN(CASE WHEN concurrent = (SELECT MAX(concurrent) FROM curve)
+                 THEN t END) AS TIMESTAMP) AS VARCHAR) AS first_peak_at
+FROM curve
+"""
+
+
+@register("b_ev_concurrency", oracle=_CONCUR_ORACLE, tags=("analytics", "concurrency", "sweepline"))
+def b_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C198: peak concurrent sessions by sweep line — every event
+    opens a 5-minute session interval; +1/-1 deltas in time order
+    prefix-sum to the concurrency curve, whose max (and first time it
+    is reached) is the capacity-planning number.  The interval-
+    stacking normal form: never an interval×tick expansion, never an
+    overlap self-join.
+
+    Scale shape: delta emission is map-side (union of two
+    projections); the prefix sum orders by time — at 100 TB it
+    range-partitions by time with per-partition sums + a tiny
+    carry-in pass (the standard distributed scan), which changes no
+    value.  Tie order (t, delta) closes ends before starts — the
+    half-open convention, asserted in the test."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t1"),
+    )
+    deltas = iv.select(F.col("t0").alias("t"), F.lit(1).cast("bigint").alias("delta")).unionAll(
+        iv.select(F.col("t1").alias("t"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    curve = deltas.withColumn("concurrent", F.sum("delta").over(w).cast("bigint"))
+    peak = curve.agg(F.max("concurrent").alias("pk"))
+    return (
+        curve.crossJoin(F.broadcast(peak))
+        .agg(
+            F.count("*").cast("bigint").alias("n_deltas"),
+            F.max("concurrent").cast("bigint").alias("peak"),
+            F.min(F.when(F.col("concurrent") == F.col("pk"), F.col("t")))
+            .cast("timestamp")
+            .cast("string")
+            .alias("first_peak_at"),
+        )
+    )
+
+
+# --- Hour-of-week activity heatmap (C199) -----------------------------------
+
+# The 7×24 activity matrix behind every product-analytics heatmap.
+# Weekday comes from epoch-day arithmetic ((days+4)%7, 0=Sunday — the
+# b_ts_seasonal_decompose convention; engine dayofweek() numbering
+# never enters), hour from epoch-hour mod 24 (the corpus ts is UTC).
+_HEATMAP_ORACLE = """
+WITH cells AS (
+  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+         user_id
+  FROM events
+)
+SELECT dow, hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cells GROUP BY dow, hod
+"""
+
+
+@register("b_ev_heatmap", oracle=_HEATMAP_ORACLE, tags=("analytics", "heatmap"))
+def b_ev_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C199: hour-of-week activity heatmap — events and distinct
+    users per (weekday, hour) cell.  The 7×24 rollup every usage
+    dashboard draws; pure epoch arithmetic keys (see oracle note) so
+    the cell assignment is engine- and locale-independent.
+
+    Scale shape: map-side cell keys, one 168-cell rollup; the
+    distinct-user count is the only reason a second shuffle exists
+    (exact per-cell HLL would make it one)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").cast("bigint").alias("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").cast("bigint").alias("hod"),
+        "user_id",
+    )
+    return cells.groupBy("dow", "hod").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -647,3 +647,84 @@ def b_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= _JACCARD_TOPN
     )
+
+
+# --- Degree assortativity (C197) -------------------------------------------
+
+# Newman's degree assortativity: the Pearson correlation of endpoint
+# degrees over edges (each undirected edge contributes BOTH
+# orientations, the standard convention).  Degrees are exact longs,
+# so every moment sum is exact integer arithmetic; the coefficient
+# itself is one sqrt+division at the display boundary — identical on
+# identical longs.  Social graphs assort positive, infrastructure
+# graphs negative; for the co-occurrence graph this is the
+# hub-mixing diagnostic.
+_ASSORT_ORACLE = f"""
+WITH {_EDGES_CTE},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+ends AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT n, sx, sxy, sxx,
+       CAST(ROUND(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+            AS BIGINT) AS assort_m
+FROM mom
+"""
+
+
+@register("b_graph_assortativity", oracle=_ASSORT_ORACLE, tags=("graph", "assortativity"))
+def b_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C197: Newman degree assortativity of the co-occurrence graph —
+    Pearson r of endpoint degrees over (both orientations of) the
+    edge list.  The one-number mixing diagnostic: do hubs attach to
+    hubs?  Complements b_graph_degree (the distribution itself) and
+    b_graph_jaccard (local overlap).
+
+    Scale shape: the degree table joins onto the edge list twice
+    (node-keyed shuffles of edge-list-sized data — the triangle
+    join's little sibling); moments reduce to one row.  By symmetry
+    sy=sx and syy=sxx, but both are computed so the oracle and the
+    engine agree on the FORMULA, not a simplification."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges).select("node", F.col("d").cast("long").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("yv"))
+    both = edges.join(du, "u").join(dv, "v")
+    ends = both.select(F.col("xu").alias("x"), F.col("yv").alias("y")).unionAll(
+        both.select(F.col("yv").alias("x"), F.col("xu").alias("y"))
+    )
+    mom = ends.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return mom.select(
+        "n", "sx", "sxy", "sxx",
+        F.round(1_000_000 * num / den).cast("bigint").alias("assort_m"),
+    )

