@@ -140,3 +140,106 @@ def b_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("action"),
         F.col("s.bal").alias("bal"),
     )
+
+
+# --- Incremental view maintenance for a join view (C200) -------------------
+
+_IVM_DELTA_KEYS = 7   # customers whose orders arrive in the delta batch
+
+# Delta propagation for V = orders ⋈ customer: when a batch ΔO of new
+# orders lands, the view updates with ΔV = ΔO ⋈ customer — it never
+# re-joins the full fact table (the IVM identity for inserts into one
+# side; b_ts_rollup_incremental is the aggregate analogue).  The
+# "delta batch" is carved deterministically from the corpus itself
+# (orders of customers with custkey % 1000 < 7 are 'late'), so both
+# engines replay the same split.  The key emits the maintained view's
+# per-segment rollup PLUS a full-recompute equality check as a tested
+# column — maintenance correctness is the contract, not a hope.
+_IVM_ORACLE = f"""
+WITH late AS (
+  SELECT * FROM orders WHERE o_custkey % 1000 < {_IVM_DELTA_KEYS}
+),
+base AS (
+  SELECT * FROM orders WHERE o_custkey % 1000 >= {_IVM_DELTA_KEYS}
+),
+v_base AS (
+  SELECT c.c_mktsegment, o.o_totalprice
+  FROM base o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+dv AS (
+  SELECT c.c_mktsegment, o.o_totalprice
+  FROM late o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+maintained AS (
+  SELECT * FROM v_base UNION ALL SELECT * FROM dv
+),
+recomputed AS (
+  SELECT c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM maintained GROUP BY c_mktsegment
+),
+r AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM recomputed GROUP BY c_mktsegment
+)
+SELECT m.c_mktsegment, m.n, m.rev_c,
+       (m.n = r.n AND m.rev_c = r.rev_c) AS matches_recompute
+FROM m JOIN r ON m.c_mktsegment = r.c_mktsegment
+"""
+
+
+@register("b_merge_ivm", oracle=_IVM_ORACLE, tags=("merge", "ivm", "incremental"))
+def b_merge_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C200: incremental maintenance of a join view — a late-arriving
+    order batch updates V = orders ⋈ customer via ΔV = ΔO ⋈ customer,
+    never re-joining the base fact table.  The per-segment rollup of
+    the maintained view ships with a full-recompute equality flag, so
+    the maintenance identity is hash-certified per segment.
+
+    Scale shape: the base view materializes once (at 100 TB it lives
+    as a table; here as a DataFrame); each delta batch joins ONLY
+    |ΔO| rows against the (broadcastable) dimension — maintenance
+    cost is delta-sized, the entire point.  The rollup exchange
+    carries 5 segment rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    late = o.where(F.col("o_custkey") % 1000 < _IVM_DELTA_KEYS)
+    base = o.where(F.col("o_custkey") % 1000 >= _IVM_DELTA_KEYS)
+    v_base = base.join(F.broadcast(c), base.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    dv = late.join(F.broadcast(c), late.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    maintained = v_base.unionByName(dv)
+    recomputed = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+
+    m = rollup(maintained)
+    r = rollup(recomputed).select(
+        F.col("c_mktsegment").alias("seg_r"),
+        F.col("n").alias("n_r"),
+        F.col("rev_c").alias("rev_r"),
+    )
+    return m.join(F.broadcast(r), m.c_mktsegment == r.seg_r).select(
+        "c_mktsegment",
+        "n",
+        "rev_c",
+        ((F.col("n") == F.col("n_r")) & (F.col("rev_c") == F.col("rev_r"))).alias(
+            "matches_recompute"
+        ),
+    )

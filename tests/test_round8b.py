@@ -1098,3 +1098,21 @@ class TestHeatmap:
         for r in rows:
             assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
             assert 1 <= r.n_users <= r.n_events
+
+
+class TestJoinViewIvm:
+    def test_maintenance_identity_holds(self, spark):
+        """Every segment's maintained rollup equals the full
+        recompute, the delta split is non-trivial (both halves
+        non-empty), and all 5 market segments appear."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.merge import _IVM_DELTA_KEYS, b_merge_ivm
+
+        rows = b_merge_ivm(spark, SF).collect()
+        assert len(rows) == 5
+        assert all(r.matches_recompute for r in rows)
+        o = load_table(spark, SF, "orders")
+        n_late = o.where(F.col("o_custkey") % 1000 < _IVM_DELTA_KEYS).count()
+        assert 0 < n_late < o.count()
