@@ -232,12 +232,18 @@ def _driver_stamped() -> frozenset[str]:
 def driver_key_order() -> list[str]:
     """Key order for __spark_entry__.queries()/oracle_sql().
 
-    never-stamped (module round-robin) → _RESTAMP → stamped tail
+    _RESTAMP → never-stamped (module round-robin) → stamped tail
     ordered OLDEST stamp first: the driver re-checks ~50 keys per
     round, so once every key is stamped, each round's window
     re-certifies the stalest evidence (stamps rot when the corpus or
     an oracle changes — age-based rotation keeps every stamp fresh
     within ~4 rounds).
+
+    _RESTAMP leads (r8 change): a changed-contract key carrying a
+    stale green stamp is MISLEADING evidence, while a never-stamped
+    new key is honestly unstamped and simply fronts the next round —
+    so when one round adds more new keys than the window holds, the
+    restamps must not be the ones squeezed out.
     """
     from itertools import zip_longest
 
@@ -259,7 +265,7 @@ def driver_key_order() -> list[str]:
         (k for k in specs if k in stamped and k not in restamp and k not in round_robin),
         key=lambda k: (stamp_rounds[k], k),
     )
-    ordered = round_robin + restamp + tail
+    ordered = restamp + round_robin + tail
     assert sorted(ordered) == sorted(specs), "driver_key_order must cover every key exactly once"
     return ordered
 

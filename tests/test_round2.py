@@ -132,13 +132,17 @@ class TestDriverOrder:
             i for i, k in enumerate(order) if k in stamped and k not in _RESTAMP
         )
         assert max(never) < first_stamped
+        # and the restamp block leads even the never-stamped keys
+        if _RESTAMP:
+            assert min(never) >= len([k for k in _RESTAMP if k in order])
 
-    def test_restamp_keys_follow_never_stamped(self):
+    def test_restamp_keys_lead(self):
+        """r8: the restamp block LEADS the order — changed-contract
+        keys with misleading stale stamps must never be squeezed out
+        of the window by a large batch of new keys."""
         order = driver_key_order()
-        stamped = _driver_stamped()
-        n_never = sum(1 for k in order if k not in stamped)
         restamp_pos = [order.index(k) for k in _RESTAMP]
-        assert restamp_pos == list(range(n_never, n_never + len(_RESTAMP)))
+        assert restamp_pos == list(range(len(_RESTAMP)))
 
     def test_prefix_spans_categories(self):
         """Any 50-key prefix must touch every module family that still
