@@ -259,3 +259,74 @@ def b_win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.where(F.col("prev_max").isNull() | (F.col("price") > F.col("prev_max"))).select(
         "o_orderkey", "o_orderdate", "price"
     )
+
+
+# --- Gaps and islands: order streaks (C201) --------------------------------
+
+_STREAK_TOPN = 20
+
+# The canonical gaps-and-islands pattern: maximal runs of CONSECUTIVE
+# order days per customer.  island_id = epoch_day − dense-rank (a
+# constant within each consecutive run), so islands fall out of one
+# window + one groupBy — no self-join, no recursion.  Distinct from
+# b_ev_sessionize (gap-threshold sessions on a continuous timeline):
+# this is the integer-consecutiveness form (login streaks, attendance,
+# inventory runs).
+_STREAK_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+  FROM orders
+),
+isl AS (
+  SELECT o_custkey, d,
+         d - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS island
+  FROM days
+),
+streaks AS (
+  SELECT o_custkey, island,
+         CAST(COUNT(*) AS BIGINT) AS len_days,
+         CAST(MIN(d) AS BIGINT) AS start_d,
+         CAST(MAX(d) AS BIGINT) AS end_d
+  FROM isl GROUP BY o_custkey, island
+)
+SELECT o_custkey, len_days, start_d, end_d, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY len_days DESC, o_custkey, start_d) AS rn
+  FROM streaks
+) WHERE rn <= {_STREAK_TOPN}
+"""
+
+
+@register("b_win_gaps_islands", oracle=_STREAK_ORACLE, tags=("window", "islands", "streaks"))
+def b_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C201: gaps-and-islands — the top consecutive-day order streaks
+    per customer via the day − row_number island constant.  One
+    customer-keyed window plus one (customer, island) rollup; never a
+    self-join or recursion.  The integer-run companion to
+    b_ev_sessionize's gap-threshold sessions.
+
+    Scale shape: the distinct (customer, day) rollup is the
+    data-sized shuffle; the island window runs per customer; the
+    global top-20 is a WindowGroupLimit-style rank prune."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    wc = Window.partitionBy("o_custkey").orderBy("d")
+    isl = days.withColumn("island", F.col("d") - F.row_number().over(wc))
+    streaks = isl.groupBy("o_custkey", "island").agg(
+        F.count("*").cast("bigint").alias("len_days"),
+        F.min("d").cast("bigint").alias("start_d"),
+        F.max("d").cast("bigint").alias("end_d"),
+    )
+    wr = Window.orderBy(F.col("len_days").desc(), "o_custkey", "start_d")
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr).cast("int"))
+        .where(F.col("rn") <= _STREAK_TOPN)
+        .select("o_custkey", "len_days", "start_d", "end_d", "rn")
+    )

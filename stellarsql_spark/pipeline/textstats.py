@@ -1882,3 +1882,109 @@ def b_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("qid", "t1", "t2", "doc_id", "n_hits", "first_pos", "rn")
     )
+
+
+# --- Content-defined chunking (C202) ----------------------------------------
+
+_CDC_MASK = 8      # boundary when md5(word) % 8 == 0 → ~8-word chunks
+_CDC_MIN_DOCS = 3
+_CDC_TOPN = 15
+
+# FastCDC-style content-defined chunking on the word stream: a chunk
+# boundary falls AFTER any word whose (md5-derived) hash satisfies
+# the mask — boundaries depend only on local content, so an insertion
+# near the head re-chunks O(1) chunks instead of shifting every
+# aligned window (the property that makes CDC the storage-dedup
+# standard; b_llm_boilerplate's aligned chunks lack it, and the test
+# demonstrates the difference).  The chunk id is the running count of
+# boundaries before each word — one window per doc, map-side hashing.
+_CDC_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w.word AS word, w.pos AS pos,
+         CASE WHEN CAST(concat('0x', substring(md5(w.word), 1, 8)) AS BIGINT)
+                   % {_CDC_MASK} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(string_split(text, ' ')) AS word,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+       ) AS w
+  WHERE w.word <> ''
+),
+cid AS (
+  SELECT doc_id, word, pos,
+         SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c
+  FROM words
+),
+chunks AS (
+  SELECT doc_id, COALESCE(c, 0) AS c,
+         string_agg(word, ' ' ORDER BY pos) AS chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM cid GROUP BY doc_id, COALESCE(c, 0)
+),
+stats AS (
+  SELECT chunk, CAST(MAX(n_words) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM chunks GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= {_CDC_MIN_DOCS}
+)
+SELECT chunk, n_words, n_docs, n_occ, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, chunk) AS rn
+  FROM stats
+) WHERE rn <= {_CDC_TOPN}
+"""
+
+
+@register("b_llm_cdc_chunks", oracle=_CDC_ORACLE, tags=("pipeline", "text", "cdc"))
+def b_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C202: content-defined chunking (FastCDC normal form) — chunk
+    boundaries fall where a word's hash satisfies the mask, so chunk
+    identity survives insertions/deletions elsewhere in the document
+    (the shift-robustness aligned chunking lacks — demonstrated in
+    the test).  Emits the recurring-chunk catalog, the
+    storage/dedup view of the corpus.
+
+    100 TB shape: hashing and boundary flags are map-side; the chunk
+    assembly shuffles once on (doc, chunk-id); the catalog rollup
+    keys on chunk text (md5 of it at production scale) with the
+    support floor pruning before ranking."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    bnd = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint") % _CDC_MASK
+        == 0
+    ).cast("int")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = words.withColumn(
+        "c", F.coalesce(F.sum(bnd).over(wprev), F.lit(0))
+    )
+    chunks = cid.groupBy("doc_id", "c").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "word"))).getField("word")
+        ).alias("chunk"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+    stats = (
+        chunks.groupBy("chunk")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= _CDC_MIN_DOCS)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
+    return (
+        stats.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _CDC_TOPN)
+        .select("chunk", "n_words", "n_docs", "n_occ", "rn")
+    )

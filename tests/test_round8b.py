@@ -1116,3 +1116,102 @@ class TestJoinViewIvm:
         o = load_table(spark, SF, "orders")
         n_late = o.where(F.col("o_custkey") % 1000 < _IVM_DELTA_KEYS).count()
         assert 0 < n_late < o.count()
+
+
+class TestGapsIslands:
+    def test_streaks_against_bruteforce(self, spark):
+        """Top streak lengths match a brute-force consecutive-run scan
+        per customer; islands are genuinely maximal (end+1 absent)."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.windows import b_win_gaps_islands
+
+        rows = b_win_gaps_islands(spark, SF).collect()
+        assert rows
+        days = {}
+        for r in (
+            load_table(spark, SF, "orders")
+            .select(
+                "o_custkey",
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+                ).alias("d"),
+            )
+            .distinct()
+            .collect()
+        ):
+            days.setdefault(r.o_custkey, set()).add(r.d)
+        best = []
+        for ck, ds in days.items():
+            for d in ds:
+                if d - 1 not in ds:  # run start
+                    ln = 1
+                    while d + ln in ds:
+                        ln += 1
+                    best.append((ln, ck, d, d + ln - 1))
+        best.sort(key=lambda t: (-t[0], t[1], t[2]))
+        for r, (ln, ck, s, e) in zip(rows, best[: len(rows)]):
+            assert (r.len_days, r.o_custkey, r.start_d, r.end_d) == (ln, ck, s, e)
+            assert e + 1 not in days[ck] and s - 1 not in days[ck]
+
+
+class TestCdcChunks:
+    def test_shift_robustness_vs_aligned(self):
+        """The CDC property: inserting one word near the head changes
+        O(1) chunks — most chunk hashes survive — while ALIGNED
+        chunking shifts every downstream window.  Pure-python replay
+        of both chunkers on a synthetic doc."""
+        import hashlib
+
+        from stellarsql_spark.pipeline.textstats import _BP_CHUNK, _CDC_MASK
+
+        def cdc(words):
+            chunks, cur = [], []
+            for w in words:
+                cur.append(w)
+                if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _CDC_MASK == 0:
+                    chunks.append(" ".join(cur))
+                    cur = []
+            if cur:
+                chunks.append(" ".join(cur))
+            return chunks
+
+        def aligned(words):
+            return [
+                " ".join(words[i : i + _BP_CHUNK])
+                for i in range(0, len(words), _BP_CHUNK)
+            ]
+
+        base = [f"w{i % 37}x{i % 11}" for i in range(300)]
+        shifted = base[:3] + ["INSERTED"] + base[3:]
+        cdc_a, cdc_b = set(cdc(base)), set(cdc(shifted))
+        al_a, al_b = set(aligned(base)), set(aligned(shifted))
+        cdc_kept = len(cdc_a & cdc_b) / len(cdc_a)
+        al_kept = len(al_a & al_b) / len(al_a)
+        assert cdc_kept > 0.9          # CDC: almost everything survives
+        assert al_kept < 0.35          # aligned: nearly everything shifts
+
+    def test_chunk_contract(self, spark):
+        """Catalog entries respect the support floor, boundaries are
+        where the mask fires (every chunk's last word satisfies it,
+        except possibly a document-tail chunk)."""
+        import hashlib
+
+        from stellarsql_spark.pipeline.textstats import (
+            _CDC_MASK,
+            _CDC_MIN_DOCS,
+            b_llm_cdc_chunks,
+        )
+
+        rows = b_llm_cdc_chunks(spark, SF_MED).collect()
+        assert rows
+        tail_chunks = 0
+        for r in rows:
+            assert r.n_docs >= _CDC_MIN_DOCS
+            assert r.n_occ >= r.n_docs
+            assert r.n_words == len(r.chunk.split(" "))
+            last = r.chunk.split(" ")[-1]
+            if int(hashlib.md5(last.encode()).hexdigest()[:8], 16) % _CDC_MASK != 0:
+                tail_chunks += 1
+        assert tail_chunks <= len(rows)  # tails allowed, tracked
