@@ -1107,3 +1107,132 @@ def b_ev_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --- Kaplan-Meier survival curve (C203) --------------------------------------
+
+# Time-to-repeat-purchase survival with right censoring: the duration
+# is days from a customer's first to second order; single-order
+# customers are CENSORED at the corpus horizon (they leave the risk
+# set without an event — dropping them instead would bias survival
+# down, the classic mistake).  The product-limit estimator
+# S(t) = Π_{t_i <= t} (1 - d_i / n_i) runs as a SUM of per-time
+# ln(1 - d/n) terms rounded to integer BILLIONTHS (the exact-sum
+# convention: one ln per distinct event time on identical exact
+# longs, then prefix-sum of exact integers — no float product chain).
+# A terminal time where EVERYONE remaining has the event (d = n_risk,
+# S hits exactly 0, ln undefined) is excluded — the standard
+# presentation stops the curve there.
+_KM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MIN(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+second AS (
+  SELECT o.o_custkey,
+         CAST(MIN(epoch_us(o.o_orderdate) // 86400000000) AS BIGINT) AS d2
+  FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
+  WHERE CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) > p.d1
+  GROUP BY o.o_custkey
+),
+horizon AS (
+  SELECT CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS hz FROM orders
+),
+obs AS (
+  SELECT p.o_custkey,
+         CASE WHEN s.d2 IS NULL THEN hz - p.d1 ELSE s.d2 - p.d1 END AS dur,
+         CASE WHEN s.d2 IS NULL THEN 0 ELSE 1 END AS ev
+  FROM per_cust p LEFT JOIN second s ON p.o_custkey = s.o_custkey
+  CROSS JOIN horizon
+),
+times AS (
+  SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM obs GROUP BY dur
+),
+risk AS (
+  SELECT t, d, leaving,
+         CAST((SELECT COUNT(*) FROM obs) - COALESCE(SUM(leaving) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+  FROM times
+),
+terms AS (
+  SELECT t, d, n_risk,
+         CAST(ROUND(1000000000 * ln(1.0 - CAST(d AS DOUBLE) / n_risk)) AS BIGINT) AS lnterm_b
+  FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT t, d, n_risk, lnterm_b,
+       CAST(SUM(lnterm_b) OVER (ORDER BY t) AS BIGINT) AS ln_surv_b
+FROM terms
+"""
+
+
+@register("b_ev_survival_km", oracle=_KM_ORACLE, tags=("analytics", "survival", "km"))
+def b_ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C203: Kaplan-Meier survival of time-to-repeat-purchase with
+    right censoring at the corpus horizon — the product-limit
+    estimator, carried as exact prefix sums of billionth-scaled
+    ln(1 - d/n) terms (no float product chain; exp of ln_surv_b/1e9
+    recovers S(t) downstream).  Censoring keeps single-order
+    customers in the risk set until the horizon — the estimator's
+    whole point versus a naive conversion curve (b_ev_time_to_convert
+    reports observed conversions only).
+
+    Scale shape: two customer-keyed rollups (first/second order day),
+    the 1-row horizon broadcast, a |distinct duration| rollup, and
+    two prefix windows over it."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    eday = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    ).cast("bigint")
+    days = o.select("o_custkey", eday.alias("d"))
+    per_cust = days.groupBy("o_custkey").agg(F.min("d").alias("d1"))
+    second = (
+        days.join(per_cust, "o_custkey")
+        .where(F.col("d") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("d2"))
+    )
+    horizon = days.agg(F.max("d").alias("hz"))
+    obs = (
+        per_cust.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("d2").isNull(), F.col("hz") - F.col("d1"))
+            .otherwise(F.col("d2") - F.col("d1"))
+            .alias("dur"),
+            F.when(F.col("d2").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    n_total = obs.count()
+    times = obs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = times.withColumn(
+        "n_risk",
+        (F.lit(n_total) - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    terms = risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            1_000_000_000
+            * F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+        )
+        .cast("bigint")
+        .alias("lnterm_b"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.withColumn(
+        "ln_surv_b", F.sum("lnterm_b").over(wcum).cast("bigint")
+    )

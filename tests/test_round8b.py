@@ -1215,3 +1215,61 @@ class TestCdcChunks:
             if int(hashlib.md5(last.encode()).hexdigest()[:8], 16) % _CDC_MASK != 0:
                 tail_chunks += 1
         assert tail_chunks <= len(rows)  # tails allowed, tracked
+
+
+class TestKaplanMeier:
+    def test_against_bruteforce_km(self, spark):
+        """Risk sets, event counts, and the cumulative log-survival
+        reproduce from a sequential KM pass with censoring at the
+        horizon; survival is non-increasing; n_risk is strictly
+        decreasing in t."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_survival_km
+
+        rows = sorted(b_ev_survival_km(spark, SF).collect(), key=lambda r: r.t)
+        assert rows
+        days = {}
+        for r in (
+            load_table(spark, SF, "orders")
+            .select(
+                "o_custkey",
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+                ).alias("d"),
+            )
+            .collect()
+        ):
+            days.setdefault(r.o_custkey, []).append(r.d)
+        hz = max(d for ds in days.values() for d in ds)
+        obs = []
+        for ds in days.values():
+            ds.sort()
+            d1 = ds[0]
+            d2 = next((d for d in ds if d > d1), None)
+            obs.append((d2 - d1, 1) if d2 else (hz - d1, 0))
+        times = {}
+        for dur, ev in obs:
+            n, d = times.get(dur, (0, 0))
+            times[dur] = (n + 1, d + ev)
+        n_risk = len(obs)
+        cum = 0
+        expect = {}
+        for t in sorted(times):
+            leaving, d = times[t]
+            if 0 < d < n_risk:
+                cum += round(1_000_000_000 * math.log(1.0 - d / n_risk))
+                expect[t] = (d, n_risk, cum)
+            n_risk -= leaving
+        assert len(rows) == len(expect)
+        prev_risk = None
+        for r in rows:
+            d, nr, c = expect[r.t]
+            assert (r.d, r.n_risk, r.ln_surv_b) == (d, nr, c)
+            assert r.ln_surv_b <= 0
+            if prev_risk is not None:
+                assert r.n_risk < prev_risk
+            prev_risk = r.n_risk
