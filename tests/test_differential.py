@@ -90,8 +90,43 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(12)
+    kind = rng.randrange(15)
     where = _pred(rng, t)
+    if kind == 12:  # ROLLUP with GROUPING() disambiguation.
+        # No WHERE here: on an EMPTY input DuckDB emits the standard
+        # grand-total row (n=0, all GROUPING()=1) while Spark returns
+        # nothing — a genuine engine divergence this fuzz found; the
+        # rollup branch therefore runs on the full (never-empty)
+        # table.  Duplicate rollup columns also diverge — g2 != g1.
+        if len(strs) < 2:
+            kind = 14  # table has one string column: fall through
+        else:
+            g1 = rng.choice(strs)
+            g2 = rng.choice([c for c in strs if c != g1])
+            e = _int_expr(rng, ints)
+            return (
+                f"SELECT {g1} AS g1, {g2} AS g2, "
+                f"GROUPING({g1}) AS gr1, GROUPING({g2}) AS gr2, "
+                f"COUNT(*) AS n, CAST(SUM({e}) AS BIGINT) AS s "
+                f"FROM {t} GROUP BY ROLLUP ({g1}, {g2})"
+            )
+    if kind == 13:  # semi/anti join via [NOT] IN subquery (null-free keys)
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT c_mktsegment AS g, COUNT(*) AS n FROM customer "
+            f"WHERE c_custkey {neg}IN (SELECT o_custkey FROM orders "
+            f"WHERE {_pred(rng, 'orders')}) GROUP BY c_mktsegment"
+        )
+    if kind == 14:  # conditional-aggregation pivot
+        g = rng.choice(strs)
+        e = _int_expr(rng, ints)
+        m = rng.randrange(2, 5)
+        cols = ", ".join(
+            f"CAST(SUM(CASE WHEN ({e}) % {m} = {i} THEN {e} END) AS BIGINT) AS s{i}, "
+            f"COUNT(CASE WHEN ({e}) % {m} = {i} THEN 1 END) AS n{i}"
+            for i in range(m)
+        )
+        return f"SELECT {g} AS g, {cols} FROM {t} WHERE {where} GROUP BY {g}"
     if kind == 9:  # set operation between two filtered projections
         op = rng.choice(
             ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
