@@ -235,6 +235,13 @@ class TestAdversarialCorpus:
         "b_llm_bpe_tokens",
         "b_llm_bigram_novelty",
         "b_read_text",
+        # r8 late additions: the new text ops join the standing gate
+        "b_llm_pmi_cooc",
+        "b_llm_rake",
+        "b_llm_boilerplate",
+        "b_llm_cdc_chunks",
+        "b_llm_zipf",
+        "b_llm_phrase_search",
     ]
 
     @staticmethod

@@ -69,6 +69,16 @@ HOSTILE: list[tuple[str, str, str]] = [
     ("single", "zh", "social"),                      # 1 token, non-en pool
     ("zwei worte", "de", "news"),                    # 2 tokens, non-en
     ("quote's and \"double\" quotes", "en", "web"),
+    # r8: shared boilerplate block across >= 5 docs so the support-
+    # floored association/boilerplate catalogs (PMI >= 5 co-docs,
+    # boilerplate/CDC >= 3 docs) produce NON-EMPTY output here — a
+    # 0-row pass is a vacuous gate.  Same 10-word aligned prefix +
+    # unique tails (the tails keep the docs from being exact dups).
+    ("terms of service apply all rights reserved contact us today alpha tail one", "en", "web"),
+    ("terms of service apply all rights reserved contact us today beta tail two", "en", "news"),
+    ("terms of service apply all rights reserved contact us today gamma tail three", "en", "web"),
+    ("terms of service apply all rights reserved contact us today delta tail four", "fr", "books"),
+    ("terms of service apply all rights reserved contact us today epsilon tail five", "en", "social"),
 ]
 
 
