@@ -1262,3 +1262,75 @@ def b_agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_out_hi"),
     )
+
+
+# --- Weighted median / weighted percentiles (C204) ---------------------------
+
+# Quantity-weighted median (and p25/p75) of extended price: "the
+# price level at which half the UNITS trade" — the volume-weighted
+# cut every pricing/inventory report wants, and a different machinery
+# from the unweighted rank cuts (C186/C188): the prefix accumulates
+# WEIGHT, not row count.  Cuts are actual data values (smallest v
+# with 4·wcum >= q·wtot — cross-multiplied exact longs; quantities
+# sum as exact integers).
+_WMEDIAN_ORACLE = """
+WITH vals AS (
+  SELECT CAST(ROUND(100 * l_extendedprice) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+grp AS (
+  SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM vals GROUP BY v
+),
+ranked AS (
+  SELECT *, CAST(SUM(w) OVER (ORDER BY v) AS BIGINT) AS wcum,
+         CAST(SUM(w) OVER () AS BIGINT) AS wtot
+  FROM grp
+)
+SELECT CAST(MAX(wtot) AS BIGINT) AS total_units,
+       CAST(MIN(CASE WHEN 4 * wcum >= wtot THEN v END) AS BIGINT) AS wp25_c,
+       CAST(MIN(CASE WHEN 2 * wcum >= wtot THEN v END) AS BIGINT) AS wmedian_c,
+       CAST(MIN(CASE WHEN 4 * wcum >= 3 * wtot THEN v END) AS BIGINT) AS wp75_c
+FROM ranked
+"""
+
+
+@register("b_agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("agg", "weighted", "median"))
+def b_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C204: quantity-weighted median and quartiles of extended
+    price — the prefix accumulates UNITS, not rows, so a 50-unit line
+    pulls the cut 50× harder than a 1-unit line.  No engine builtin
+    does weighted percentiles; the rank-cut construction (C186's)
+    generalizes by swapping COUNT for SUM(weight).
+
+    Scale shape: the (value) rollup pre-sums weights (data-sized
+    shuffle down to |distinct cents|); one prefix window; one row
+    out.  Exactness: cross-multiplied exact-long cut predicates;
+    quantities are integral in this corpus."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.select(
+        F.round(100 * F.col("l_extendedprice")).cast("bigint").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    ).groupBy("v").agg(F.sum("w").cast("bigint").alias("w"))
+    ranked = grp.select(
+        "*",
+        F.sum("w")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("wcum"),
+        F.sum("w").over(Window.partitionBy()).cast("bigint").alias("wtot"),
+    )
+    return ranked.agg(
+        F.max("wtot").cast("bigint").alias("total_units"),
+        F.min(F.when(4 * F.col("wcum") >= F.col("wtot"), F.col("v")))
+        .cast("bigint")
+        .alias("wp25_c"),
+        F.min(F.when(2 * F.col("wcum") >= F.col("wtot"), F.col("v")))
+        .cast("bigint")
+        .alias("wmedian_c"),
+        F.min(F.when(4 * F.col("wcum") >= 3 * F.col("wtot"), F.col("v")))
+        .cast("bigint")
+        .alias("wp75_c"),
+    )

@@ -1172,3 +1172,114 @@ def b_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_dd_m"),
     )
+
+
+# --- Seasonal / trend strength (C205) ----------------------------------------
+
+# Hyndman's seasonal-strength measure on the C171 decomposition:
+# F_S = max(0, 1 - Var(residual)/Var(detrended)).  Computed in
+# TRUNCATED-DOLLAR ×7 space (d7 div 100 — truncating integer division
+# is identical cross-engine) so the exact second moments stay inside
+# BIGINT: at sf0.1 the detrended dollars are ~1e7, squares ~1e14,
+# and n·Σz² ~ 1e18 < 2^63.  (The millionth-scaled C171 columns square
+# to ~1e26 — the overflow this scale choice avoids; past ~sf3 swap
+# the moment sums to DECIMAL(38,0).)  The seasonal component is the
+# per-weekday MEAN rounded to an integer dollar×7 value; additivity
+# s + r = d makes Var(detrended) and Var(residual) exact moments of
+# the same integer columns, and the strength is one division.
+_STL_STRENGTH_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS epoch_d,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS x_c
+  FROM orders GROUP BY 1, 2
+),
+tr AS (
+  SELECT day, epoch_d, x_c,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(x_c) OVER w AS BIGINT) END AS sum7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT CAST((epoch_d + 4) % 7 AS BIGINT) AS dow,
+         CAST((7 * x_c - sum7) // 100 AS BIGINT) AS d
+  FROM tr WHERE sum7 IS NOT NULL
+),
+seas AS (
+  SELECT d,
+         d - CAST(ROUND(AVG(d) OVER (PARTITION BY dow)) AS BIGINT) AS r
+  FROM det
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(r * r) AS BIGINT) AS srr,
+         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sdd
+  FROM seas
+)
+SELECT n, sr, srr, sd, sdd,
+       CAST(ROUND(1000000 * GREATEST(0.0,
+            1.0 - (CAST(n AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)
+                / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))) AS BIGINT)
+            AS seasonal_strength_m
+FROM mom
+"""
+
+
+@register("b_ts_stl_strength", oracle=_STL_STRENGTH_ORACLE, tags=("timeseries", "stl", "strength"))
+def b_ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C205: seasonal-strength measure on the C171 decomposition —
+    F_S = max(0, 1 − Var(residual)/Var(detrended)) (Hyndman &
+    Athanasopoulos).  Near 0 = no weekly pattern; near 1 = the weekly
+    component explains the detrended series.  The one-number screen
+    for "is a seasonal model worth fitting", completing the C171
+    family (decompose → measure).
+
+    Exactness + overflow bound: see _STL_STRENGTH_ORACLE's note.
+    Scale shape: inherits C171's (day rollup → MA window → weekday
+    window) plus a one-row moment reduce."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("epoch_d"),
+    ).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("x_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "epoch_d",
+        "x_c",
+        F.when(F.count("*").over(w) == 7, F.sum("x_c").over(w).cast("bigint")).alias(
+            "sum7"
+        ),
+    ).where(F.col("sum7").isNotNull())
+    det = tr.select(
+        ((F.col("epoch_d") + 4) % 7).cast("bigint").alias("dow"),
+        F.expr("(7 * x_c - sum7) div 100").cast("bigint").alias("d"),
+    )
+    wd = Window.partitionBy("dow")
+    seas = det.select(
+        "d",
+        (F.col("d") - F.round(F.avg("d").over(wd)).cast("bigint")).alias("r"),
+    )
+    mom = seas.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("srr"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    var_r = F.col("n").cast("double") * F.col("srr") - F.col("sr").cast("double") * F.col("sr")
+    var_d = F.col("n").cast("double") * F.col("sdd") - F.col("sd").cast("double") * F.col("sd")
+    return mom.select(
+        "n", "sr", "srr", "sd", "sdd",
+        F.round(1_000_000 * F.greatest(F.lit(0.0), 1.0 - var_r / var_d))
+        .cast("bigint")
+        .alias("seasonal_strength_m"),
+    )

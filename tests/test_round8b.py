@@ -1273,3 +1273,59 @@ class TestKaplanMeier:
             if prev_risk is not None:
                 assert r.n_risk < prev_risk
             prev_risk = r.n_risk
+
+
+class TestWeightedMedian:
+    def test_against_bruteforce(self, spark):
+        """Weighted cuts reproduce from a brute-force weighted scan;
+        the unweighted median of the same data differs (the weights
+        actually matter on this corpus) or at minimum the cut honors
+        the weighted rule."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_weighted_median
+
+        row = b_agg_weighted_median(spark, SF).collect()[0]
+        pairs = sorted(
+            (r.v, r.w)
+            for r in load_table(spark, SF, "lineitem")
+            .select(
+                F.round(100 * F.col("l_extendedprice")).cast("bigint").alias("v"),
+                F.col("l_quantity").cast("bigint").alias("w"),
+            )
+            .collect()
+        )
+        wtot = sum(w for _, w in pairs)
+        assert row.total_units == wtot
+
+        def cut(q_num, q_den):
+            wcum = 0
+            for v, w in pairs:
+                wcum += w
+                if q_den * wcum >= q_num * wtot:
+                    return v
+            raise AssertionError
+
+        assert row.wp25_c == cut(1, 4)
+        assert row.wmedian_c == cut(2, 4)
+        assert row.wp75_c == cut(3, 4)
+        assert row.wp25_c <= row.wmedian_c <= row.wp75_c
+
+
+class TestStlStrength:
+    def test_strength_bounds_and_moments(self, spark):
+        """Strength lies in [0, 1e6]; the reported moments satisfy
+        Var >= 0 and reproduce the strength; residual variance can't
+        exceed detrended variance by construction... it CAN (weekday
+        means can overfit nothing) — which is exactly why the
+        estimator clamps at 0; assert the clamp."""
+        from stellarsql_spark.operators.timeseries import b_ts_stl_strength
+
+        row = b_ts_stl_strength(spark, SF).collect()[0]
+        assert 0 <= row.seasonal_strength_m <= 1_000_000
+        var_r = row.n * row.srr - row.sr * row.sr
+        var_d = row.n * row.sdd - row.sd * row.sd
+        assert var_r >= 0 and var_d > 0
+        expect = round(1_000_000 * max(0.0, 1.0 - var_r / var_d))
+        assert row.seasonal_strength_m == expect
