@@ -728,3 +728,331 @@ def b_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sx", "sxy", "sxx",
         F.round(1_000_000 * num / den).cast("bigint").alias("assort_m"),
     )
+
+
+# C206 — bounded k-core peel at two derived thresholds.  Both ks come
+# from the INITIAL mean degree (exact integer ceil), so the contract
+# is scale-invariant: k_lo = ceil(mean/2) sits below this co-occurrence
+# family's min degree (the peel certifies an immediate fixpoint — the
+# whole graph IS a k_lo-core), k_hi = ceil(mean) sits above the bulk
+# (the peel cascades to empty) — one key exercises both terminal
+# behaviors of the algorithm.  Both engines run the SAME fixed number
+# of rounds, so the outputs match row-for-row even where the peel has
+# not converged; convergence shows as two equal consecutive rows,
+# never assumed.
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(tier: str, r: int) -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round's edge CTE three times and its own node CTE twice, so
+    # inlining would expand the base scan ~5^rounds times (DuckDB ran
+    # out of file handles before it ran out of patience).
+    prev_e, this_n, this_e = f"e{tier}{r - 1}", f"n{tier}{r}", f"e{tier}{r}"
+    return f"""
+{this_n} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM {prev_e} UNION ALL SELECT v FROM {prev_e}
+  ) GROUP BY node HAVING COUNT(*) >= (SELECT k_{tier} FROM kval)
+),
+{this_e} AS MATERIALIZED (
+  SELECT u, v FROM {prev_e}
+  WHERE u IN (SELECT node FROM {this_n}) AND v IN (SELECT node FROM {this_n})
+)"""
+
+
+_KCORE_ORACLE = (
+    f"""
+WITH {_EDGES_CTE},
+elo0 AS (SELECT u, v FROM edges),
+ehi0 AS (SELECT u, v FROM edges),
+kval AS MATERIALIZED (
+  SELECT ((SELECT COUNT(*) FROM edges) + n0.n - 1) // n0.n AS k_lo,
+         (2 * (SELECT COUNT(*) FROM edges) + n0.n - 1) // n0.n AS k_hi
+  FROM (
+    SELECT COUNT(DISTINCT node) AS n FROM (
+      SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+    )
+  ) n0
+),
+"""
+    + ",".join(
+        _kcore_round_sql(tier, r)
+        for tier in ("lo", "hi")
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST('{tier}' AS VARCHAR) AS k_tier,
+       (SELECT k_{tier} FROM kval) AS k,
+       CAST({r} AS BIGINT) AS peel_round,
+       (SELECT COUNT(*) FROM n{tier}{r}) AS n_nodes,
+       (SELECT COUNT(*) FROM e{tier}{r}) AS n_edges"""
+        for tier in ("lo", "hi")
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    + "\nORDER BY k_tier, peel_round"
+)
+
+
+@register("b_graph_kcore", oracle=_KCORE_ORACLE, tags=("graph", "kcore"))
+def b_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C206: k-core decomposition by bounded synchronous peeling —
+    4 rounds of "drop every node whose degree in the surviving
+    subgraph is < k", at k_lo = ceil(mean/2) and k_hi = ceil(mean)
+    (exact integer arithmetic from Σd = 2|E|:
+    (|E| + |V| − 1) div |V| and (2·|E| + |V| − 1) div |V|).
+
+    The peel is the textbook distributed k-core algorithm (Montresor
+    et al. 2013): each round is one degree aggregation plus two
+    semi-joins — node-keyed shuffles of at-most-edge-list-sized data,
+    and the frontier only shrinks.  Rounds are FIXED at 4 in both
+    engines rather than run to fixpoint, so the hash contract never
+    depends on convergence speed; equal consecutive rows certify
+    convergence when it happens (the lo tier fixpoints immediately on
+    this graph family, the hi tier cascades to empty — both terminal
+    behaviors are in the hash).
+
+    Scale shape: 2×4 bounded passes, each ≤ |E| shuffle; every
+    round's survivor set is persisted because the next round's
+    degrees, its edge filter, and its own count all re-read it.  The
+    two |E|/|V| scalars are dim-sized driver aggregates (the same
+    collect class as a broadcast-threshold probe), not corpus rows."""
+    edges = _edges(spark, sf_dir)
+    nv = _degrees(edges).count()  # |V|: tiny driver-side scalar
+    ne = int(edges.agg(F.count("*").alias("ne")).collect()[0].ne)
+    outs = []
+    for tier, k in (("lo", (ne + nv - 1) // nv), ("hi", (2 * ne + nv - 1) // nv)):
+        cur = edges
+        for r in range(1, _KCORE_ROUNDS + 1):
+            keep = _degrees(cur).where(F.col("d") >= k).select("node")
+            # localCheckpoint (eager), NOT persist: persist leaves the
+            # full logical plan in place, and Catalyst re-optimizes the
+            # depth-r tree every round — measured 86 s of pure planning
+            # by round 4 at sf0.01.  Checkpointing truncates the plan to
+            # the materialized blocks (the same move the other iterative
+            # graph ops here make), after which each round is ~1 s.
+            cur = (
+                cur.join(keep.select(F.col("node").alias("u")), "u")
+                .join(keep.select(F.col("node").alias("v")), "v")
+                .select("u", "v")
+                .localCheckpoint()
+            )
+            # n_nodes counts KEPT nodes (incl. ones isolated by their
+            # neighbors' removal this round), exactly the oracle's
+            # HAVING set — cheap to recompute off the checkpointed
+            # parent.
+            outs.append((tier, k, r, keep.count(), cur.count()))
+    return spark.createDataFrame(
+        outs, "k_tier string, k long, peel_round long, n_nodes long, n_edges long"
+    ).orderBy("k_tier", "peel_round")
+
+
+# C207 — local clustering coefficient distribution.  Per-node triangle
+# counts come from the SAME enumerate-each-triangle-once join as the
+# global census (b_graph_triangles); each triangle then credits its
+# three corners.  The coefficient 2·tri/(d·(d−1)) is one IEEE division
+# of exact ints (correctly rounded, engine-identical), scaled to
+# millionths; the output is decile-bucketed so the result is a stable
+# |buckets|-row summary, not |V| rows.
+_CLUSTCOEFF_ORACLE = f"""
+WITH {_EDGES_CTE},
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corner AS (
+  SELECT node, COUNT(*) AS tri_n
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+coeff AS (
+  SELECT deg.node,
+         CAST(ROUND(
+           2000000.0 * COALESCE(corner.tri_n, 0) / (deg.d * (deg.d - 1))
+         ) AS BIGINT) AS coeff_m
+  FROM deg LEFT JOIN corner ON deg.node = corner.node
+  WHERE deg.d >= 2
+)
+SELECT LEAST(coeff_m // 100000, 9) AS decile,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(coeff_m) AS BIGINT) AS sum_coeff_m
+FROM coeff
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@register("b_graph_clustcoeff", oracle=_CLUSTCOEFF_ORACLE, tags=("graph", "clustering"))
+def b_graph_clustcoeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C207: local clustering coefficient per node, decile-bucketed —
+    Watts-Strogatz C_i = 2·tri(i)/(d_i·(d_i−1)) for d_i ≥ 2, where
+    tri(i) counts triangles containing i.  Complements
+    b_graph_triangles (one global ratio) with the distribution.
+
+    Triangle enumeration is DEGREE-ORIENTED exactly as in the census
+    (each triangle found once, wedge work Σ C(outdeg,2) — hub-safe);
+    each found triangle then explodes to its three corners and a
+    node-keyed count.  The oracle enumerates the same triangle set
+    with the plain u<v three-way self-join.
+
+    Scale shape: orientation joins + one wedge join (the bounded
+    one), a 3×|triangles| explode, node-keyed count, |V|-row join
+    with degrees, 10-row rollup.  Coefficients in exact millionths:
+    2e6·tri and d·(d−1) are exact longs, one correctly-rounded IEEE
+    division each."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "s")
+        .where(F.col("e1.t") < F.col("e2.t"))
+        .select("s", F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    )
+    tri = wedges.join(edges, (wedges.x == edges.u) & (wedges.y == edges.v)).select(
+        "s", "x", "y"
+    )
+    corner = (
+        tri.select(F.explode(F.array("s", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_n"))
+    )
+    coeff = (
+        deg.where(F.col("d") >= 2)
+        .join(corner, "node", "left")
+        .select(
+            F.round(
+                2_000_000.0
+                * F.coalesce(F.col("tri_n"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("bigint")
+            .alias("coeff_m")
+        )
+    )
+    return (
+        coeff.groupBy(
+            F.least(F.expr("coeff_m div 100000"), F.lit(9)).alias("decile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("coeff_m").cast("bigint").alias("sum_coeff_m"),
+        )
+        .orderBy("decile")
+    )
+
+
+# C208 — resource-allocation link prediction (Zhou, Lü & Zhang 2009):
+# for each NON-adjacent pair (x, y), score = Σ_{z ∈ N(x)∩N(y)} 1/d_z.
+# RA is chosen over Adamic-Adar deliberately: 1/d is rational, so the
+# per-term micro-unit rounding ((2e6 + d) div 2d — round-half-up in
+# pure integer arithmetic) is exact in both engines, whereas AA's
+# 1/ln(d) would ride on libm's last ulp.
+_LINK_RA_ORACLE = f"""
+WITH {_EDGES_CTE},
+und AS MATERIALIZED (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+),
+wedge AS MATERIALIZED (
+  SELECT a.v AS x, b.v AS y, a.u AS z
+  FROM und a JOIN und b ON a.u = b.u
+  WHERE a.v < b.v
+),
+cand AS (
+  SELECT w.x, w.y,
+         COUNT(*) AS n_common,
+         CAST(SUM((2000000 + deg.d) // (2 * deg.d)) AS BIGINT) AS score_m
+  FROM wedge w
+  JOIN deg ON deg.node = w.z
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.u = w.x AND e.v = w.y
+  )
+  GROUP BY w.x, w.y
+)
+SELECT x AS u_node, y AS v_node, n_common, score_m
+FROM cand
+ORDER BY score_m DESC, x, y
+LIMIT 20
+"""
+
+
+@register("b_graph_link_ra", oracle=_LINK_RA_ORACLE, tags=("graph", "linkpred"))
+def b_graph_link_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C208: top-20 predicted links by the resource-allocation index —
+    for every non-adjacent pair, the sum over common neighbors z of
+    1/d_z (hubs are poor evidence, low-degree mutual friends strong).
+
+    Scale shape: the wedge join is keyed on the shared CENTER (one
+    node-keyed shuffle of the doubled edge list); a hub of degree d
+    emits C(d,2) wedges, so at 100 TB the standard guard is a degree
+    cap on centers before the join (hubs contribute ≤ 1e6/d per term
+    anyway — dropping d > 10^4 centers changes scores by < 100 micro
+    units); exact here, where max degree is bucket-bounded.  The
+    existing-edge exclusion is one anti-join on the canonical (u<v)
+    pair key; scores are order-independent BIGINT micro-unit sums."""
+    edges = _edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    wedge = (
+        und.alias("a")
+        .join(und.alias("b"), "u")
+        .where(F.col("a.v") < F.col("b.v"))
+        .select(
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+            F.col("u").alias("z"),
+        )
+    )
+    cand = (
+        wedge.join(deg, wedge.z == deg.node)
+        .join(
+            edges,
+            (wedge.x == edges.u) & (wedge.y == edges.v),
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(F.expr("(2000000 + d) div (2 * d)"))
+            .cast("bigint")
+            .alias("score_m"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("x").alias("u_node"),
+            F.col("y").alias("v_node"),
+            "n_common",
+            "score_m",
+        )
+        .orderBy(F.desc("score_m"), "u_node", "v_node")
+        .limit(20)
+    )
