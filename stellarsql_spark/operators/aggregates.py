@@ -1334,3 +1334,153 @@ def b_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wp75_c"),
     )
+
+
+# --- Shannon entropy of a categorical mix (C209) ------------------------------
+
+# How concentrated is each order status's priority mix?  Entropy in
+# integer BILLIONTH-nats, the C203 (Kaplan-Meier) exactness recipe:
+# each category contributes ROUND(1e9 * (c/n) * ln(n/c)) — one double
+# divide, one ln, one multiply, one round per category, identically
+# parenthesized in both engines — and the per-status total is an exact
+# BIGINT sum of those integers, so aggregation order can never move
+# the hash.  max_entropy_b = ROUND(1e9 * ln(k)) ships alongside so a
+# consumer can form the normalized (Pielou) evenness downstream
+# without another transcendental in the contract.
+_ENTROPY_ORACLE = """
+WITH cat AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS pri, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT status, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cat GROUP BY status
+)
+SELECT t.status, t.n, t.k,
+       CAST(SUM(CAST(ROUND(1000000000 * (CAST(c.c AS DOUBLE) / t.n)
+                           * ln(CAST(t.n AS DOUBLE) / c.c)) AS BIGINT))
+            AS BIGINT) AS entropy_b,
+       CAST(ROUND(1000000000 * ln(CAST(t.k AS DOUBLE))) AS BIGINT)
+           AS max_entropy_b
+FROM cat c JOIN tot t ON c.status = t.status
+GROUP BY t.status, t.n, t.k
+ORDER BY t.status
+"""
+
+
+@register("b_agg_entropy", oracle=_ENTROPY_ORACLE, tags=("agg", "entropy"))
+def b_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C209: Shannon entropy (nats) of the order-priority distribution
+    within each order status — the mix-concentration diagnostic next
+    to b_agg_gini's inequality measure.  Carried as billionth-nat
+    integers: each category's term is rounded once from an identical
+    double expression in both engines, and the status total is an
+    exact integer sum of those terms (the C203 ln-term recipe), so
+    float summation order is out of the contract.
+
+    Scale shape: one (status, priority)-keyed rollup (map-side
+    partials, |status|x|priority| = 15 rows out of any corpus size),
+    a 3-row broadcast join for the totals, and a 3-row final group."""
+    o = load_table(spark, sf_dir, "orders")
+    cat = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count("*").alias("c"))
+    tot = cat.groupBy("status").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    term = (
+        F.round(
+            1000000000
+            * (F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("n").cast("double") / F.col("c"))
+        )
+        .cast("bigint")
+    )
+    return (
+        cat.join(F.broadcast(tot), "status")
+        .groupBy("status", "n", "k")
+        .agg(
+            F.sum(term).cast("bigint").alias("entropy_b"),
+            F.round(1000000000 * F.log(F.col("k").cast("double")))
+            .cast("bigint")
+            .alias("max_entropy_b"),
+        )
+        .select("status", "n", "k", "entropy_b", "max_entropy_b")
+    )
+
+
+# --- Exact mode with deterministic tie-break (C210) ---------------------------
+
+# Engine mode() builtins leave ties unspecified (DuckDB documents
+# "first value encountered"), so the contract form is the explicit
+# count + ROW_NUMBER with a total order: count DESC, then segment name
+# ASC.  The runner-up ships too — "mode" alone hides how contested the
+# win was — plus the winner's share of the nation in exact millionths
+# (integer division, no float).
+_MODE_ORACLE = """
+WITH cnt AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS seg, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+rk AS (
+  SELECT nationkey, seg, c,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY c DESC, seg) AS rn,
+         CAST(SUM(c) OVER (PARTITION BY nationkey) AS BIGINT) AS n_cust
+  FROM cnt
+)
+SELECT nationkey,
+       MIN(CASE WHEN rn = 1 THEN seg END) AS mode_seg,
+       CAST(MIN(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS mode_n,
+       MIN(CASE WHEN rn = 2 THEN seg END) AS runner_seg,
+       CAST(MIN(CASE WHEN rn = 2 THEN c END) AS BIGINT) AS runner_n,
+       CAST(MIN(CASE WHEN rn = 1 THEN (1000000 * c) // n_cust END)
+            AS BIGINT) AS share_m
+FROM rk WHERE rn <= 2
+GROUP BY nationkey
+ORDER BY nationkey
+"""
+
+
+@register("b_agg_mode", oracle=_MODE_ORACLE, tags=("agg", "mode"))
+def b_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C210: exact per-nation modal market segment with a DETERMINISTIC
+    tie-break (count desc, segment asc) — the reason this is not
+    engine mode(): both Spark's and DuckDB's builtin leave ties to
+    evaluation order.  Ships the runner-up and the winner's share in
+    exact integer millionths.
+
+    Scale shape: (nation, segment) rollup — map-side partials down to
+    25x5 rows — then a 125-row window; the corpus never reaches the
+    window."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    cnt = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("nationkey").orderBy(F.desc("c"), F.asc("seg"))
+    rk = cnt.select(
+        "nationkey",
+        "seg",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(Window.partitionBy("nationkey")).cast("bigint").alias("n_cust"),
+    ).where(F.col("rn") <= 2)
+    return (
+        rk.groupBy("nationkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("seg"))).alias("mode_seg"),
+            F.min(F.when(F.col("rn") == 1, F.col("c"))).cast("bigint").alias("mode_n"),
+            F.min(F.when(F.col("rn") == 2, F.col("seg"))).alias("runner_seg"),
+            F.min(F.when(F.col("rn") == 2, F.col("c"))).cast("bigint").alias("runner_n"),
+            F.min(
+                F.when(F.col("rn") == 1, F.expr("(1000000 * c) div n_cust"))
+            )
+            .cast("bigint")
+            .alias("share_m"),
+        )
+    )

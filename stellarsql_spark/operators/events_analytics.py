@@ -1236,3 +1236,60 @@ def b_ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.withColumn(
         "ln_surv_b", F.sum("lnterm_b").over(wcum).cast("bigint")
     )
+
+
+# --- Inter-arrival time distribution (C211) -----------------------------------
+
+# The distribution of per-user gaps between consecutive events,
+# log2-bucketed with PURE-INTEGER bucketing: bucket = number of binary
+# digits of (1 + gap seconds) — floor(log2)+1 without a transcendental
+# (bin() has no leading zeros in either engine; verified for BIGINT).
+# Lag ties are closed by the (ts, event_id) total order.
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(LENGTH(bin(1 + gap_us // 1000000)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("b_ev_interarrival", oracle=_INTERARRIVAL_ORACLE, tags=("events", "interarrival"))
+def b_ev_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C211: inter-arrival-time distribution — per-user gaps between
+    consecutive events, histogrammed into doubling buckets.  The
+    bucket is the BIT LENGTH of (1 + whole seconds): an exact integer
+    floor(log2)+1 via bin()/LENGTH, so the histogram boundary can
+    never ride a float log's last ulp.  Gaps are exact unix_micros
+    differences; lag order is totalized by (ts, event_id).
+
+    Scale shape: one user-keyed window (the sessionizer's shuffle),
+    then a ~40-bucket rollup with map-side partials — the classic
+    'user activity tempo' report shape."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy(
+            F.length(F.bin(1 + F.expr("gap_us div 1000000")))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+    )

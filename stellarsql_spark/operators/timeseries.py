@@ -1283,3 +1283,105 @@ def b_ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seasonal_strength_m"),
     )
+
+
+# --- Bollinger bands on daily revenue (C212) ----------------------------------
+
+# 7-row trailing mean +/- 2 sigma with the variance numerator kept in
+# EXACT integers: daily revenue is truncated to whole dollars, the
+# window carries (n, sum x, sum x^2) as BIGINTs, and sigma appears only
+# as ROUND(1000 * sqrt(n*sumsq - sum^2) / n) — sqrt, divide, multiply
+# are all IEEE-correctly-rounded, so the thousandth-dollar sigma is
+# bit-identical cross-engine (no ln anywhere).  Breach flags compare
+# cross-multiplied integers against that already-rounded sigma.
+_BOLLINGER_ORACLE = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev_d
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT d, rev_d,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+         CAST(SUM(rev_d) OVER w AS BIGINT) AS sum_d,
+         CAST(SUM(rev_d * rev_d) OVER w AS BIGINT) AS sumsq_d
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT d, rev_d, n_win, sum_d,
+       CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d - sum_d * sum_d AS DOUBLE))
+                  / n_win) AS BIGINT) AS sd_k,
+       CAST(1000 * n_win * rev_d >
+            1000 * sum_d + 2 * n_win *
+            CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d - sum_d * sum_d
+                                        AS DOUBLE)) / n_win) AS BIGINT)
+            AS BIGINT) AS breach_hi,
+       CAST(1000 * n_win * rev_d <
+            1000 * sum_d - 2 * n_win *
+            CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d - sum_d * sum_d
+                                        AS DOUBLE)) / n_win) AS BIGINT)
+            AS BIGINT) AS breach_lo
+FROM win ORDER BY d
+"""
+
+
+@register("b_ts_bollinger", oracle=_BOLLINGER_ORACLE, tags=("timeseries", "bollinger"))
+def b_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C212: Bollinger bands — trailing 7-day mean and population sigma
+    of daily order revenue, with +/-2-sigma breach flags.  The window
+    carries EXACT integer (n, sum, sum-of-squares) in whole dollars;
+    sigma is the single rounded expression
+    ROUND(1000*sqrt(n*sumsq - sum^2)/n), composed only of IEEE
+    correctly-rounded ops, so both engines produce the identical
+    thousandth-dollar value; the breach predicates are then pure
+    integer comparisons against it.  BIGINT headroom: sumsq stays
+    under 2^63 through ~1e9-dollar days (sf ~1); past that, swap the
+    carriers to DECIMAL(38,0)/HUGEINT — the shape is unchanged.
+
+    Scale shape: a date-keyed rollup (map-side partials, |days| rows
+    out of any corpus), then one |days|-row ordered window; the raw
+    order stream never reaches the window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor("o_totalprice").cast("bigint")).cast("bigint").alias("rev_d")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        "rev_d",
+        F.count("*").over(w).cast("bigint").alias("n_win"),
+        F.sum("rev_d").over(w).cast("bigint").alias("sum_d"),
+        F.sum(F.col("rev_d") * F.col("rev_d")).over(w).cast("bigint").alias("sumsq_d"),
+    )
+    sd_k = (
+        F.round(
+            1000
+            * F.sqrt(
+                (F.col("n_win") * F.col("sumsq_d") - F.col("sum_d") * F.col("sum_d"))
+                .cast("double")
+            )
+            / F.col("n_win")
+        )
+        .cast("bigint")
+    )
+    return win.select(
+        "d",
+        "rev_d",
+        "n_win",
+        "sum_d",
+        sd_k.alias("sd_k"),
+        (1000 * F.col("n_win") * F.col("rev_d")
+         > 1000 * F.col("sum_d") + 2 * F.col("n_win") * sd_k)
+        .cast("bigint")
+        .alias("breach_hi"),
+        (1000 * F.col("n_win") * F.col("rev_d")
+         < 1000 * F.col("sum_d") - 2 * F.col("n_win") * sd_k)
+        .cast("bigint")
+        .alias("breach_lo"),
+    )

@@ -155,3 +155,108 @@ class TestLinkRA:
         assert len(common) == r.n_common
         score = sum((2_000_000 + len(adj[z])) // (2 * len(adj[z])) for z in common)
         assert score == r.score_m
+
+
+class TestEntropy:
+    def test_bounds_and_totals(self, spark):
+        """0 <= entropy <= ln(k) (within the per-term rounding slack);
+        the per-status n's sum to the order count."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_entropy
+
+        rows = b_agg_entropy(spark, SF_MED).collect()
+        assert rows
+        n_orders = load_table(spark, SF_MED, "orders").count()
+        assert sum(r.n for r in rows) == n_orders
+        for r in rows:
+            assert 1 <= r.k <= 5
+            # each of k terms is rounded once => total is within k/2
+            # billionths of the true entropy, which is <= ln(k)
+            assert -r.k <= r.entropy_b <= r.max_entropy_b + r.k
+
+    def test_matches_python_exactly(self, spark):
+        """Recompute the billionth-nat contract value in pure Python
+        (same per-category rounding) on the tiny corpus."""
+        import math
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_entropy
+
+        rows = {r.status: r for r in b_agg_entropy(spark, SF).collect()}
+        orders = load_table(spark, SF, "orders").collect()
+        by: dict[str, dict[str, int]] = {}
+        for o in orders:
+            by.setdefault(o.o_orderstatus, {}).setdefault(o.o_orderpriority, 0)
+            by[o.o_orderstatus][o.o_orderpriority] += 1
+        for status, cats in by.items():
+            n = sum(cats.values())
+            want = sum(
+                round(1_000_000_000 * (c / n) * math.log(n / c))
+                for c in cats.values()
+            )
+            assert rows[status].entropy_b == want
+
+
+class TestMode:
+    def test_winner_beats_runner_deterministically(self, spark):
+        from stellarsql_spark.operators.aggregates import b_agg_mode
+
+        rows = b_agg_mode(spark, SF_MED).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert 0 < r.share_m <= 1_000_000
+            if r.runner_n is not None:
+                # tie-break: equal counts must have gone to the
+                # lexicographically smaller segment
+                assert (r.mode_n, r.runner_seg) > (r.runner_n, r.mode_seg) or (
+                    r.mode_n > r.runner_n
+                )
+                assert r.mode_n >= r.runner_n
+
+
+class TestInterarrival:
+    def test_bucket_is_bitlength_and_totals(self, spark):
+        """Bucket bounds hold exactly (2^(b-1) <= 1+gap_s < 2^b) and
+        the gap count is events minus distinct users."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_interarrival
+
+        rows = b_ev_interarrival(spark, SF_MED).collect()
+        assert rows
+        e = load_table(spark, SF_MED, "events")
+        n_events = e.count()
+        n_users = e.select("user_id").distinct().count()
+        assert sum(r.n_gaps for r in rows) == n_events - n_users
+        for r in rows:
+            lo, hi = 1 << (r.bucket - 1), 1 << r.bucket
+            assert lo <= 1 + r.min_gap_us // 1_000_000
+            assert 1 + r.max_gap_us // 1_000_000 < hi
+            assert r.n_gaps * r.min_gap_us <= r.sum_gap_us <= r.n_gaps * r.max_gap_us
+
+
+class TestBollinger:
+    def test_window_carriers_and_sigma(self, spark):
+        """n_win ramps 1..7 then stays 7; variance numerator is
+        non-negative; sd_k recomputes exactly in Python; breach flags
+        agree with the integer predicate."""
+        import math
+
+        from stellarsql_spark.operators.timeseries import b_ts_bollinger
+
+        rows = sorted(b_ts_bollinger(spark, SF).collect(), key=lambda r: r.d)
+        assert rows
+        for i, r in enumerate(rows):
+            assert r.n_win == min(i + 1, 7)
+        # recompute from scratch
+        daily = {r.d: r.rev_d for r in rows}
+        ds = sorted(daily)
+        for i, d in enumerate(ds):
+            w = ds[max(0, i - 6) : i + 1]
+            xs = [daily[x] for x in w]
+            n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+            assert n * ss - s * s >= 0
+            sd_k = round(1000 * math.sqrt(n * ss - s * s) / n)
+            r = rows[i]
+            assert r.sum_d == s and r.sd_k == sd_k
+            assert r.breach_hi == int(1000 * n * r.rev_d > 1000 * s + 2 * n * sd_k)
+            assert r.breach_lo == int(1000 * n * r.rev_d < 1000 * s - 2 * n * sd_k)
