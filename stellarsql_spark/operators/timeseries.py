@@ -1385,3 +1385,82 @@ def b_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("breach_lo"),
     )
+
+
+# --- Local-maxima peak detection (C215) ----------------------------------------
+
+# scipy.signal.find_peaks' core contract in pure windows: a day is a
+# peak iff its revenue STRICTLY exceeds every day in a ±3-row
+# neighborhood, and the neighborhood must be complete (3 rows each
+# side) so series edges can't mint degenerate peaks.  Strict >
+# against both sides makes the flag deterministic without a
+# tie-break.  Everything is exact integer dollars.
+_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev_d
+  FROM orders GROUP BY 1
+),
+nbr AS (
+  SELECT d, rev_d,
+         CAST(MAX(rev_d) OVER wp AS BIGINT) AS max_prev,
+         CAST(MAX(rev_d) OVER wf AS BIGINT) AS max_next,
+         COUNT(*) OVER wp AS n_prev,
+         COUNT(*) OVER wf AS n_next
+  FROM daily
+  WINDOW wp AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         wf AS (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+)
+SELECT d, rev_d,
+       CAST(rev_d - GREATEST(max_prev, max_next) AS BIGINT) AS excess_d
+FROM nbr
+WHERE n_prev = 3 AND n_next = 3
+  AND rev_d > max_prev AND rev_d > max_next
+ORDER BY d
+"""
+
+
+@register("b_ts_peaks", oracle=_PEAKS_ORACLE, tags=("timeseries", "peaks"))
+def b_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C215: local-maxima peak detection on daily revenue — a day is a
+    peak iff it STRICTLY beats every day within 3 rows on both sides
+    and both neighborhoods are complete (edges excluded by the window
+    row-counts, not by date arithmetic).  Ships each peak's excess
+    over its tallest neighbor — find_peaks' 'prominence-lite', exact
+    in integer dollars.
+
+    Scale shape: the date rollup collapses the corpus to |days| rows
+    map-side; two small ordered windows over that; no self-join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.floor("o_totalprice").cast("bigint")).cast("bigint").alias("rev_d"))
+    wp = Window.orderBy("d").rowsBetween(-3, -1)
+    wf = Window.orderBy("d").rowsBetween(1, 3)
+    nbr = daily.select(
+        "d",
+        "rev_d",
+        F.max("rev_d").over(wp).cast("bigint").alias("max_prev"),
+        F.max("rev_d").over(wf).cast("bigint").alias("max_next"),
+        F.count("*").over(wp).alias("n_prev"),
+        F.count("*").over(wf).alias("n_next"),
+    )
+    return (
+        nbr.where(
+            (F.col("n_prev") == 3)
+            & (F.col("n_next") == 3)
+            & (F.col("rev_d") > F.col("max_prev"))
+            & (F.col("rev_d") > F.col("max_next"))
+        )
+        .select(
+            "d",
+            "rev_d",
+            (F.col("rev_d") - F.greatest("max_prev", "max_next"))
+            .cast("bigint")
+            .alias("excess_d"),
+        )
+    )

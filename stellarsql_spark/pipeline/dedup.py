@@ -399,3 +399,83 @@ def b_llm_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - dist / F.greatest(F.length("h1"), F.length("h2")), 6
         ).alias("head_sim"),
     )
+
+
+# --- Asymmetric shingle containment (C214) ------------------------------------
+
+# Doc-in-doc detection: Jaccard is blind to a short document wholly
+# embedded in a long one (the union term swamps it), so near-dup
+# pipelines run BOTH symmetric Jaccard and asymmetric containment
+# |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) (Broder's formulation).  Same
+# inverted-index candidate join as b_llm_jaccard — never all pairs —
+# and the score is exact integer millionths.
+_CONTAIN_THRESHOLD_M = 500_000
+
+_CONTAIN_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shin AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM words
+  WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shin GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shin a JOIN shin b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, n_common,
+       CAST(ca.n AS BIGINT) AS n_sh1, CAST(cb.n AS BIGINT) AS n_sh2,
+       CAST((1000000 * n_common) // LEAST(ca.n, cb.n) AS BIGINT)
+           AS containment_m
+FROM pairs
+JOIN counts ca ON doc1 = ca.doc_id
+JOIN counts cb ON doc2 = cb.doc_id
+WHERE (1000000 * n_common) // LEAST(ca.n, cb.n) >= {_CONTAIN_THRESHOLD_M}
+"""
+
+
+@register("b_llm_containment", oracle=_CONTAIN_ORACLE, tags=("pipeline", "dedup", "containment"))
+def b_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C214: asymmetric shingle containment ≥ 0.5 — catches a short
+    document embedded in a long one, which Jaccard's union
+    denominator hides (a 10-shingle doc inside a 1000-shingle doc is
+    J ≈ 0.01 but containment = 1.0).  Score is
+    |S∩| / min(|S(a)|, |S(b)|) in EXACT integer millionths.
+
+    Scale shape: identical to b_llm_jaccard — inverted-index
+    candidate join on the shingle (only co-shingled pairs meet), one
+    pair-keyed count, two slim joins against the per-doc shingle
+    counts; the df-cap skew guard applies the same way."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", shingles(F.col("text")).alias("sh_arr"))
+    )
+    shin = docs.select("doc_id", F.explode("sh_arr").alias("sh"))
+    counts = docs.select("doc_id", F.size("sh_arr").cast("bigint").alias("n"))
+    a, b = shin.alias("a"), shin.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(counts.withColumnsRenamed({"doc_id": "doc1", "n": "n_sh1"}), "doc1")
+        .join(counts.withColumnsRenamed({"doc_id": "doc2", "n": "n_sh2"}), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_common",
+            "n_sh1",
+            "n_sh2",
+            F.expr("(1000000 * n_common) div least(n_sh1, n_sh2)")
+            .cast("bigint")
+            .alias("containment_m"),
+        )
+        .where(F.col("containment_m") >= _CONTAIN_THRESHOLD_M)
+    )

@@ -1988,3 +1988,81 @@ def b_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _CDC_TOPN)
         .select("chunk", "n_words", "n_docs", "n_occ", "rn")
     )
+
+
+# --- Lexical diversity: type-token ratio + hapax rate (C213) -------------------
+
+# Per-language roll-up of per-document lexical diversity — the
+# third classic text-quality axis next to b_llm_quality's surface
+# ratios and b_llm_freq_quality's corpus-frequency score: low TTR
+# flags template/boilerplate docs, high hapax share flags OCR noise
+# and gibberish.  Ratios are exact integer millionths (integer div),
+# summed as BIGINTs.
+_TTR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+perword AS (
+  SELECT doc_id, lang, word, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3
+),
+perdoc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM perword GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_types) AS BIGINT) AS sum_types,
+       CAST(SUM(n_hapax) AS BIGINT) AS sum_hapax,
+       CAST(SUM((1000000 * n_types) // n_tokens) AS BIGINT) AS sum_ttr_m,
+       CAST(SUM((1000000 * n_hapax) // n_types) AS BIGINT) AS sum_hapax_m
+FROM perdoc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("b_llm_ttr", oracle=_TTR_ORACLE, tags=("pipeline", "textstats", "quality"))
+def b_llm_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C213: type-token ratio and hapax-legomenon rate per document,
+    rolled up by language — lexical diversity, the standard
+    boilerplate/gibberish axis the surface-ratio quality score
+    (b_llm_quality) can't see.
+
+    Scale shape: the per-doc type/hapax counts are computed MAP-SIDE
+    from one sort_array pass (a type is a run start in the sorted
+    token array, a hapax a run of length 1) — the oracle's
+    (doc, word) explode+rollup never materializes as a shuffle on the
+    Spark side; the only exchange is the |langs|-row final rollup.
+    Ratios are exact integer millionths; every sum is a BIGINT."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.sort_array(F.split("text", " "))
+    perdoc = d.select(
+        "lang",
+        F.size(sw).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("n_types"),
+        F.expr(
+            """CAST(size(filter(sequence(1, size(sort_array(split(text, ' ')))),
+                 i -> (i = 1 OR element_at(sort_array(split(text, ' ')), i)
+                              != element_at(sort_array(split(text, ' ')), i - 1))
+                  AND (i = size(sort_array(split(text, ' '))) OR
+                       element_at(sort_array(split(text, ' ')), i)
+                              != element_at(sort_array(split(text, ' ')), i + 1))))
+               AS BIGINT)"""
+        ).alias("n_hapax"),
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_types").cast("bigint").alias("sum_types"),
+            F.sum("n_hapax").cast("bigint").alias("sum_hapax"),
+            F.sum(F.expr("(1000000 * n_types) div n_tokens"))
+            .cast("bigint")
+            .alias("sum_ttr_m"),
+            F.sum(F.expr("(1000000 * n_hapax) div n_types"))
+            .cast("bigint")
+            .alias("sum_hapax_m"),
+        )
+    )

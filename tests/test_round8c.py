@@ -260,3 +260,109 @@ class TestBollinger:
             assert r.sum_d == s and r.sd_k == sd_k
             assert r.breach_hi == int(1000 * n * r.rev_d > 1000 * s + 2 * n * sd_k)
             assert r.breach_lo == int(1000 * n * r.rev_d < 1000 * s - 2 * n * sd_k)
+
+
+class TestTTR:
+    def test_matches_python_per_lang(self, spark):
+        """Recompute the whole per-lang contract (token/type/hapax sums
+        and millionth ratios) in pure Python on the tiny corpus — this
+        pins the map-side sorted-runs hapax trick to the explode
+        semantics the oracle uses."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.textstats import b_llm_ttr
+
+        rows = {r.lang: r for r in b_llm_ttr(spark, SF).collect()}
+        docs = load_table(spark, SF, "documents").collect()
+        agg: dict[str, list[int]] = {}
+        for d in docs:
+            ws = d.text.split(" ")
+            cnt: dict[str, int] = {}
+            for w in ws:
+                cnt[w] = cnt.get(w, 0) + 1
+            n_tok, n_typ = len(ws), len(cnt)
+            n_hap = sum(1 for c in cnt.values() if c == 1)
+            a = agg.setdefault(d.lang, [0, 0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += n_tok
+            a[2] += n_typ
+            a[3] += n_hap
+            a[4] += (1_000_000 * n_typ) // n_tok
+            a[5] += (1_000_000 * n_hap) // n_typ
+        assert set(rows) == set(agg)
+        for lang, a in agg.items():
+            r = rows[lang]
+            got = [r.n_docs, r.sum_tokens, r.sum_types, r.sum_hapax,
+                   r.sum_ttr_m, r.sum_hapax_m]
+            assert got == a
+
+    def test_plan_has_no_word_level_shuffle(self, spark):
+        """The Spark plan computes per-doc stats map-side: exactly one
+        Exchange (the lang rollup), no explode/Generate node."""
+        from stellarsql_spark.pipeline.textstats import b_llm_ttr
+
+        df = b_llm_ttr(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan
+
+
+class TestContainment:
+    def test_scores_exact_and_thresholded(self, spark):
+        """Every reported pair: n_common <= min shingle count, the
+        millionth score recomputes exactly, and >= the 0.5 threshold;
+        spot-verify one pair's shingle sets in Python."""
+        from stellarsql_spark.pipeline.dedup import b_llm_containment, shingles
+        from stellarsql_spark.catalog import load_table
+
+        rows = b_llm_containment(spark, SF_MED).collect()
+        assert rows
+        for r in rows:
+            assert r.n_common <= min(r.n_sh1, r.n_sh2)
+            want = (1_000_000 * r.n_common) // min(r.n_sh1, r.n_sh2)
+            assert r.containment_m == want >= 500_000
+        r = rows[0]
+        docs = {
+            d.doc_id: d.text
+            for d in load_table(spark, SF_MED, "documents")
+            .where(f"doc_id IN ({r.doc1}, {r.doc2})")
+            .collect()
+        }
+
+        def sh(t: str) -> set[str]:
+            w = t.split(" ")
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        s1, s2 = sh(docs[r.doc1]), sh(docs[r.doc2])
+        assert (len(s1), len(s2)) == (r.n_sh1, r.n_sh2)
+        assert len(s1 & s2) == r.n_common
+
+
+class TestPeaks:
+    def test_peaks_strictly_dominate_neighborhood(self, spark):
+        """Each reported day strictly beats its 3 row-neighbors on both
+        sides of the dense daily series; edges never appear; excess
+        recomputes exactly."""
+        from stellarsql_spark.operators.timeseries import b_ts_peaks
+        from stellarsql_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        peaks = {r.d: r for r in b_ts_peaks(spark, SF_MED).collect()}
+        assert peaks
+        o = load_table(spark, SF_MED, "orders")
+        daily = (
+            o.groupBy(
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+                ).alias("d")
+            )
+            .agg(F.sum(F.floor("o_totalprice").cast("bigint")).alias("rev"))
+            .collect()
+        )
+        series = sorted((r.d, r.rev) for r in daily)
+        idx = {d: i for i, (d, _) in enumerate(series)}
+        for d, r in peaks.items():
+            i = idx[d]
+            assert 3 <= i < len(series) - 3
+            nb = [series[j][1] for j in range(i - 3, i + 4) if j != i]
+            assert all(series[i][1] > v for v in nb)
+            assert r.excess_d == series[i][1] - max(nb)
