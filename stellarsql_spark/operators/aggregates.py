@@ -1484,3 +1484,112 @@ def b_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_m"),
         )
     )
+
+
+# --- Welch's unequal-variance t-test (C217) ------------------------------------
+
+# The continuous-metric experiment readout next to C145's
+# two-proportion z: do BUILDING and MACHINERY customers differ in
+# order value?  Welch's t plus the Satterthwaite df — the form that
+# does NOT assume equal variances, i.e. the one a metrics platform
+# should default to.  Sufficient statistics are exact
+# DECIMAL(38)/HUGEINT cents moments; t and df are compositions of
+# IEEE correctly-rounded double ops over those identical inputs,
+# rounded once at the end.
+_TTEST_ORACLE = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(ROUND(100 * o.o_totalprice) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+s AS (
+  SELECT seg, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS sxx
+  FROM seg GROUP BY seg
+),
+wide AS (
+  SELECT MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n_a,
+         MAX(CASE WHEN seg = 'BUILDING' THEN sx END) AS sx_a,
+         MAX(CASE WHEN seg = 'BUILDING' THEN sxx END) AS sxx_a,
+         MAX(CASE WHEN seg = 'MACHINERY' THEN n END) AS n_b,
+         MAX(CASE WHEN seg = 'MACHINERY' THEN sx END) AS sx_b,
+         MAX(CASE WHEN seg = 'MACHINERY' THEN sxx END) AS sxx_b
+  FROM s
+),
+v AS (
+  SELECT n_a, n_b,
+         (n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1)) / n_a AS se2_a,
+         (n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1)) / n_b AS se2_b,
+         sx_a / n_a - sx_b / n_b AS mdiff
+  FROM wide
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(ROUND(mdiff) AS BIGINT) AS mean_diff_c,
+       ROUND(mdiff / sqrt(se2_a + se2_b), 6) AS t_welch,
+       ROUND((se2_a + se2_b) * (se2_a + se2_b)
+             / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)),
+             3) AS df_welch
+FROM v
+"""
+
+
+@register("b_agg_ttest_welch", oracle=_TTEST_ORACLE, tags=("agg", "stats", "ttest"))
+def b_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C217: Welch's unequal-variance t-test on order value between
+    two customer segments, with the Satterthwaite degrees of freedom.
+    The whole test reduces to six exact numbers (n, Σv, Σv² per arm
+    in integer cents / DECIMAL(38)); t and df are then identical
+    double expressions in both engines (÷, ×, sqrt — all IEEE
+    correctly-rounded), rounded once.
+
+    Scale shape: one broadcast dim join (customer segment), one
+    2-group rollup with map-side partials — the corpus collapses to
+    two rows of sufficient statistics before any math happens."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(
+            F.broadcast(c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            o.o_custkey == c.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v"),
+        )
+    )
+    dec = F.col("v").cast("decimal(38,0)")
+    s = seg.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * F.col("v")).cast("double").alias("sxx"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("sxx"))).alias("sxx_a"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("sxx"))).alias("sxx_b"),
+    )
+    v = wide.select(
+        "n_a",
+        "n_b",
+        F.expr("(n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1)) / n_a").alias("se2_a"),
+        F.expr("(n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1)) / n_b").alias("se2_b"),
+        F.expr("sx_a / n_a - sx_b / n_b").alias("mdiff"),
+    )
+    return v.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("mdiff").cast("bigint").alias("mean_diff_c"),
+        F.round(F.expr("mdiff / sqrt(se2_a + se2_b)"), 6).alias("t_welch"),
+        F.round(
+            F.expr(
+                "(se2_a + se2_b) * (se2_a + se2_b)"
+                " / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))"
+            ),
+            3,
+        ).alias("df_welch"),
+    )

@@ -1464,3 +1464,100 @@ def b_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("excess_d"),
         )
     )
+
+
+# --- Lead-lag cross-correlation (C216) ------------------------------------------
+
+# Which series LEADS: Pearson corr between daily 'view' cents and
+# daily 'purchase' cents at lags −3..+3 (positive k = purchases k days
+# AFTER views) — the autocorrelation machinery (C146) pointed at two
+# different series, pairing by an explicit epoch-day equi-join
+# (dy.d = dx.d + k) instead of LAG so the lag can be a column in both
+# engines.  Same exactness recipe: integer-cents daily sums,
+# DECIMAL(38)/HUGEINT moments, one double conversion at the end.
+_CROSSCORR_ORACLE = """
+WITH dx AS (
+  SELECT epoch_us(ts) // 86400000000 AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+dy AS (
+  SELECT epoch_us(ts) // 86400000000 AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pairs AS (
+  SELECT ks.k, dx.x, dy.y
+  FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) ks(k)
+  JOIN dx ON TRUE
+  JOIN dy ON dy.d = dx.d + ks.k
+),
+s AS (
+  SELECT k, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY k
+)
+SELECT k, n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS crosscorr
+FROM s ORDER BY k
+"""
+
+
+@register("b_ts_crosscorr", oracle=_CROSSCORR_ORACLE, tags=("timeseries", "crosscorr"))
+def b_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C216: lead-lag cross-correlation — Pearson between the daily
+    'view' and 'purchase' cents series at lags −3..+3; the argmax
+    lag says which series leads and by how many days (the
+    campaign-attribution question C146's autocorrelation can't
+    answer).  Lag pairing is an epoch-day equi-join with the lag as a
+    join-key summand, because neither engine's LAG takes a column
+    offset.  Moments in DECIMAL(38)/HUGEINT; one double conversion
+    then ROUND 6 — bit-identical cross-engine.
+
+    Scale shape: two filtered date rollups collapse the corpus
+    map-side to |days| rows each; the 7-lag fan-out and join run on
+    the tiny daily series only."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(et: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == et)
+            .groupBy(
+                F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d")
+            )
+            .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(out))
+        )
+
+    dx, dy = daily("view", "x"), daily("purchase", "y")
+    ks = spark.createDataFrame([(k,) for k in range(-3, 4)], "k bigint")
+    pairs = (
+        dx.crossJoin(F.broadcast(ks))
+        .join(dy.withColumnRenamed("d", "d_y"), F.expr("d_y = d + k"))
+        .select("k", "x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    return s.select(
+        "k",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("crosscorr"),
+    )

@@ -843,3 +843,140 @@ def b_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
     return with_payload.mapInPandas(_png_roundtrip_batch, schema=_PNG_SCHEMA)
+
+
+# --- Perceptual image hash (average hash) + collision groups (C218) -------------
+
+# The standard cheap image near-dup detector: threshold each pixel
+# against the image mean, pack the bits.  The existing BMP keys use
+# solid-color images (degenerate for a perceptual hash — every bit
+# ties), so this key encodes a GRADIENT image: 5x3 grayscale whose
+# pixel(x, y) is md5-payload byte [y*5 + x].  5 wide is deliberate:
+# 15 bytes/row forces 1 pad byte per BMP row, and 3 rows force the
+# bottom-up row flip — the two classic BMP decode bugs — so a decoder
+# that mishandles either scrambles the pixel order and the hash.
+# Strict-above-EXACT-mean thresholding (15*p > sum) keeps the bit
+# rule pure-integer in decoder and oracle alike.
+_AHASH_W, _AHASH_H = 5, 3
+_AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+
+def _gradient_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched gradient-image ENCODE: 15 md5 payload bytes become
+    a 5x3 grayscale BMP (top row first in image space; the file stores
+    rows bottom-up per the BMP spec, which this writer honors)."""
+    for pdf in batches:
+        imgs = []
+        for p in pdf["payload"]:
+            rows_topdown = [
+                b"".join(
+                    bytes((p[y * _AHASH_W + x],) * 3) for x in range(_AHASH_W)
+                )
+                for y in range(_AHASH_H)
+            ]
+            imgs.append(
+                _bmp_encode_rows(_AHASH_W, _AHASH_H, list(reversed(rows_topdown)))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
+
+
+def _ahash_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched average-hash: parse the BMP (header offsets, row
+    padding, bottom-up order), grayscale each pixel, set bit i of the
+    hash iff pixel_i is strictly above the exact image mean
+    (n*p > sum).  Malformed payloads quarantine as ahash = -1."""
+    import struct
+
+    for pdf in batches:
+        out_w, out_h, out_hash = [], [], []
+        for img in pdf["img"]:
+            try:
+                if img[:2] != b"BM":
+                    raise ValueError("not a BMP")
+                off = struct.unpack_from("<I", img, 10)[0]
+                w, h = struct.unpack_from("<ii", img, 18)
+                if w <= 0 or h <= 0 or w * h > 1 << 20:
+                    raise ValueError("bad dimensions")
+                row = (3 * w + 3) // 4 * 4
+                if off + row * h > len(img):
+                    raise ValueError("truncated pixel array")
+                px = []
+                for y in range(h):  # image top row = last stored row
+                    base = off + (h - 1 - y) * row
+                    for x in range(w):
+                        b, g, r = img[base + 3 * x : base + 3 * x + 3]
+                        px.append((r + g + b) // 3)
+                n, s = len(px), sum(px)
+                ah = 0
+                for i, p in enumerate(px):
+                    if n * p > s:
+                        ah |= 1 << i
+                out_w.append(w)
+                out_h.append(h)
+                out_hash.append(ah)
+            except (ValueError, IndexError, TypeError, struct.error):
+                out_w.append(-1)
+                out_h.append(-1)
+                out_hash.append(-1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series(out_w, dtype="int32"),
+                "height": pd.Series(out_h, dtype="int32"),
+                "ahash": pd.Series(out_hash, dtype="int64"),
+            }
+        )
+
+
+# Oracle never sees the binary: it predicts the 15-bit hash straight
+# from the md5 hex (pixel i = byte i, bit iff 15*p > sum of bytes).
+_AHASH_ORACLE = """
+WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS p
+  FROM m, unnest(range(0, 15)) AS t(i)
+),
+agg AS (SELECT doc_id, SUM(p) AS sp FROM px GROUP BY doc_id),
+hashes AS (
+  SELECT px.doc_id,
+         CAST(SUM(CASE WHEN 15 * p > sp THEN CAST(1 AS BIGINT) << i
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM px JOIN agg ON px.doc_id = agg.doc_id
+  GROUP BY px.doc_id
+)
+SELECT doc_id, CAST(5 AS INT) AS width, CAST(3 AS INT) AS height, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+FROM hashes
+"""
+
+
+@register("b_mm_image_ahash", oracle=_AHASH_ORACLE, tags=("pipeline", "multimodal", "ahash"))
+def b_mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C218: perceptual image dedup via average hash — encode a REAL
+    gradient BMP per document (15 payload bytes as a 5x3 grayscale
+    image; the width forces row padding and the height forces the
+    bottom-up flip), decode it back, threshold each pixel against the
+    exact image mean (15*p > sum — pure integers), pack 15 bits, and
+    count hash collisions (the near-dup candidate groups).  The
+    oracle predicts every bit arithmetically from the md5 hex, so a
+    padding, BGR, or row-order bug in either codec half flips bits
+    and fails the hash.
+
+    Scale shape: encode and hash are Arrow-batched map-only passes;
+    the only shuffle is the 15-bit-hash collision count — at 100 TB
+    the 2-byte hash column shuffles, never the images (the
+    b_llm_dedup_exact discipline applied to pixels)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    images = with_payload.mapInPandas(_gradient_encode_batch, schema=ENCODE_SCHEMA)
+    hashes = images.mapInPandas(_ahash_decode_batch, schema=_AHASH_SCHEMA)
+    from pyspark.sql import Window
+
+    return hashes.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.count("*").over(Window.partitionBy("ahash")).cast("bigint").alias("n_same"),
+    )

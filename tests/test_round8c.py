@@ -366,3 +366,139 @@ class TestPeaks:
             nb = [series[j][1] for j in range(i - 3, i + 4) if j != i]
             assert all(series[i][1] > v for v in nb)
             assert r.excess_d == series[i][1] - max(nb)
+
+
+class TestCrossCorr:
+    def test_lag_zero_and_bounds(self, spark):
+        """All 7 lags present; every coefficient in [-1, 1]; pair
+        counts shrink as |k| grows (fewer overlapping days)."""
+        from stellarsql_spark.operators.timeseries import b_ts_crosscorr
+
+        rows = {r.k: r for r in b_ts_crosscorr(spark, SF_MED).collect()}
+        assert set(rows) == set(range(-3, 4))
+        for r in rows.values():
+            assert -1.0 <= r.crosscorr <= 1.0
+        assert rows[0].n >= rows[3].n and rows[0].n >= rows[-3].n
+
+    def test_matches_python(self, spark):
+        """Recompute lag-1 Pearson from the raw event rows."""
+        import math
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.timeseries import b_ts_crosscorr
+
+        got = {r.k: r for r in b_ts_crosscorr(spark, SF).collect()}
+        ev = load_table(spark, SF, "events").collect()
+        dx: dict[int, int] = {}
+        dy: dict[int, int] = {}
+        for e in ev:
+            d = int(e.ts.timestamp() * 1_000_000) // 86_400_000_000
+            c = round(e.value * 100)
+            if e.event_type == "view":
+                dx[d] = dx.get(d, 0) + c
+            elif e.event_type == "purchase":
+                dy[d] = dy.get(d, 0) + c
+        for k in (-1, 0, 1):
+            pairs = [(x, dy[d + k]) for d, x in dx.items() if d + k in dy]
+            n = len(pairs)
+            sx = sum(p[0] for p in pairs)
+            sy = sum(p[1] for p in pairs)
+            sxx = sum(p[0] * p[0] for p in pairs)
+            syy = sum(p[1] * p[1] for p in pairs)
+            sxy = sum(p[0] * p[1] for p in pairs)
+            want = round(
+                (n * sxy - sx * sy)
+                / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            )
+            assert got[k].n == n and abs(got[k].crosscorr - want) < 1e-9
+
+
+class TestWelch:
+    def test_matches_scipy_shape(self, spark):
+        """Recompute Welch t and Satterthwaite df from raw cents in
+        Python; df must lie between min(n)-1 and n_a+n_b-2."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_ttest_welch
+
+        r = b_agg_ttest_welch(spark, SF_MED).collect()[0]
+        o = load_table(spark, SF_MED, "orders")
+        c = load_table(spark, SF_MED, "customer")
+        rows = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .where("c_mktsegment IN ('BUILDING', 'MACHINERY')")
+            .select("c_mktsegment", "o_totalprice")
+            .collect()
+        )
+        import math
+
+        arms: dict[str, list[int]] = {"BUILDING": [], "MACHINERY": []}
+        for x in rows:
+            arms[x.c_mktsegment].append(round(100 * x.o_totalprice))
+        na, nb = len(arms["BUILDING"]), len(arms["MACHINERY"])
+        assert (r.n_a, r.n_b) == (na, nb)
+        ma = sum(arms["BUILDING"]) / na
+        mb = sum(arms["MACHINERY"]) / nb
+        va = sum((x - ma) ** 2 for x in arms["BUILDING"]) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in arms["MACHINERY"]) / (nb - 1)
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        df = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        assert abs(r.t_welch - t) < 1e-4
+        assert abs(r.df_welch - df) < 0.5
+        assert min(na, nb) - 1 <= r.df_welch <= na + nb - 2
+
+
+class TestImageAhash:
+    def test_hash_matches_payload_bytes(self, spark):
+        """The decoded-pixel hash equals the hash computed straight
+        from the md5 payload bytes — i.e. the BMP round trip (padding,
+        BGR, bottom-up rows) is pixel-exact."""
+        import hashlib
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.multimodal import b_mm_image_ahash
+
+        got = {r.doc_id: r for r in b_mm_image_ahash(spark, SF).collect()}
+        docs = load_table(spark, SF, "documents").collect()
+        same: dict[int, int] = {}
+        for d in docs:
+            p = hashlib.md5(d.text.encode()).digest()[:15]
+            s = sum(p)
+            ah = sum(1 << i for i, v in enumerate(p) if 15 * v > s)
+            r = got[d.doc_id]
+            assert (r.width, r.height, r.ahash) == (5, 3, ah)
+            same[ah] = same.get(ah, 0) + 1
+        for d in docs:
+            assert got[d.doc_id].n_same == same[got[d.doc_id].ahash]
+
+    def test_corrupt_bmp_quarantines(self, spark):
+        """Truncated / non-BMP / hostile-geometry payloads produce
+        deterministic -1 quarantine rows, never executor exceptions
+        (the r8 adversarial-gate contract extended to this decoder)."""
+        import pandas as pd
+
+        from stellarsql_spark.pipeline.multimodal import _ahash_decode_batch
+
+        bad = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "img": [
+                    b"",  # empty
+                    b"XX not a bmp at all",  # wrong magic
+                    b"BM" + b"\x00" * 20,  # truncated header
+                    # absurd dimensions: claims 2^16 x 2^16
+                    b"BM"
+                    + b"\x00" * 8
+                    + (54).to_bytes(4, "little")
+                    + (40).to_bytes(4, "little")
+                    + (65536).to_bytes(4, "little", signed=True)
+                    + (65536).to_bytes(4, "little", signed=True)
+                    + b"\x00" * 28,
+                ],
+            }
+        )
+        out = pd.concat(list(_ahash_decode_batch(iter([bad]))))
+        assert list(out["ahash"]) == [-1, -1, -1, -1]
+        assert list(out["width"]) == [-1, -1, -1, -1]
