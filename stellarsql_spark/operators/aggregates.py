@@ -1593,3 +1593,46 @@ def b_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("df_welch"),
     )
+
+
+# --- Multiple DISTINCT aggregates in one pass (C221) ------------------------------
+
+# COUNT(DISTINCT a), COUNT(DISTINCT b), SUM(DISTINCT c) in ONE query
+# is a real planner stressor: Spark compiles N distinct sets into an
+# Expand (each input row replicated N times with a grouping-set id)
+# followed by two aggregate stages.  The key exists to pin that plan
+# and its semantics; the docstring records the scale trade and the
+# cheaper alternatives.
+_MULTI_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_part,
+       COUNT(DISTINCT l_suppkey) AS nd_supp,
+       CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dist_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY 1
+"""
+
+
+@register("b_agg_multi_distinct", oracle=_MULTI_DISTINCT_ORACLE, tags=("agg", "distinct"))
+def b_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C221: three DISTINCT aggregates over different columns in one
+    GROUP BY — Catalyst compiles this via Expand: every input row is
+    replicated once per distinct set (3x here) and tagged with a
+    grouping id, then partial-deduped before the final aggregate.
+
+    Scale note: the Expand multiplies the SHUFFLED bytes by the
+    number of distinct sets — at 100 TB prefer (a) one query per
+    distinct column sharing a scan, (b) approx_count_distinct (HLL,
+    no Expand — b_agg_approx_cd), or (c) pre-deduped rollup tables
+    (b_ts_rollup_incremental's pattern).  This key pins the exact
+    semantics so those rewrites have a contract to match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.sum_distinct(F.col("l_quantity").cast("bigint")).alias("sum_dist_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )

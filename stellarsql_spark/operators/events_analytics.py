@@ -1293,3 +1293,56 @@ def b_ev_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").cast("bigint").alias("max_gap_us"),
         )
     )
+
+
+# --- New vs returning daily actives (C220) ---------------------------------------
+
+# The growth-accounting split every product dashboard leads with:
+# today's actives decomposed into first-ever-seen and returning.
+# Exact by construction — a user is "new" on day d iff d equals
+# their min active day.
+_NEWRET_ORACLE = """
+WITH ud AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d
+  FROM events GROUP BY 1, 2
+),
+firsts AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY 1)
+SELECT d, COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+FROM ud JOIN firsts ON ud.user_id = firsts.user_id
+GROUP BY d ORDER BY d
+"""
+
+
+@register("b_ev_new_returning", oracle=_NEWRET_ORACLE, tags=("events", "growth"))
+def b_ev_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C220: daily actives split into new (first-ever day) vs
+    returning — growth accounting's numerator decomposition, the
+    report b_ev_dau_mau (stickiness) and b_ev_retention (cohorts)
+    sandwich but neither produces.
+
+    Scale shape: one (user, day) dedup rollup (map-side partials,
+    keyed by user), a user-window min for the first day on the SAME
+    partitioning (no second shuffle), then a |days|-row rollup."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+    ).agg(F.lit(1).alias("one"))
+    d0 = F.min("d").over(Window.partitionBy("user_id"))
+    flagged = ud.select("d", d0.alias("d0"))
+    return (
+        flagged.groupBy("d")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("d") > F.col("d0"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )

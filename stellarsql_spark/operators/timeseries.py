@@ -1561,3 +1561,60 @@ def b_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("crosscorr"),
     )
+
+
+# --- Rolling exact median (C219) -------------------------------------------------
+
+# The robust trailing smoother: a 7-row exact median shrugs off a
+# one-day spike that drags the Bollinger mean (C212) — the reason
+# dashboards pair them.  Exact interpolated percentile over a ROWS
+# window; both engines interpolate the even-count midpoint as
+# (a+b)/2 of exact integer cents (verified bit-identical), so the
+# double is deterministic.  The spike flag compares against
+# 1.5*median — 1.5 is exactly representable, the multiply correctly
+# rounded, so the flag is deterministic given the median.
+_ROLLMED_ORACLE = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT d, rev_c,
+       quantile_cont(rev_c, 0.5) OVER (
+         ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_7,
+       CAST(rev_c > 1.5 * quantile_cont(rev_c, 0.5) OVER (
+         ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS spike
+FROM daily ORDER BY d
+"""
+
+
+@register("b_ts_rolling_median", oracle=_ROLLMED_ORACLE, tags=("timeseries", "median"))
+def b_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C219: trailing 7-day EXACT median of daily revenue with a
+    1.5x-median spike flag — the robust smoother that ignores the
+    single-day outliers which drag a trailing mean (its Bollinger
+    twin C212 is the non-robust contrast).  Spark's exact
+    percentile() and DuckDB's quantile_cont interpolate the
+    even-count midpoint identically over exact integer cents
+    (probed bit-identical before this key shipped).
+
+    Scale shape: date rollup collapses the corpus map-side to |days|
+    rows; the window's exact median costs O(frame log frame) per row
+    on that tiny series only."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint")).alias("rev_c"))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    med = F.expr("percentile(rev_c, 0.5)").over(w)
+    return daily.select(
+        "d",
+        "rev_c",
+        med.alias("med_7"),
+        (F.col("rev_c") > 1.5 * med).cast("bigint").alias("spike"),
+    )

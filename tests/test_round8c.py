@@ -502,3 +502,65 @@ class TestImageAhash:
         out = pd.concat(list(_ahash_decode_batch(iter([bad]))))
         assert list(out["ahash"]) == [-1, -1, -1, -1]
         assert list(out["width"]) == [-1, -1, -1, -1]
+
+
+class TestRollingMedian:
+    def test_median_recomputes_and_robustness(self, spark):
+        """Exact median recomputes from the raw daily series (with the
+        even-count midpoint interpolation); and unlike the mean the
+        median of a window ignores a single spike: max |median| move
+        from any one-day spike window stays bounded by the
+        next-largest values."""
+        import statistics
+
+        from stellarsql_spark.operators.timeseries import b_ts_rolling_median
+
+        rows = sorted(b_ts_rolling_median(spark, SF).collect(), key=lambda r: r.d)
+        series = [r.rev_c for r in rows]
+        for i, r in enumerate(rows):
+            w = series[max(0, i - 6) : i + 1]
+            assert r.med_7 == statistics.median(w)
+            assert r.spike == int(r.rev_c > 1.5 * r.med_7)
+
+
+class TestNewReturning:
+    def test_decomposition_and_conservation(self, spark):
+        """n_new + n_returning == n_active on every day; new users sum
+        to the distinct user count; day-one actives are all new."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_new_returning
+
+        rows = sorted(b_ev_new_returning(spark, SF_MED).collect(), key=lambda r: r.d)
+        assert rows
+        n_users = (
+            load_table(spark, SF_MED, "events").select("user_id").distinct().count()
+        )
+        assert all(r.n_new + r.n_returning == r.n_active for r in rows)
+        assert sum(r.n_new for r in rows) == n_users
+        assert rows[0].n_returning == 0
+
+
+class TestMultiDistinct:
+    def test_matches_naive_and_expand_plan(self, spark):
+        """Counts match per-column distinct queries; the physical plan
+        contains the Expand the docstring pins."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_multi_distinct
+
+        df = b_agg_multi_distinct(spark, SF)
+        rows = {r.l_returnflag: r for r in df.collect()}
+        li = load_table(spark, SF, "lineitem")
+        for flag, r in rows.items():
+            sub = li.where(F.col("l_returnflag") == flag)
+            assert r.nd_part == sub.select("l_partkey").distinct().count()
+            assert r.nd_supp == sub.select("l_suppkey").distinct().count()
+            assert r.sum_dist_qty == sum(
+                x[0]
+                for x in sub.select(F.col("l_quantity").cast("bigint"))
+                .distinct()
+                .collect()
+            )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan
