@@ -771,3 +771,75 @@ def b_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string"),
         ).alias("label"),
     ).orderBy("o_orderkey")
+
+
+# --- NETWORKDAYS: business-day arithmetic (C224) ------------------------------------
+
+# Whole business days (Mon–Fri) between order and ship date — the
+# spreadsheet NETWORKDAYS every analyst asks a warehouse for, as pure
+# integer arithmetic: W(d) = weekdays in [0, d) = 5·(d div 7) +
+# lookup[(d mod 7)], where epoch day 0 is a Thursday and the 7-entry
+# cumulative lookup [0,1,2,2,2,3,4] counts weekdays in the remainder
+# run (r=0 Thu, 1 Fri, 2 Sat, 3 Sun, 4 Mon, 5 Tue, 6 Wed).  No date
+# functions at all, so the engines' dayofweek numbering disagreements
+# never enter.
+_NETWORKDAYS_ORACLE = """
+WITH li AS (
+  SELECT o.o_orderpriority AS pri,
+         epoch_us(o.o_orderdate) // 86400000000 AS d1,
+         epoch_us(l.l_shipdate) // 86400000000 AS d2
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+bd AS (
+  SELECT pri,
+         (5 * (d2 // 7) + ([0,1,2,2,2,3,4])[(d2 % 7) + 1])
+         - (5 * (d1 // 7) + ([0,1,2,2,2,3,4])[(d1 % 7) + 1]) AS busdays
+  FROM li
+)
+SELECT pri, COUNT(*) AS n,
+       CAST(SUM(busdays) AS BIGINT) AS sum_busdays,
+       CAST(MIN(busdays) AS BIGINT) AS min_busdays,
+       CAST(MAX(busdays) AS BIGINT) AS max_busdays
+FROM bd GROUP BY pri ORDER BY pri
+"""
+
+
+@register("b_fn_networkdays", oracle=_NETWORKDAYS_ORACLE, tags=("functions", "datetime", "busdays"))
+def b_fn_networkdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C224: NETWORKDAYS — whole Mon-Fri business days between order
+    and ship date, per order priority.  Neither engine has the
+    builtin; the closed form W(d2) − W(d1) with
+    W(d) = 5·(d div 7) + cumlookup[d mod 7] counts weekdays in [0, d)
+    by pure integer arithmetic anchored on epoch day 0 = Thursday —
+    no dayofweek(), whose numbering the engines disagree on.
+
+    Scale shape: the fact join is the orderkey-bucketable equi-join
+    every TPC-H key uses; the busdays expression is map-side integer
+    math; output is a 5-row rollup with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lut = F.array(*[F.lit(x) for x in (0, 1, 2, 2, 2, 3, 4)])
+    # epoch days here are all positive (post-1970 corpus), so div/mod
+    # truncation vs floor never diverges; keep the simple form.
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("d1"),
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("d2"),
+    )
+    wexpr = lambda c: 5 * F.expr(f"{c} div 7") + F.element_at(
+        lut, (F.col(c) % 7).cast("int") + 1
+    )
+    bd = joined.select(
+        "pri",
+        (wexpr("d2") - wexpr("d1")).cast("bigint").alias("busdays"),
+    )
+    return bd.groupBy("pri").agg(
+        F.count("*").alias("n"),
+        F.sum("busdays").cast("bigint").alias("sum_busdays"),
+        F.min("busdays").cast("bigint").alias("min_busdays"),
+        F.max("busdays").cast("bigint").alias("max_busdays"),
+    )

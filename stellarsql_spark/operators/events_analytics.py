@@ -1346,3 +1346,80 @@ def b_ev_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+# --- Windowed funnel: conversion within N days (C223) ------------------------------
+
+# Real funnels have conversion WINDOWS — "purchased within 7 days of
+# signup", not "ever" (B-8's b_ev_funnel is the unwindowed form).
+# First-touch signup per user, then the first purchase strictly
+# after it, then one row of exact conversion counts at 1/3/7/30-day
+# horizons.
+_FUNNEL_WINDOWED_ORACLE = """
+WITH signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id, s.t_signup, MIN(epoch_us(e.ts)) AS t_conv
+  FROM signup s
+  JOIN events e ON e.user_id = s.user_id
+   AND e.event_type = 'purchase' AND epoch_us(e.ts) > s.t_signup
+  GROUP BY s.user_id, s.t_signup
+)
+SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
+       CAST(SUM(CASE WHEN t_conv - t_signup <= 1 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_1d,
+       CAST(SUM(CASE WHEN t_conv - t_signup <= 3 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_3d,
+       CAST(SUM(CASE WHEN t_conv - t_signup <= 7 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_7d,
+       CAST(SUM(CASE WHEN t_conv - t_signup <= 30 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_30d,
+       COUNT(*) AS conv_ever
+FROM conv
+"""
+
+
+@register("b_ev_funnel_windowed", oracle=_FUNNEL_WINDOWED_ORACLE, tags=("events", "funnel"))
+def b_ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C223: funnel conversion at explicit time horizons — signups
+    converting to a purchase within 1/3/7/30 days of first signup
+    (strictly after it).  The unwindowed b_ev_funnel overstates
+    conversion by counting forever; horizon curves are what growth
+    teams actually compare.
+
+    Scale shape: a user-keyed signup rollup, one user-keyed join back
+    to purchase events (both sides shuffle on user_id once), a
+    user-keyed conversion rollup, then a 1-row aggregate; horizons
+    are CASE predicates over the same exact integer deltas, so all
+    four cost one pass."""
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_signup"))
+    )
+    conv = (
+        signup.join(
+            e.where(F.col("event_type") == "purchase").select(
+                "user_id", F.unix_micros("ts").alias("t_p")
+            ),
+            "user_id",
+        )
+        .where(F.col("t_p") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t_p").alias("t_conv"))
+    )
+    n_signup = signup.agg(F.count("*").alias("n_signup"))
+    day_us = 86_400_000_000
+    horizons = conv.agg(
+        *[
+            F.sum(
+                F.when(F.col("t_conv") - F.col("t_signup") <= d * day_us, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"conv_{d}d")
+            for d in (1, 3, 7, 30)
+        ],
+        F.count("*").alias("conv_ever"),
+    )
+    return n_signup.crossJoin(F.broadcast(horizons)).select(
+        "n_signup", "conv_1d", "conv_3d", "conv_7d", "conv_30d", "conv_ever"
+    )

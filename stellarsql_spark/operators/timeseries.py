@@ -1618,3 +1618,120 @@ def b_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.alias("med_7"),
         (F.col("rev_c") > 1.5 * med).cast("bigint").alias("spike"),
     )
+
+
+# --- STL-residual anomaly detection (C222) -----------------------------------------
+
+# The composition every metrics platform actually runs (Twitter's
+# S-H-ESD shape): deseasonalize FIRST (C171's decomposition), then
+# threshold the residual with robust MAD z-scores — a weekly-seasonal
+# series makes raw-value thresholds (b_ts_outlier_mad's global form)
+# fire every weekend.  med/MAD are exact interpolated medians of
+# integer-scaled residuals (deterministic, the C219 probe); the 3.5σ
+# robust threshold constant 3.5·1.4826 = 5.1891 is one double
+# literal, parsed and multiplied identically in both engines.
+_STL_ANOM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS epoch_d,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS x_c
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT epoch_d, x_c,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(x_c) OVER w AS BIGINT) END AS sum7
+  FROM daily
+  WINDOW w AS (ORDER BY epoch_d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT epoch_d, x_c, CAST((epoch_d + 4) % 7 AS BIGINT) AS dow,
+         CAST(7 * x_c - sum7 AS BIGINT) AS d7
+  FROM tr WHERE sum7 IS NOT NULL
+),
+seas AS (
+  SELECT *,
+         CAST(ROUND(1000000 * AVG(d7) OVER (PARTITION BY dow)) AS BIGINT) AS seasonal_m
+  FROM det
+),
+resid AS (
+  SELECT epoch_d, x_c, CAST(1000000 * d7 - seasonal_m AS BIGINT) AS resid_m
+  FROM seas
+),
+med1 AS (
+  SELECT *, quantile_cont(resid_m, 0.5) OVER () AS med FROM resid
+),
+med2 AS (
+  SELECT *, quantile_cont(abs(resid_m - med), 0.5) OVER () AS mad FROM med1
+)
+SELECT epoch_d, x_c, resid_m,
+       CAST(ROUND(med) AS BIGINT) AS med_m, CAST(ROUND(mad) AS BIGINT) AS mad_m
+FROM med2
+WHERE abs(resid_m - med) > 5.1891 * mad
+ORDER BY epoch_d
+"""
+
+
+@register("b_ts_stl_anomaly", oracle=_STL_ANOM_ORACLE, tags=("timeseries", "anomaly", "stl"))
+def b_ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C222: seasonal-residual anomaly detection — C171's classical
+    decomposition feeding a robust MAD threshold on the RESIDUAL
+    (|r − med| > 3.5·1.4826·MAD), the composition that keeps a weekly
+    cycle from tripping the detector every Sunday (contrast
+    b_ts_outlier_mad, which thresholds raw values).  Residuals are
+    exact integer millionth-cents from C171's ladder; the two medians
+    interpolate identically cross-engine (the C219 probe).
+
+    Scale shape: the day rollup is the only data-sized pass; windows
+    run over the |days| series.  At 100 TB with many series the two
+    global medians become per-series-key partitions of the same
+    windows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("epoch_d")
+    ).agg(
+        F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("x_c")
+    )
+    w = Window.orderBy("epoch_d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "epoch_d",
+        "x_c",
+        F.when(F.count("*").over(w) == 7, F.sum("x_c").over(w).cast("bigint")).alias(
+            "sum7"
+        ),
+    ).where(F.col("sum7").isNotNull())
+    det = tr.select(
+        "epoch_d",
+        "x_c",
+        ((F.col("epoch_d") + 4) % 7).cast("bigint").alias("dow"),
+        (7 * F.col("x_c") - F.col("sum7")).cast("bigint").alias("d7"),
+    )
+    seas = det.withColumn(
+        "seasonal_m",
+        F.round(1_000_000 * F.avg("d7").over(Window.partitionBy("dow"))).cast("bigint"),
+    )
+    resid = seas.select(
+        "epoch_d",
+        "x_c",
+        (1_000_000 * F.col("d7") - F.col("seasonal_m")).cast("bigint").alias("resid_m"),
+    )
+    wall = Window.partitionBy()
+    med1 = resid.withColumn("med", F.expr("percentile(resid_m, 0.5)").over(wall))
+    med2 = med1.withColumn(
+        "mad", F.expr("percentile(abs(resid_m - med), 0.5)").over(wall)
+    )
+    return (
+        med2.where(F.abs(F.col("resid_m") - F.col("med")) > 5.1891 * F.col("mad"))
+        .select(
+            "epoch_d",
+            "x_c",
+            "resid_m",
+            F.round("med").cast("bigint").alias("med_m"),
+            F.round("mad").cast("bigint").alias("mad_m"),
+        )
+    )

@@ -564,3 +564,112 @@ class TestMultiDistinct:
             )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Expand" in plan
+
+
+class TestSTLAnomaly:
+    def test_flagged_days_exceed_robust_threshold(self, spark):
+        """Each flagged day's residual deviation exceeds 5.1891x the
+        MAD recomputed from the full residual series in Python; and
+        the detector flags strictly fewer days than the raw-value MAD
+        detector would flag weekends (seasonality absorbed)."""
+        import statistics
+
+        from stellarsql_spark.operators.timeseries import (
+            b_ts_seasonal_decompose,
+            b_ts_stl_anomaly,
+        )
+
+        anom = b_ts_stl_anomaly(spark, SF).collect()
+        dec = [
+            r
+            for r in b_ts_seasonal_decompose(spark, SF).collect()
+            if r.sum7 is not None
+        ]
+        resid = [1_000_000 * (7 * r.x_c - r.sum7) - r.seasonal_m for r in dec]
+        med = statistics.median(resid)
+        mad = statistics.median([abs(x - med) for x in resid])
+        flagged = {x for x in resid if abs(x - med) > 5.1891 * mad}
+        assert {r.resid_m for r in anom} == flagged
+        for r in anom:
+            assert abs(r.resid_m - med) > 5.1891 * mad
+
+
+class TestFunnelWindowed:
+    def test_horizon_monotonicity_and_spotcheck(self, spark):
+        """conv_1d <= conv_3d <= conv_7d <= conv_30d <= conv_ever <=
+        n_signup; and the 7-day count recomputes from raw events."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_funnel_windowed
+
+        r = b_ev_funnel_windowed(spark, SF).collect()[0]
+        assert r.conv_1d <= r.conv_3d <= r.conv_7d <= r.conv_30d <= r.conv_ever
+        assert r.conv_ever <= r.n_signup
+        ev = load_table(spark, SF, "events").collect()
+        sign: dict[int, int] = {}
+        for e in ev:
+            if e.event_type == "signup":
+                t = int(e.ts.timestamp() * 1_000_000)
+                sign[e.user_id] = min(sign.get(e.user_id, t), t)
+        conv7 = 0
+        for u, t0 in sign.items():
+            ps = [
+                int(e.ts.timestamp() * 1_000_000)
+                for e in ev
+                if e.user_id == u
+                and e.event_type == "purchase"
+                and int(e.ts.timestamp() * 1_000_000) > t0
+            ]
+            if ps and min(ps) - t0 <= 7 * 86_400_000_000:
+                conv7 += 1
+        assert r.conv_7d == conv7
+
+
+class TestNetworkdays:
+    def test_formula_matches_calendar_walk(self, spark):
+        """The closed form equals a literal walk over the calendar for
+        a spread of spans crossing weekends, plus the aggregate totals
+        recompute on the tiny corpus."""
+        import datetime
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators import aggregates  # noqa: F401
+        from stellarsql_spark.functions.families import b_fn_networkdays
+
+        lut = [0, 1, 2, 2, 2, 3, 4]
+
+        def W(d: int) -> int:
+            return 5 * (d // 7) + lut[d % 7]
+
+        # epoch day 0 = Thursday 1970-01-01
+        for d1 in range(0, 30):
+            for span in (0, 1, 2, 6, 7, 13, 30):
+                d2 = d1 + span
+                walk = sum(
+                    1
+                    for d in range(d1, d2)
+                    if datetime.date.fromordinal(
+                        datetime.date(1970, 1, 1).toordinal() + d
+                    ).weekday()
+                    < 5
+                )
+                assert W(d2) - W(d1) == walk
+        rows = {r.pri: r for r in b_fn_networkdays(spark, SF).collect()}
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "o_orderpriority", "o_orderdate", "l_shipdate"
+        ).collect()
+        agg: dict[str, list[int]] = {}
+        epoch = datetime.date(1970, 1, 1).toordinal()
+        for x in joined:
+            d1 = x.o_orderdate.date().toordinal() - epoch
+            d2 = x.l_shipdate.date().toordinal() - epoch
+            agg.setdefault(x.o_orderpriority, []).append(W(d2) - W(d1))
+        for pri, vals in agg.items():
+            r = rows[pri]
+            assert (r.n, r.sum_busdays, r.min_busdays, r.max_busdays) == (
+                len(vals),
+                sum(vals),
+                min(vals),
+                max(vals),
+            )
