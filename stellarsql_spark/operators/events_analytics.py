@@ -1423,3 +1423,144 @@ def b_ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_signup.crossJoin(F.broadcast(horizons)).select(
         "n_signup", "conv_1d", "conv_3d", "conv_7d", "conv_30d", "conv_ever"
     )
+
+
+# --- Rolling 7-day distinct actives via delta sweep (C228) ---------------------------
+
+# Sliding-window COUNT DISTINCT is the classic "can't just window it"
+# aggregate: distinct doesn't decompose over overlapping frames.  The
+# exact scalable form is the interval-union DELTA SWEEP: each user's
+# active days merge into coverage islands (an active day a covers
+# [a, a+6]; islands split when consecutive active days gap by >= 8),
+# each island emits +1 at its start and −1 past its end, and a prefix
+# sum over the day axis reads off the rolling WAU.  The oracle is the
+# naive O(days x users) range join — same answer, the contrast IS the
+# point.
+_ROLLING_WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d, COUNT(DISTINCT ud.user_id) AS wau
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d ORDER BY days.d
+"""
+
+
+@register("b_ev_rolling_wau", oracle=_ROLLING_WAU_ORACLE, tags=("events", "wau", "sweep"))
+def b_ev_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C228: rolling 7-day distinct active users, EXACT, by interval-
+    union delta sweep — the scalable algorithm for sliding COUNT
+    DISTINCT (which never decomposes over overlapping windows):
+    per user, merge active days into coverage islands (gap >= 8
+    splits), emit +1/−1 boundary deltas, prefix-sum along the day
+    axis, read the level at each active day.
+
+    Scale shape: one (user, day) dedup (the only data-sized shuffle),
+    one user-partitioned lag window over users' active days, then the
+    sweep runs over O(#islands) deltas — bounded by user-days, tiny
+    after the dedup.  The oracle's range-join form is O(days · users)
+    and exists to certify this plan, not to compete with it."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        "d",
+        F.when(
+            F.lag("d").over(wu).isNull() | (F.col("d") - F.lag("d").over(wu) >= 8), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    ).withColumn("island", F.sum("is_start").over(wu))
+    bounds = isl.groupBy("user_id", "island").agg(
+        F.min("d").alias("a"), (F.max("d") + 7).alias("b")
+    )
+    deltas = bounds.select(F.col("a").alias("d"), F.lit(1).alias("delta")).unionAll(
+        bounds.select(F.col("b").alias("d"), F.lit(-1).alias("delta"))
+    )
+    days = ud.select("d").distinct().withColumn("delta", F.lit(0))
+    level = (
+        deltas.unionAll(days)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("dd"))
+        .withColumn(
+            "wau",
+            F.sum("dd").over(
+                Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        level.join(ud.select("d").distinct(), "d")
+        .select("d", F.col("wau").cast("bigint").alias("wau"))
+    )
+
+
+# --- Audience overlap matrix (C229) ---------------------------------------------------
+
+# How much do the event-type audiences overlap?  Exact Jaccard
+# between user sets for every unordered pair of event types — the
+# adtech/segmentation report, and the set-similarity machinery
+# (b_llm_jaccard's) pointed at behavioral cohorts instead of
+# shingles.
+_AUDIENCE_ORACLE = """
+WITH au AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+sizes AS (SELECT et, COUNT(*) AS n FROM au GROUP BY et),
+inter AS (
+  SELECT a.et AS et1, b.et AS et2, COUNT(*) AS n_both
+  FROM au a JOIN au b ON a.user_id = b.user_id AND a.et < b.et
+  GROUP BY 1, 2
+)
+SELECT et1, et2, n_both,
+       CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+       CAST((1000000 * n_both) // (sa.n + sb.n - n_both) AS BIGINT) AS jaccard_m
+FROM inter
+JOIN sizes sa ON et1 = sa.et
+JOIN sizes sb ON et2 = sb.et
+ORDER BY et1, et2
+"""
+
+
+@register("b_ev_audience_overlap", oracle=_AUDIENCE_ORACLE, tags=("events", "overlap", "jaccard"))
+def b_ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C229: audience overlap — exact Jaccard between every pair of
+    event-type user sets (10 pairs over 5 types), in integer
+    millionths.  The inverted-index set-similarity shape from the
+    dedup family applied to behavioral cohorts.
+
+    Scale shape: the (type, user) dedup shuffles once on user; the
+    self-join is user-keyed (each user contributes |their types|²/2
+    pair rows, bounded by 10); sizes broadcast back onto the 10-row
+    intersection table."""
+    e = load_table(spark, sf_dir, "events")
+    au = e.select(F.col("event_type").alias("et"), "user_id").distinct()
+    sizes = au.groupBy("et").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = au.alias("a"), au.alias("b")
+    inter = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.et") < F.col("b.et")))
+        .groupBy(F.col("a.et").alias("et1"), F.col("b.et").alias("et2"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"et": "et1", "n": "n1"})), "et1")
+        .join(F.broadcast(sizes.withColumnsRenamed({"et": "et2", "n": "n2"})), "et2")
+        .select(
+            "et1",
+            "et2",
+            "n_both",
+            "n1",
+            "n2",
+            F.expr("(1000000 * n_both) div (n1 + n2 - n_both)")
+            .cast("bigint")
+            .alias("jaccard_m"),
+        )
+    )

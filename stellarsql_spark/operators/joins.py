@@ -432,3 +432,54 @@ def b_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size."""
     register_views(spark, sf_dir, ("customer", "supplier"))
     return spark.sql(_USING_SQL)
+
+
+# --- Null-safe equality join (C231) ----------------------------------------------------
+
+# Joining on a NULLABLE key with `=` silently drops every NULL row
+# (NULL = NULL is NULL) — the classic missing-rows bug.  The
+# null-safe operator (<=> in Spark, IS NOT DISTINCT FROM in
+# DuckDB/ANSI) matches NULL to NULL as one group.  The key derives a
+# nullable bucket (NULLIF of a modulus) on both sides so exactly one
+# bucket is NULL, and counts pair cardinalities per bucket — the
+# NULL row's presence IS the contract.
+_NULL_SAFE_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(c_nationkey % 5, 0) AS k, COUNT(*) AS n_a
+  FROM customer GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(s_nationkey % 5, 0) AS k, COUNT(*) AS n_b
+  FROM supplier GROUP BY 1
+)
+SELECT a.k, CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b,
+       CAST(a.n_a * b.n_b AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.k NULLS FIRST
+"""
+
+
+@register("b_join_null_safe", oracle=_NULL_SAFE_ORACLE, tags=("join", "nullsafe"))
+def b_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C231: null-safe equality join — Spark's <=> / ANSI IS NOT
+    DISTINCT FROM.  A plain `=` join on the derived nullable bucket
+    would silently drop the NULL group (NULL = NULL -> NULL -> no
+    match); the null-safe form keeps it, and this key's hash fails if
+    the NULL row goes missing.
+
+    Scale shape: <=> compiles to an EqualNullSafe hash-join key (the
+    null bucket hashes like any value — still a shuffle-hash/broadcast
+    join, never a nested loop; pre-aggregated here so the join is
+    5x5)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.groupBy(
+        F.nullif((F.col("c_nationkey") % 5).cast("bigint"), F.lit(0)).alias("k")
+    ).agg(F.count("*").cast("bigint").alias("n_a"))
+    b = s.groupBy(
+        F.nullif((F.col("s_nationkey") % 5).cast("bigint"), F.lit(0)).alias("kb")
+    ).agg(F.count("*").cast("bigint").alias("n_b"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .select("k", "n_a", "n_b", (F.col("n_a") * F.col("n_b")).cast("bigint").alias("n_pairs"))
+    )

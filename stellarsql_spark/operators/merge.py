@@ -243,3 +243,67 @@ def b_merge_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matches_recompute"
         ),
     )
+
+
+# --- SCD2 point-in-time lookup (C225) ----------------------------------------------
+
+# The consumer side of b_merge_scd2: join each fact (purchase) to the
+# dimension VERSION that was effective at the fact's timestamp —
+# ts ∈ [valid_from, valid_to) with NULL valid_to as the open current
+# row.  This interval lookup is what makes an SCD2 history useful;
+# building it (the producer key) without this query is half the
+# feature.
+_SCD2_LOOKUP_ORACLE = """
+WITH hist AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS version,
+         ts AS valid_from,
+         LEAD(ts) OVER w AS valid_to
+  FROM events WHERE event_type = 'signup'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+  SELECT h.version, CAST(ROUND(100 * e.value) AS BIGINT) AS v_c
+  FROM events e JOIN hist h ON e.user_id = h.user_id
+   AND e.ts >= h.valid_from AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+  WHERE e.event_type = 'purchase'
+)
+SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_purchases,
+       CAST(SUM(v_c) AS BIGINT) AS sum_value_c
+FROM hits GROUP BY version ORDER BY version
+"""
+
+
+@register("b_join_scd2_lookup", oracle=_SCD2_LOOKUP_ORACLE, tags=("merge", "scd2", "join"))
+def b_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C225: point-in-time dimension lookup against the SCD2 history
+    b_merge_scd2 builds (this key literally composes that builder):
+    each purchase joins to the signup-version row effective at its
+    timestamp (half-open [valid_from, valid_to), NULL = current).
+    Purchases before a user's first version drop out by definition.
+
+    Scale shape: the interval predicate rides a user_id EQUI-join —
+    both sides shuffle once on user_id and the range conditions
+    evaluate inside the joined partition (never a cross join); a
+    user's version count is small, so the per-key fan-out is bounded.
+    Output is a |versions|-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = b_merge_scd2(spark, sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.round(100 * F.col("value")).cast("bigint").alias("v_c"),
+    )
+    hits = purch.join(
+        hist.select("user_id", "version", "valid_from", "valid_to"),
+        ["user_id"],
+    ).where(
+        (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+    )
+    return (
+        hits.groupBy(F.col("version").cast("bigint").alias("version"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("v_c").cast("bigint").alias("sum_value_c"),
+        )
+    )

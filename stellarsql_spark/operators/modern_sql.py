@@ -383,3 +383,44 @@ def b_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+# --- SELECT * EXCEPT: projection by exclusion (C230) ----------------------------------
+
+# The wide-table ergonomic both engines grew independently (Spark 3.4
+# `* EXCEPT (...)`, DuckDB `* EXCLUDE (...)`): project everything BUT
+# the named columns.  The key pins that the exclusion happens at
+# ANALYSIS time — the scan's ReadSchema must already drop the
+# excluded column (asserted in tests), i.e. it is column pruning, not
+# a post-projection.
+_STAR_EXCEPT_ORACLE = """
+SELECT COLUMNS(* EXCLUDE (o_comment_na, o_totalprice)) FROM (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority, NULL AS o_comment_na
+  FROM orders
+) WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
+@register("b_sql_star_except", oracle=_STAR_EXCEPT_ORACLE, tags=("sql", "projection"))
+def b_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C230: SELECT * EXCEPT — projection by exclusion over a wide
+    relation (Spark's EXCEPT = DuckDB's EXCLUDE).  The value at scale
+    is that the exclusion resolves during analysis, so Catalyst's
+    column pruning pushes the NARROWED schema to the parquet scan —
+    the excluded money column never leaves storage (ReadSchema
+    asserted in tests/test_round8c.py).
+
+    orderdate is deliberately absent and a NULL dummy present, so the
+    projected shape is non-trivial on both sides."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_se")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_comment_na, o_totalprice) FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderpriority, CAST(NULL AS STRING) AS o_comment_na
+          FROM orders_se
+        ) WHERE o_orderkey < 1000
+        """
+    )

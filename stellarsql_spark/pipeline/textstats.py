@@ -2066,3 +2066,132 @@ def b_llm_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_hapax_m"),
         )
     )
+
+
+# --- Vocabulary coverage curve (C226) -----------------------------------------------
+
+# Tokenizer/vocab design's first question: what fraction of corpus
+# tokens does a top-k vocabulary cover?  Rank words by (count DESC,
+# word) — a total order, so the curve is deterministic — and read the
+# cumulative coverage at k = 10 / 100 / 1000 / 10000.
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk,
+         CAST(SUM(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+         CAST(SUM(c) OVER () AS BIGINT) AS ctot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS vocab_size
+  FROM freq
+)
+SELECT k, vocab_size, ctot AS total_tokens,
+       CAST(MAX(CASE WHEN rnk <= k THEN ccum END) AS BIGINT) AS covered,
+       CAST((1000000 * MAX(CASE WHEN rnk <= k THEN ccum END)) // ctot AS BIGINT)
+           AS coverage_m
+FROM ranked CROSS JOIN (VALUES (10), (100), (1000), (10000)) ks(k)
+GROUP BY k, vocab_size, ctot ORDER BY k
+"""
+
+
+@register("b_llm_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE, tags=("pipeline", "text", "vocab"))
+def b_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C226: vocabulary coverage curve — corpus-token share covered by
+    the top-k most frequent words, k = 10/100/1000/10000, ranked by
+    the total order (count DESC, word).  THE sizing curve for a
+    tokenizer vocab or a stopword list; exact integer millionths.
+
+    Scale shape: word-frequency rollup (map-side partials), then the
+    rank window runs over only the TOP max-k candidates — fetched by
+    a TakeOrdered limit (per-partition top-k + merge), never a global
+    sort of the full vocabulary — while the two totals come from a
+    1-row aggregate of the full frequency table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = freq.agg(
+        F.sum("c").cast("bigint").alias("ctot"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("word")).limit(10000)
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    ranked = top.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("ccum"),
+    ).crossJoin(F.broadcast(totals))
+    ks = d.sparkSession.createDataFrame([(10,), (100,), (1000,), (10000,)], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k", "vocab_size", F.col("ctot").alias("total_tokens"))
+        .agg(
+            F.max(F.when(F.col("rnk") <= F.col("k"), F.col("ccum")))
+            .cast("bigint")
+            .alias("covered"),
+            F.expr(
+                "CAST((1000000 * max(CASE WHEN rnk <= k THEN ccum END)) div max(ctot)"
+                " AS BIGINT)"
+            ).alias("coverage_m"),
+        )
+    )
+
+
+# --- BPE tokenizer fertility by language (C227) ---------------------------------------
+
+# Fertility = BPE tokens per whitespace word; chars-per-token is its
+# cost-side twin.  THE tokenizer-efficiency report (a vocab that
+# fragments one language 2x inflates that language's training cost
+# 2x) — composed directly on the C151 BPE kernel and its
+# replay-in-SQL oracle, so the merges are the real ones.
+_FERTILITY_ORACLE = f"""
+WITH bpe AS ({_BPE_ORACLE})
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(b.n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS sum_bpe,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST((1000000 * SUM(b.n_bpe_tokens)) // SUM(b.n_words) AS BIGINT) AS fertility_m,
+       CAST((1000000 * SUM(d.n_chars)) // SUM(b.n_bpe_tokens) AS BIGINT) AS chars_per_tok_m
+FROM bpe b JOIN documents d ON b.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("b_llm_fertility", oracle=_FERTILITY_ORACLE, tags=("pipeline", "text", "bpe", "tokens"))
+def b_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C227: tokenizer fertility — BPE tokens per whitespace word and
+    characters per BPE token, rolled up by language over the REAL
+    C151 merge kernel (this builder composes b_llm_bpe_tokens, the
+    oracle wraps its replay-in-SQL CTE).  Ratios are exact integer
+    millionths of exact BIGINT sums.
+
+    Scale shape: the BPE kernel is the zero-shuffle Arrow map pass it
+    always was; this adds one doc_id-keyed join against the slim
+    (lang, n_chars) projection and a |langs|-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = b_llm_bpe_tokens(spark, sf_dir)
+    joined = bpe.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("sum_bpe"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_words",
+        "sum_bpe",
+        "sum_chars",
+        F.expr("(1000000 * sum_bpe) div sum_words").cast("bigint").alias("fertility_m"),
+        F.expr("(1000000 * sum_chars) div sum_bpe")
+        .cast("bigint")
+        .alias("chars_per_tok_m"),
+    )

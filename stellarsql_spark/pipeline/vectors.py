@@ -908,3 +908,83 @@ def b_llm_quant_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roundtrip_exact boolean, max_err_m long"
     )
     return e.select("vec_id", "embedding").mapInPandas(_int4_pack_batch, schema=schema)
+
+
+# --- Feature hashing (the hashing trick) (C232) -----------------------------------------
+
+# Vowpal-Wabbit-style featurization: hash each token into a fixed
+# 16-bucket space (md5-derived, engine-portable) and emit the DENSE
+# count vector + its exact squared L2 norm — the no-vocabulary
+# vectorizer that never needs a dictionary broadcast, which is what
+# makes it the 100 TB featurizer of choice.
+_FEATURE_HASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(word), 1, 2)) AS INT) % 16 AS bucket,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2
+),
+dense AS (
+  SELECT d.doc_id, r.b AS bucket, COALESCE(bk.c, 0) AS c
+  FROM (SELECT DISTINCT doc_id FROM tok) d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r
+  LEFT JOIN bucketed bk ON bk.doc_id = d.doc_id AND bk.bucket = r.b
+)
+SELECT doc_id,
+       array_to_string(list(CAST(c AS BIGINT) ORDER BY bucket), ',') AS vec,
+       CAST(SUM(c * c) AS BIGINT) AS l2sq,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+FROM dense GROUP BY doc_id
+"""
+
+
+@register("b_llm_feature_hashing", oracle=_FEATURE_HASH_ORACLE, tags=("pipeline", "vectors", "hashing"))
+def b_llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C232: the hashing trick — tokens hashed into a fixed 16-bucket
+    feature space (first md5 byte mod 16, portable to any engine),
+    per-doc DENSE count vectors plus exact squared L2 norm and
+    nonzero count.  No vocabulary pass, no dictionary broadcast, a
+    fixed-width output schema — the properties that make feature
+    hashing the default featurizer at corpus scale (vs b_llm_tfidf's
+    two-pass vocabulary-keyed pipeline).
+
+    Scale shape: one (doc, bucket) rollup — the token explode
+    partial-aggregates map-side into <= 16 rows per doc before its
+    only shuffle — then a per-doc map assembly; the dense vector is
+    built by a 16-slot sequence lookup, never a second join."""
+    d = load_table(spark, sf_dir, "documents")
+    bucketed = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy(
+            "doc_id",
+            (F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("int") % 16).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = bucketed.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+        ).alias("m"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("l2sq"),
+        F.count("*").cast("bigint").alias("nnz"),
+    )
+    # string-serialized vector: raw array columns crash the driver's
+    # pandas canonicalizer (check_oracle.driver_hostile), the
+    # b_agg_collect convention
+    return per_doc.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.coalesce(F.element_at("m", i), F.lit(0)).cast("bigint"),
+            ),
+        ).alias("vec"),
+        "l2sq",
+        "nnz",
+    )
