@@ -1564,3 +1564,74 @@ def b_ev_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_m"),
         )
     )
+
+
+# --- Recency-decayed customer value (C235) ----------------------------------------------
+
+# Exponential time-decay scoring with a 7-day half-life, kept EXACT:
+# the weight for an event aged w whole weeks is the INTEGER
+# millionth 1000000 >> w (2^-w exactly, floor past week 20 → 0), so
+# the decayed score is a plain BIGINT dot product — no pow(), whose
+# last-ulp behavior differs across libm builds.  The decay anchor is
+# the corpus max day (broadcast scalar), so the key is deterministic
+# on any corpus snapshot.
+_DECAY_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(ROUND(100 * value) AS BIGINT) AS v_c
+  FROM events WHERE event_type = 'purchase'
+),
+anchor AS (SELECT MAX(d) AS d_max FROM ev),
+w AS (
+  SELECT user_id, v_c,
+         (d_max - d) // 7 AS age_w
+  FROM ev CROSS JOIN anchor
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(v_c) AS BIGINT) AS raw_c,
+       CAST(SUM(v_c * (CASE WHEN age_w >= 20 THEN 0
+                            ELSE 1000000 >> age_w END)) AS BIGINT) AS decayed_cm
+FROM w GROUP BY user_id
+ORDER BY decayed_cm DESC, user_id
+LIMIT 50
+"""
+
+
+@register("b_ev_decayed_value", oracle=_DECAY_ORACLE, tags=("events", "decay", "scoring"))
+def b_ev_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C235: recency-decayed customer value — purchase cents weighted
+    by 2^(-age_weeks) with a 7-day half-life, top-50 customers.  The
+    weight is the exact INTEGER millionth (1000000 >> weeks, zero
+    past week 20), so the whole score is a BIGINT dot product: the
+    decay curve every CRM score uses, without pow()'s cross-libm
+    ulp lottery.
+
+    Scale shape: one filtered user rollup (map-side partials); the
+    anchor max-day is a 1-row broadcast; top-50 via TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+        F.round(100 * F.col("value")).cast("bigint").alias("v_c"),
+    )
+    anchor = ev.agg(F.max("d").alias("d_max"))
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "v_c",
+        F.expr("(d_max - d) div 7").alias("age_w"),
+    )
+    weight = F.when(F.col("age_w") >= 20, F.lit(0)).otherwise(
+        F.expr("shiftright(1000000, cast(age_w as int))")
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("v_c").cast("bigint").alias("raw_c"),
+            F.sum(F.col("v_c") * weight).cast("bigint").alias("decayed_cm"),
+        )
+        .orderBy(F.desc("decayed_cm"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -674,3 +674,209 @@ def b_agg_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "*", F.sum("chi_m").over(Window.partitionBy()).cast("bigint").alias("chi2_m")
     )
+
+
+# --- Referential-integrity audit (C234) -----------------------------------------------
+
+# The FK health check a lakehouse without enforced constraints needs
+# nightly: for every declared child->parent relationship, how many
+# child rows / distinct keys reference a missing parent.  Runs as
+# key-rollup-then-anti-join so the parent side only ever sees
+# DISTINCT child keys — at 100 TB the orphan check shuffles keys, not
+# fact rows.
+_RI_PAIRS = (
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_RI_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{rel}' AS rel,
+       (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+       (SELECT COUNT(DISTINCT {ck}) FROM {child}) AS n_distinct_keys,
+       (SELECT COUNT(*) FROM
+          (SELECT DISTINCT {ck} AS k FROM {child}) c
+          LEFT JOIN {parent} p ON c.k = p.{pk} WHERE p.{pk} IS NULL)
+           AS n_orphan_keys,
+       (SELECT COUNT(*) FROM {child} c
+          LEFT JOIN {parent} p ON c.{ck} = p.{pk} WHERE p.{pk} IS NULL)
+           AS n_orphan_rows"""
+    for rel, child, ck, parent, pk in _RI_PAIRS
+) + "\nORDER BY rel"
+
+
+@register("b_quality_ref_integrity", oracle=_RI_ORACLE, tags=("quality", "integrity", "fk"))
+def b_quality_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C234: referential-integrity audit over the schema's seven
+    declared FK relationships — child row/key counts and orphan
+    key/row counts per edge.  Parquet lakes don't enforce FKs; this
+    is the nightly health report that notices when they break
+    (b_quality_profile spot-checks two of these edges pass/fail;
+    this key covers all seven with key- AND row-granular orphan
+    counts, the report you need to actually fix a break).
+
+    Scale shape: each relationship is one distinct-key rollup on the
+    child (map-side partials), one anti-join against the parent key
+    column, and the orphan ROW count reuses the child rollup's
+    per-key counts — fact rows never shuffle twice."""
+    out = None
+    for rel, child, ck, parent, pk in _RI_PAIRS:
+        ch = load_table(spark, sf_dir, child)
+        pa = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pkey"))
+        keys = ch.groupBy(F.col(ck).alias("k")).agg(F.count("*").alias("cnt"))
+        joined = keys.join(pa, keys.k == pa.pkey, "left")
+        row = joined.agg(
+            F.lit(rel).alias("rel"),
+            F.sum("cnt").cast("bigint").alias("n_child_rows"),
+            F.count("*").cast("bigint").alias("n_distinct_keys"),
+            F.sum(F.when(F.col("pkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+            F.sum(F.when(F.col("pkey").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --- Primary-key uniqueness audit (C237) ----------------------------------------------
+
+# The PK half of the C234 FK audit: for every table's declared key,
+# how many key values are duplicated and how many extra rows they
+# carry.  Same lake reality — parquet enforces nothing — same
+# rollup-only scale shape (the key column shuffles, counted
+# map-side; never whole rows).
+_PK_DECLS = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+_PK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}.{k}' AS pk,
+       (SELECT COUNT(*) FROM {t}) AS n_rows,
+       (SELECT COUNT(*) FROM (SELECT {k} FROM {t} GROUP BY {k} HAVING COUNT(*) > 1))
+           AS n_dup_keys,
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+          (SELECT COUNT(*) AS c FROM {t} GROUP BY {k} HAVING COUNT(*) > 1))
+           AS BIGINT) AS n_extra_rows"""
+    for t, k in _PK_DECLS
+) + "\nORDER BY pk"
+
+
+@register("b_quality_pk_uniqueness", oracle=_PK_ORACLE, tags=("quality", "integrity", "pk"))
+def b_quality_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C237: primary-key uniqueness audit over eight declared keys —
+    duplicate key values and the extra rows they carry, per table.
+    Completes the constraint-audit story: a_constraint_enforce (NOT
+    NULL/CHECK on insert), b_quality_ref_integrity (FK edges), this
+    key (PK uniqueness) — the three invariants a lakehouse must check
+    because parquet never will.
+
+    Scale shape: per table one key rollup with map-side partials into
+    a HAVING filter; whole rows never shuffle."""
+    out = None
+    for t, k in _PK_DECLS:
+        tb = load_table(spark, sf_dir, t)
+        dup = (
+            tb.groupBy(k)
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .agg(
+                F.count("*").cast("bigint").alias("n_dup_keys"),
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_extra_rows"),
+            )
+        )
+        n = tb.agg(F.count("*").cast("bigint").alias("n_rows"))
+        row = n.crossJoin(F.broadcast(dup)).select(
+            F.lit(f"{t}.{k}").alias("pk"), "n_rows", "n_dup_keys", "n_extra_rows"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --- Sequence-gap audit (C238) ----------------------------------------------------------
+
+# "Which invoice numbers are missing?" — the key-sequence audit every
+# finance/ops pipeline runs, pointed at the FINISHED-order keys (the
+# class whose numbering a books-closing process expects contiguous;
+# the corpus's full key space is dense, the status subset has
+# thousands of real holes).  One ordered window over DISTINCT keys;
+# the top-5 gaps ship with whole-sequence totals as window aggregates
+# so it stays one query.
+_SEQ_GAPS_ORACLE = """
+WITH ks AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+gaps AS (
+  SELECT k + 1 AS gap_lo, nxt - 1 AS gap_hi, nxt - k - 1 AS gap_len
+  FROM (SELECT k, LEAD(k) OVER (ORDER BY k) AS nxt FROM ks)
+  WHERE nxt - k > 1
+)
+SELECT gap_lo, gap_hi, CAST(gap_len AS BIGINT) AS gap_len,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_len) OVER () AS BIGINT) AS total_missing
+FROM gaps
+ORDER BY gap_len DESC, gap_lo
+LIMIT 5
+"""
+
+
+@register("b_quality_sequence_gaps", oracle=_SEQ_GAPS_ORACLE, tags=("quality", "sequence", "gaps"))
+def b_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C238: key-sequence gap audit — the largest 5 holes in the
+    FINISHED-order key sequence plus whole-sequence gap totals (count
+    and missing-key sum) as window aggregates.  The
+    missing-invoice-number query: the status subset is the class a
+    books-closing process expects contiguous, and it carries
+    thousands of real holes in this corpus (the full key space is
+    dense — auditing a filtered class is also the realistic shape:
+    "every SHIPPED order must have a posted invoice").
+
+    Scale shape: DISTINCT-key rollup (map-side partials; the key
+    column shuffles, not rows), one ordered lag window over keys, a
+    tiny gap list.  At 100 TB the ordered window over |keys| is the
+    cost — range-partition the key axis and lag within partitions,
+    stitching the per-partition boundary pairs (the standard
+    distributed-lag move; the single-series form here is the
+    contract)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ks = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    gaps = (
+        ks.select("k", F.lead("k").over(w).alias("nxt"))
+        .where(F.col("nxt") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_lo"),
+            (F.col("nxt") - 1).alias("gap_hi"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        gaps.select(
+            "gap_lo",
+            "gap_hi",
+            "gap_len",
+            F.count("*").over(wall).cast("bigint").alias("n_gaps"),
+            F.sum("gap_len").over(wall).cast("bigint").alias("total_missing"),
+        )
+        .orderBy(F.desc("gap_len"), F.asc("gap_lo"))
+        .limit(5)
+    )

@@ -479,3 +479,89 @@ def b_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment_m") >= _CONTAIN_THRESHOLD_M)
     )
+
+
+# --- SimHash banded near-dup pairs (C233) ------------------------------------------------
+
+# The dedup HALF of SimHash (the C14 key only computes fingerprints):
+# band the 60-bit fingerprint into 4x15 bits, candidates share >= 1
+# band value, survivors pass the exact Hamming filter
+# bit_count(xor) <= 6.  Pigeonhole gives a HARD recall guarantee
+# inside the banding: any pair within Hamming 3 cannot differ in all
+# 4 bands, so it is always a candidate; 4..6 are best-effort.  The
+# whole thing is deterministic (same fingerprints both engines), so
+# unlike MinHashLSH this banded join carries a full hash oracle.
+_SIMHASH_BANDS, _SIMHASH_BAND_BITS, _SIMHASH_HAMMING_MAX = 4, 15, 6
+
+_SIMHASH_DEDUP_ORACLE = f"""
+WITH fp AS ({_SIMHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1} AS bval
+  FROM fp, unnest(range(0, {_SIMHASH_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, a.simhash AS h1,
+                  c.doc_id AS doc2, c.simhash AS h2
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id
+)
+SELECT doc1, doc2,
+       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {_SIMHASH_HAMMING_MAX}
+ORDER BY doc1, doc2
+"""
+
+
+@register("b_llm_simhash_dedup", oracle=_SIMHASH_DEDUP_ORACLE, tags=("pipeline", "dedup", "simhash"))
+def b_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C233: SimHash near-dup PAIRS — 4x15-bit banding over the C14
+    fingerprints (this builder composes b_llm_simhash), bucket join
+    on (band, value), exact Hamming filter bit_count(xor) <= 6.
+    Pigeonhole guarantee: Hamming <= 3 pairs can never differ in all
+    4 bands, so banding recall is 1.0 there by construction (tested);
+    and because the md5-derived fingerprints are engine-portable the
+    whole candidate set is deterministic — this LSH variant gets a
+    FULL hash oracle where MinHashLSH (b_llm_dedup_near) is
+    rows-only.
+
+    Scale shape: the banded self-join shuffles 4 slim (band, 15-bit
+    value, doc) rows per doc — never documents, never all pairs; hot
+    buckets are bounded by the 15-bit value space the same way the
+    jaccard index caps shingle df."""
+    fp = b_llm_simhash(spark, sf_dir)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr(f"shiftright(simhash, b * {_SIMHASH_BAND_BITS}) & {mask}").alias("bval"),
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bval") == F.col("c.bval"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("a.simhash").alias("h1"),
+            F.col("c.doc_id").alias("doc2"),
+            F.col("c.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("h1 ^ h2")).cast("bigint")
+    return (
+        cand.select("doc1", "doc2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+    )

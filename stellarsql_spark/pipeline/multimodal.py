@@ -980,3 +980,175 @@ def b_mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash",
         F.count("*").over(Window.partitionBy("ahash")).cast("bigint").alias("n_same"),
     )
+
+
+# --- Audio silence trim (C236) ------------------------------------------------------------
+
+# Endpoint detection, the first stage of every speech pipeline: trim
+# leading/trailing samples whose |amplitude| is below the gate
+# (8192 = 25% full scale) and report what survived.  Runs through the
+# REAL WAV round trip (encode → stdlib-wave parse → trim), so a
+# byte-order or framing bug shifts the kept window and fails the
+# hash; the oracle recomputes the expected endpoints from the md5
+# byte-pair samples arithmetically.
+_TRIM_GATE = 8192
+_TRIM_SCHEMA = (
+    "doc_id bigint, n_samples int, first_keep int, last_keep int, n_kept int"
+)
+
+
+def _audio_trim_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_samples", "first_keep", "last_keep", "n_kept")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = _wav_decode(_wav_encode(_pcm_samples(payload)))
+            keep = [i for i, s in enumerate(samples) if abs(s) >= _TRIM_GATE]
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(samples))
+            out["first_keep"].append(keep[0] if keep else -1)
+            out["last_keep"].append(keep[-1] if keep else -1)
+            out["n_kept"].append(keep[-1] - keep[0] + 1 if keep else 0)
+        yield pd.DataFrame(out).astype(
+            {"n_samples": "int32", "first_keep": "int32",
+             "last_keep": "int32", "n_kept": "int32"}
+        )
+
+
+_TRIM_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         32 + (CAST(concat('0x', substring(md5(text), 11, 2)) AS INT) % 32) * 2 AS n
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, n, i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT doc_id, n, t.i,
+           CAST(concat('0x',
+                       substring(h, 4 * (t.i % 8) + 3, 2),
+                       substring(h, 4 * (t.i % 8) + 1, 2)) AS INT) AS v
+    FROM m, UNNEST(range(n)) AS t(i)
+  )
+)
+SELECT doc_id,
+       CAST(MAX(n) AS INT) AS n_samples,
+       CAST(COALESCE(MIN(CASE WHEN abs(s) >= {_TRIM_GATE} THEN i END), -1) AS INT)
+           AS first_keep,
+       CAST(COALESCE(MAX(CASE WHEN abs(s) >= {_TRIM_GATE} THEN i END), -1) AS INT)
+           AS last_keep,
+       CAST(COALESCE(MAX(CASE WHEN abs(s) >= {_TRIM_GATE} THEN i END)
+                     - MIN(CASE WHEN abs(s) >= {_TRIM_GATE} THEN i END) + 1, 0) AS INT)
+           AS n_kept
+FROM samples GROUP BY doc_id
+"""
+
+
+@register("b_mm_audio_trim", oracle=_TRIM_ORACLE, tags=("pipeline", "multimodal", "audio"))
+def b_mm_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C236: audio endpoint detection — trim leading/trailing samples
+    below the 25%-full-scale gate after a REAL WAV round trip
+    (deterministic PCM → stdlib-wave RIFF → parse → trim), report the
+    kept window per document.  A framing or byte-order bug in either
+    codec half shifts the endpoints and fails the hash; the oracle
+    predicts them arithmetically from the md5 byte pairs.
+
+    Scale shape: Arrow-batched map-only (the b_mm_audio_chunks
+    plumbing with a different feature head); no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(_audio_trim_batch, schema=_TRIM_SCHEMA)
+
+
+# --- Binary format sniffer over a mixed lake (C239) -----------------------------------------
+
+# Ingest classification: a real multimodal lake lands MIXED binaries
+# and the first pipeline stage sniffs magic bytes to route them.
+# Each doc gets a REAL container chosen by doc_id % 4 (BMP / WAV /
+# Y4M / raw bytes) built by the vendored codecs; the sniff itself is
+# ENGINE-NATIVE (substring+hex on the binary column — no Python in
+# the classify path), and the oracle predicts both the routing and
+# the exact container sizes arithmetically (BMP 54+rowpad·h,
+# WAV 44+2n, Y4M 35+18/frame).
+_SNIFF_SCHEMA = "doc_id bigint, blob binary"
+
+
+def _mixed_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        blobs = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            k = doc_id % 4
+            if k == 0:
+                blobs.append(_bmp_encode(1 + p[0] % 16, 1 + p[1] % 16, (p[2], p[3], p[4])))
+            elif k == 1:
+                blobs.append(_wav_encode(_pcm_samples(p)))
+            elif k == 2:
+                blobs.append(_y4m_encode([bytes(p[0:12]), bytes(p[4:16])]))
+            else:
+                blobs.append(bytes(p))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs})
+
+
+_SNIFF_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substring(md5(text), 3, 2)) AS INT) AS b1,
+         CAST(concat('0x', substring(md5(text), 11, 2)) AS INT) AS b5
+  FROM documents
+),
+sized AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                         WHEN 2 THEN 'y4m' ELSE 'unknown' END AS kind,
+         CASE doc_id % 4
+           WHEN 0 THEN 54 + ((3 * (1 + b0 % 16) + 3) // 4) * 4 * (1 + b1 % 16)
+           WHEN 1 THEN 44 + 2 * (32 + (b5 % 32) * 2)
+           WHEN 2 THEN 71
+           ELSE 16 END AS n_bytes
+  FROM m
+)
+SELECT kind, COUNT(*) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM sized GROUP BY kind ORDER BY kind
+"""
+
+
+@register("b_mm_format_sniffer", oracle=_SNIFF_ORACLE, tags=("pipeline", "multimodal", "sniffer"))
+def b_mm_format_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C239: binary format sniffer — route a MIXED binary lake (real
+    BMP/WAV/Y4M containers + raw bytes, one per doc by doc_id % 4) by
+    magic bytes.  The classify path is engine-native column
+    expressions over the binary (substring→hex compare: 'BM', 'RIFF',
+    'YUV4MPEG2'), so at 100 TB the routing is a map-only JVM pass —
+    Python appears only in the encode fixture.  The oracle predicts
+    routing AND exact container sizes from the md5 arithmetic, so a
+    header-size or magic drift in any vendored codec fails the hash.
+
+    Scale shape: Arrow encode pass, JVM-native sniff, 4-row rollup
+    with map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.unhex(F.md5("text")).alias("payload")).mapInPandas(
+        _mixed_encode_batch, schema=_SNIFF_SCHEMA
+    )
+    magic2 = F.hex(F.substring(F.col("blob"), 1, 2))
+    magic4 = F.hex(F.substring(F.col("blob"), 1, 4))
+    magic9 = F.hex(F.substring(F.col("blob"), 1, 9))
+    kind = (
+        F.when(magic2 == F.lit("424D"), "bmp")
+        .when(magic4 == F.lit("52494646"), "wav")
+        .when(magic9 == F.lit("595556344D50454732"), "y4m")
+        .otherwise("unknown")
+    )
+    return (
+        blobs.select(kind.alias("kind"), F.length("blob").alias("n_bytes"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )

@@ -182,3 +182,106 @@ def test_cents_sum_equals_decimal_sum_and_duckdb(spark, vals):
     ).fetchone()
     con.close()
     assert got.c == dc == dd  # and both engines agree bit-for-bit
+
+
+# --- Round-8 second-half property tests ---------------------------------------
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # user
+            st.integers(min_value=0, max_value=60),  # active day
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_wau_delta_sweep_pure(days):
+    """The C228 delta-sweep construction (islands split at gap >= 8,
+    +1 at start, -1 at last+7, prefix sum) equals the naive rolling
+    7-day distinct count for arbitrary user-day sets — the pure-Python
+    mirror of the Spark plan, run wide by hypothesis."""
+    ud = sorted(set(days))
+    if not ud:
+        return
+    by_user: dict[int, list[int]] = {}
+    for u, d in ud:
+        by_user.setdefault(u, []).append(d)
+    deltas: dict[int, int] = {}
+    for u, ds in by_user.items():
+        ds.sort()
+        start = ds[0]
+        prev = ds[0]
+        for d in ds[1:]:
+            if d - prev >= 8:
+                deltas[start] = deltas.get(start, 0) + 1
+                deltas[prev + 7] = deltas.get(prev + 7, 0) - 1
+                start = d
+            prev = d
+        deltas[start] = deltas.get(start, 0) + 1
+        deltas[prev + 7] = deltas.get(prev + 7, 0) - 1
+    all_days = sorted({d for _, d in ud})
+    level, i, cur = {}, 0, 0
+    for d in sorted(set(deltas) | set(all_days)):
+        cur += deltas.get(d, 0)
+        level[d] = cur
+    for d in all_days:
+        naive = len({u for u, a in ud if d - 6 <= a <= d})
+        assert level[d] == naive, (d, ud)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    d1=st.integers(min_value=0, max_value=40000),
+    span=st.integers(min_value=0, max_value=400),
+)
+def test_networkdays_closed_form(d1, span):
+    """C224's W(d2)-W(d1) equals a literal weekday walk for arbitrary
+    epoch-day ranges (epoch day 0 = Thursday 1970-01-01)."""
+    import datetime
+
+    lut = [0, 1, 2, 2, 2, 3, 4]
+
+    def W(d: int) -> int:
+        return 5 * (d // 7) + lut[d % 7]
+
+    d2 = d1 + span
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    walk = sum(
+        1
+        for d in range(d1, d2)
+        if datetime.date.fromordinal(epoch + d).weekday() < 5
+    )
+    assert W(d2) - W(d1) == walk
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pixels=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=15, max_size=15
+    )
+)
+def test_ahash_bmp_roundtrip_pure(pixels):
+    """C218's gradient-BMP encode → decode → average hash is
+    pixel-exact for arbitrary 15-byte payloads (padding + bottom-up
+    rows + BGR all exercised), matching the direct byte-space hash."""
+    import pandas as pd
+
+    from stellarsql_spark.pipeline.multimodal import (
+        _ahash_decode_batch,
+        _gradient_encode_batch,
+    )
+
+    payload = bytes(pixels)
+    enc = list(
+        _gradient_encode_batch(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+        )
+    )[0]
+    dec = list(_ahash_decode_batch(iter([enc])))[0]
+    s = sum(pixels)
+    want = sum(1 << i for i, p in enumerate(pixels) if 15 * p > s)
+    assert int(dec["ahash"][0]) == want
+    assert (int(dec["width"][0]), int(dec["height"][0])) == (5, 3)

@@ -891,3 +891,244 @@ class TestFeatureHashing:
             assert r.vec == ",".join(str(x) for x in vec)
             assert r.l2sq == sum(x * x for x in vec)
             assert r.nnz == sum(1 for x in vec if x > 0)
+
+
+class TestSimhashDedup:
+    def test_pigeonhole_recall_and_exact_hamming(self, spark):
+        """Every reported pair's Hamming distance recomputes from the
+        fingerprints; every pair within Hamming <= 3 anywhere in the
+        corpus appears (the 4-band pigeonhole guarantee); all
+        reported pairs share >= 1 band."""
+        from stellarsql_spark.pipeline.dedup import (
+            _SIMHASH_BAND_BITS,
+            _SIMHASH_BANDS,
+            _SIMHASH_HAMMING_MAX,
+            b_llm_simhash,
+            b_llm_simhash_dedup,
+        )
+
+        fp = {r.doc_id: r.simhash for r in b_llm_simhash(spark, SF).collect()}
+        got = {(r.doc1, r.doc2): r.hamming for r in b_llm_simhash_dedup(spark, SF).collect()}
+        mask = (1 << _SIMHASH_BAND_BITS) - 1
+
+        def bands(h: int) -> list[int]:
+            return [(h >> (b * _SIMHASH_BAND_BITS)) & mask for b in range(_SIMHASH_BANDS)]
+
+        for (d1, d2), ham in got.items():
+            assert bin(fp[d1] ^ fp[d2]).count("1") == ham <= _SIMHASH_HAMMING_MAX
+            assert any(x == y for x, y in zip(bands(fp[d1]), bands(fp[d2])))
+        ids = sorted(fp)
+        for i, d1 in enumerate(ids):
+            for d2 in ids[i + 1 :]:
+                if bin(fp[d1] ^ fp[d2]).count("1") <= 3:
+                    assert (d1, d2) in got
+
+
+class TestRefIntegrity:
+    def test_clean_corpus_and_injected_orphans(self, spark, tmp_path):
+        """The generated corpus has zero orphans on all seven edges;
+        then a corrupted copy (customer rows dropped) must report
+        exactly the injected orphan counts."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.quality import b_quality_ref_integrity
+
+        rows = {r.rel: r for r in b_quality_ref_integrity(spark, SF).collect()}
+        assert len(rows) == 7
+        for r in rows.values():
+            assert r.n_orphan_keys == 0 and r.n_orphan_rows == 0
+            assert r.n_distinct_keys <= r.n_child_rows
+        # corrupt: drop half the customers, keep everything else
+        import os
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            src = f"{SF}/{t}.parquet"
+            if t == "customer":
+                load_table(spark, SF, "customer").where(
+                    F.col("c_custkey") % 2 == 0
+                ).write.parquet(f"{sf}/customer.parquet")
+            elif os.path.exists(src):
+                shutil.copy(src, f"{sf}/{t}.parquet")
+        rows2 = {r.rel: r for r in b_quality_ref_integrity(spark, sf).collect()}
+        o = load_table(spark, SF, "orders").collect()
+        orphan_rows = sum(1 for x in o if x.o_custkey % 2 == 1)
+        orphan_keys = len({x.o_custkey for x in o if x.o_custkey % 2 == 1})
+        r = rows2["orders.custkey"]
+        assert (r.n_orphan_keys, r.n_orphan_rows) == (orphan_keys, orphan_rows)
+        assert rows2["lineitem.orderkey"].n_orphan_rows == 0
+
+
+class TestDecayedValue:
+    def test_integer_weights_and_ranking(self, spark):
+        """Weights are exactly 1000000 >> weeks (0 past week 20);
+        the decayed score recomputes from raw purchases; rows are
+        sorted (decayed desc, user asc) and capped at 50."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_decayed_value
+
+        rows = b_ev_decayed_value(spark, SF).collect()
+        assert 0 < len(rows) <= 50
+        keys = [(-r.decayed_cm, r.user_id) for r in rows]
+        assert keys == sorted(keys)
+        ev = load_table(spark, SF, "events").collect()
+        pur = [
+            (e.user_id,
+             int(e.ts.timestamp() * 1_000_000) // 86_400_000_000,
+             round(100 * e.value))
+            for e in ev if e.event_type == "purchase"
+        ]
+        d_max = max(d for _, d, _ in pur)
+        want: dict[int, list[int]] = {}
+        for u, d, v in pur:
+            w = (d_max - d) // 7
+            want.setdefault(u, [0, 0, 0])
+            want[u][0] += 1
+            want[u][1] += v
+            want[u][2] += v * (0 if w >= 20 else 1_000_000 >> w)
+        for r in rows:
+            assert [r.n_purchases, r.raw_c, r.decayed_cm] == want[r.user_id]
+
+
+class TestAudioTrim:
+    def test_endpoints_match_payload_walk(self, spark):
+        """First/last kept indices recompute from the md5 byte-pair
+        PCM in Python; n_kept spans them; gate is 25% full scale."""
+        import hashlib
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.multimodal import _TRIM_GATE, b_mm_audio_trim
+
+        got = {r.doc_id: r for r in b_mm_audio_trim(spark, SF).collect()}
+        docs = load_table(spark, SF, "documents").collect()
+        for d in docs:
+            p = hashlib.md5(d.text.encode()).digest()
+            base = []
+            for j in range(8):
+                v = p[2 * j] | (p[2 * j + 1] << 8)
+                base.append(v - 65536 if v >= 32768 else v)
+            n = 32 + (p[5] % 32) * 2
+            samples = [base[i % 8] for i in range(n)]
+            keep = [i for i, s in enumerate(samples) if abs(s) >= _TRIM_GATE]
+            r = got[d.doc_id]
+            assert r.n_samples == n
+            if keep:
+                assert (r.first_keep, r.last_keep, r.n_kept) == (
+                    keep[0], keep[-1], keep[-1] - keep[0] + 1
+                )
+            else:
+                assert (r.first_keep, r.last_keep, r.n_kept) == (-1, -1, 0)
+
+
+class TestPKUniqueness:
+    def test_clean_corpus_and_injected_dupes(self, spark, tmp_path):
+        """All eight PKs are unique on the generated corpus; a
+        corrupted copy with duplicated order rows reports exactly the
+        injected dup-key and extra-row counts."""
+        import os
+        import shutil
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.quality import b_quality_pk_uniqueness
+
+        rows = {r.pk: r for r in b_quality_pk_uniqueness(spark, SF).collect()}
+        assert len(rows) == 8
+        for r in rows.values():
+            assert (r.n_dup_keys, r.n_extra_rows) == (0, 0)
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            src = f"{SF}/{t}.parquet"
+            if t == "orders":
+                o = load_table(spark, SF, "orders")
+                dup = o.where("o_orderkey % 100 = 0")
+                n_dup = dup.count()
+                o.unionAll(dup).write.parquet(f"{sf}/orders.parquet")
+            elif os.path.exists(src):
+                shutil.copy(src, f"{sf}/{t}.parquet")
+        r2 = {r.pk: r for r in b_quality_pk_uniqueness(spark, sf).collect()}
+        r = r2["orders.o_orderkey"]
+        assert (r.n_dup_keys, r.n_extra_rows) == (n_dup, n_dup)
+        assert r2["customer.c_custkey"].n_dup_keys == 0
+
+
+class TestSequenceGaps:
+    def test_gaps_match_sorted_walk(self, spark):
+        """Top-5 gaps and whole-sequence totals recompute from a
+        sorted Python walk over the distinct finished-order keys; the
+        status subset guarantees real gaps."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.quality import b_quality_sequence_gaps
+
+        rows = b_quality_sequence_gaps(spark, SF).collect()
+        assert rows
+        ks = sorted(
+            r.o_orderkey
+            for r in load_table(spark, SF, "orders")
+            .where("o_orderstatus = 'F'")
+            .select("o_orderkey")
+            .distinct()
+            .collect()
+        )
+        gaps = [
+            (a + 1, b - 1, b - a - 1)
+            for a, b in zip(ks, ks[1:])
+            if b - a > 1
+        ]
+        assert rows[0].n_gaps == len(gaps) > 0
+        assert rows[0].total_missing == sum(g[2] for g in gaps)
+        want = sorted(gaps, key=lambda g: (-g[2], g[0]))[:5]
+        got = [(r.gap_lo, r.gap_hi, r.gap_len) for r in rows]
+        assert got == want
+
+
+class TestFormatSniffer:
+    def test_routing_and_sizes(self, spark):
+        """Every doc routes by doc_id % 4; per-kind counts and total
+        bytes recompute from the closed-form container sizes."""
+        import hashlib
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.multimodal import b_mm_format_sniffer
+
+        rows = {r.kind: r for r in b_mm_format_sniffer(spark, SF).collect()}
+        assert set(rows) == {"bmp", "wav", "y4m", "unknown"}
+        docs = load_table(spark, SF, "documents").collect()
+        agg: dict[str, list[int]] = {}
+        for d in docs:
+            p = hashlib.md5(d.text.encode()).digest()
+            k = d.doc_id % 4
+            if k == 0:
+                kind, n = "bmp", 54 + ((3 * (1 + p[0] % 16) + 3) // 4) * 4 * (1 + p[1] % 16)
+            elif k == 1:
+                kind, n = "wav", 44 + 2 * (32 + (p[5] % 32) * 2)
+            elif k == 2:
+                kind, n = "y4m", 71
+            else:
+                kind, n = "unknown", 16
+            a = agg.setdefault(kind, [0, 0])
+            a[0] += 1
+            a[1] += n
+        for kind, (n_docs, total) in agg.items():
+            assert (rows[kind].n_docs, rows[kind].total_bytes) == (n_docs, total)
+
+    def test_sniff_is_jvm_native(self, spark):
+        """The classify stage adds no second Python pass: exactly one
+        ArrowEvalPython/MapInPandas node (the encode fixture) in the
+        plan."""
+        from stellarsql_spark.pipeline.multimodal import b_mm_format_sniffer
+
+        df = b_mm_format_sniffer(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString prints Final AND Initial plans — count only the
+        # final section
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
