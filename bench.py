@@ -77,6 +77,7 @@ SCALE3_MATCHED = (
     "b_join_inner_bucketed",
     "b_stream_tumbling",
     "b_stream_tumbling_bucketed",
+    "b_stream_tumbling_served",
     "b_llm_cosine_topk",
 )
 SCALE3_FACTOR = 300
@@ -99,6 +100,7 @@ SCALE4_MATCHED = (
     "b_join_inner_bucketed",
     "b_stream_tumbling",
     "b_stream_tumbling_bucketed",
+    "b_stream_tumbling_served",
     "b_llm_cosine_topk",
 )
 SCALE4_FACTOR = 1000
@@ -115,6 +117,7 @@ _PROBE_TABLES = {
     "b_topk_per_group": ("orders", "customer"),
     "b_stream_tumbling": ("events",),
     "b_stream_tumbling_bucketed": ("events",),
+    "b_stream_tumbling_served": ("events",),
     "b_llm_cosine_topk": ("embeddings",),
     "b_llm_dedup_exact": ("documents",),
     "b_llm_bm25": ("documents",),

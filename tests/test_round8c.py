@@ -1132,3 +1132,27 @@ class TestFormatSniffer:
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("MapInPandas") == 1
         assert "BatchEvalPython" not in plan
+
+
+class TestTumblingServed:
+    def test_three_forms_agree_and_query_is_tiny(self, spark):
+        """plain == layout-twin == served, row for row; and the served
+        plan reads the rollup table, not events (no event-count-sized
+        scan node)."""
+        from stellarsql_spark.sources.events_layout import (
+            b_stream_tumbling_bucketed,
+            b_stream_tumbling_served,
+        )
+        from stellarsql_spark.streaming.windows import b_stream_tumbling
+
+        key = lambda r: (r.window_start, r.event_type)
+        plain = sorted(b_stream_tumbling(spark, SF).collect(), key=key)
+        twin = sorted(b_stream_tumbling_bucketed(spark, SF).collect(), key=key)
+        served = sorted(b_stream_tumbling_served(spark, SF).collect(), key=key)
+        as_t = lambda rows: [
+            (r.window_start, r.event_type, r.n_events, r.total_value) for r in rows
+        ]
+        assert as_t(plain) == as_t(twin) == as_t(served)
+        df = b_stream_tumbling_served(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "events_hourly_" in plan and "events.parquet" not in plan
