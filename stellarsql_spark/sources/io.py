@@ -835,3 +835,127 @@ def b_layout_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_s",
         "max_s",
     )
+
+
+# --- XML source round trip (C241) -----------------------------------------------------
+
+# Spark 4 absorbed spark-xml as a NATIVE datasource; config-heavy
+# enterprise feeds still arrive as XML, so the engine's source matrix
+# needs the round trip proven, not assumed.  The oracle runs on the
+# ORIGINAL table — the contract is that writing XML and reading it
+# back is lossless for the aggregate.
+_XML_ORACLE = """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@register("b_read_xml", oracle=_XML_ORACLE, tags=("sources", "xml"))
+def b_read_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C241: XML round trip through Spark 4's native xml datasource
+    (the absorbed spark-xml): write the nation dimension as
+    <nations><nation>…</nation></nations>, read it back with an
+    explicit rowTag, and aggregate — the oracle runs on the original
+    table, so any loss or type drift in the XML round trip fails the
+    hash.
+
+    Scale shape: dimension-sized by design (XML is a config/feed
+    format, not a fact format — the docstring IS the advice: land
+    facts as parquet); the read is schema-inferred here to exercise
+    inference, with the aggregate casting back to exact types."""
+    n = load_table(spark, sf_dir, "nation")
+    out = _scratch("xml_rt")
+    n.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    return (
+        back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+    )
+
+
+# --- binaryFile lake ingest (C242) -----------------------------------------------------
+
+# The REAL first mile of a multimodal lake: opaque media files on
+# disk → Spark's binaryFile source (path, length, content) → route by
+# magic bytes.  C239 sniffs an in-plan binary column; this key proves
+# the SOURCE — files land individually on storage and the engine
+# discovers, reads, and classifies them.
+_BINARYFILE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) AS b0,
+         CAST(concat('0x', substring(md5(text), 3, 2)) AS INT) AS b1,
+         CAST(concat('0x', substring(md5(text), 11, 2)) AS INT) AS b5
+  FROM documents WHERE doc_id < 100
+),
+sized AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                         WHEN 2 THEN 'y4m' ELSE 'unknown' END AS kind,
+         CASE doc_id % 4
+           WHEN 0 THEN 54 + ((3 * (1 + b0 % 16) + 3) // 4) * 4 * (1 + b1 % 16)
+           WHEN 1 THEN 44 + 2 * (32 + (b5 % 32) * 2)
+           WHEN 2 THEN 71
+           ELSE 16 END AS n_bytes
+  FROM m
+)
+SELECT kind, COUNT(*) AS n_files,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM sized GROUP BY kind ORDER BY kind
+"""
+
+
+@register("b_source_binaryfile", oracle=_BINARYFILE_ORACLE, tags=("sources", "binary", "multimodal"))
+def b_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C242: binaryFile-source lake ingest — land the first 100 docs'
+    mixed containers (C239's real BMP/WAV/Y4M/raw encoders) as
+    INDIVIDUAL files, then discover and classify them with Spark's
+    binaryFile datasource (path, length, content columns).  The
+    length column comes from the FILESYSTEM and the magic bytes from
+    the CONTENT read, so the key proves the source delivers both
+    faithfully; the oracle predicts every size arithmetically.
+
+    Scale shape: binaryFile parallelizes over files (one task per
+    file up to maxPartitionBytes packing); the classify expressions
+    are the JVM-native C239 sniff; 4-row rollup out.  At 100 TB this
+    is the ingest pattern for media crawls — pair with
+    spark.sql.files.maxPartitionBytes and openCostInBytes for
+    small-file packing (the C68 compaction key's lesson)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    from stellarsql_spark.pipeline.multimodal import _mixed_encode_batch
+
+    out = _scratch("binfiles")
+    blobs = d.select("doc_id", F.unhex(F.md5("text")).alias("payload")).mapInPandas(
+        _mixed_encode_batch, schema="doc_id bigint, blob binary"
+    )
+    for r in blobs.collect():  # 100 dimension-sized fixture files
+        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(bytes(r.blob))
+    src = spark.read.format("binaryFile").load(out)
+    magic2 = F.hex(F.substring(F.col("content"), 1, 2))
+    magic4 = F.hex(F.substring(F.col("content"), 1, 4))
+    magic9 = F.hex(F.substring(F.col("content"), 1, 9))
+    kind = (
+        F.when(magic2 == F.lit("424D"), "bmp")
+        .when(magic4 == F.lit("52494646"), "wav")
+        .when(magic9 == F.lit("595556344D50454732"), "y4m")
+        .otherwise("unknown")
+    )
+    return (
+        src.select(kind.alias("kind"), F.col("length").alias("n_bytes"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )

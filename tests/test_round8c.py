@@ -1156,3 +1156,57 @@ class TestTumblingServed:
         df = b_stream_tumbling_served(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "events_hourly_" in plan and "events.parquet" not in plan
+
+
+class TestXMLSource:
+    def test_roundtrip_preserves_all_rows(self, spark):
+        """Reading the written XML back yields exactly the original 25
+        nations with intact keys and names."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.sources.io import b_read_xml
+
+        rows = {r.n_regionkey: r for r in b_read_xml(spark, SF).collect()}
+        n = load_table(spark, SF, "nation").collect()
+        want: dict[int, list] = {}
+        for x in n:
+            a = want.setdefault(x.n_regionkey, [0, 0, None])
+            a[0] += 1
+            a[1] += x.n_nationkey
+            a[2] = x.n_name if a[2] is None else min(a[2], x.n_name)
+        assert set(rows) == set(want)
+        for k, (cnt, ksum, first) in want.items():
+            r = rows[k]
+            assert (r.n_nations, r.key_sum, r.first_name) == (cnt, ksum, first)
+
+
+class TestBinaryFileSource:
+    def test_filesystem_lengths_match_prediction(self, spark):
+        """The binaryFile source's length column (filesystem stat)
+        agrees with the arithmetic size prediction for every kind."""
+        import hashlib
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.sources.io import b_source_binaryfile
+
+        rows = {r.kind: r for r in b_source_binaryfile(spark, SF).collect()}
+        docs = [
+            d for d in load_table(spark, SF, "documents").collect() if d.doc_id < 100
+        ]
+        agg: dict[str, list[int]] = {}
+        for d in docs:
+            p = hashlib.md5(d.text.encode()).digest()
+            k = d.doc_id % 4
+            if k == 0:
+                kind, n = "bmp", 54 + ((3 * (1 + p[0] % 16) + 3) // 4) * 4 * (1 + p[1] % 16)
+            elif k == 1:
+                kind, n = "wav", 44 + 2 * (32 + (p[5] % 32) * 2)
+            elif k == 2:
+                kind, n = "y4m", 71
+            else:
+                kind, n = "unknown", 16
+            a = agg.setdefault(kind, [0, 0])
+            a[0] += 1
+            a[1] += n
+        assert {k: (r.n_files, r.total_bytes) for k, r in rows.items()} == {
+            k: tuple(v) for k, v in agg.items()
+        }
