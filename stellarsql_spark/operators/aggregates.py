@@ -1636,3 +1636,66 @@ def b_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+# --- Herfindahl-Hirschman concentration index (C243) -------------------------------
+
+# How concentrated is each nation's revenue across its customers?
+# HHI = Σ share² — the antitrust/market-power measure next to
+# b_agg_gini's inequality coefficient.  Kept exact: revenue in
+# integer cents, Σv² carried in DECIMAL(38)/HUGEINT, and the index
+# reported as the integer-millionth cross-multiplied ratio
+# (1e6 · Σv²) div (Σv)² — no per-share float division at all.
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(100 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(v) AS BIGINT) AS total_c,
+       -- HUGEINT // HUGEINT is exact floor division; DECIMAL // would
+       -- round the quotient before flooring (off-by-one at .9999…)
+       CAST(CAST(1000000 * SUM(CAST(v AS DECIMAL(38,0)) * v) AS HUGEINT)
+            // CAST(CAST(SUM(v) AS DECIMAL(38,0)) * SUM(v) AS HUGEINT)
+            AS BIGINT) AS hhi_m
+FROM rev GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+@register("b_agg_hhi", oracle=_HHI_ORACLE, tags=("agg", "concentration", "hhi"))
+def b_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C243: Herfindahl-Hirschman index of revenue concentration
+    across customers, per nation — Σ share² without computing any
+    share: the cross-multiplied exact form
+    (1e6·Σv²) div (Σv)², with Σv² in DECIMAL(38) (cents² overflows
+    BIGINT past ~3e18; HUGEINT on the oracle side).  1e6/n ≤ hhi_m ≤
+    1e6 by construction; the monopoly end is 1e6.
+
+    Scale shape: one (nation, customer) rollup with map-side partials
+    (the broadcast dim join the TPC-H keys share), then a 25-row
+    final group."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint")).alias("v"))
+    )
+    dec = F.col("v").cast("decimal(38,0)")
+    return (
+        rev.groupBy("nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("v").cast("bigint").alias("total_c"),
+            F.expr(
+                "CAST((1000000 * sum(CAST(v AS DECIMAL(38,0)) * v))"
+                " div (CAST(sum(v) AS DECIMAL(38,0)) * sum(v)) AS BIGINT)"
+            ).alias("hhi_m"),
+        )
+    )

@@ -330,3 +330,66 @@ def b_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _STREAK_TOPN)
         .select("o_custkey", "len_days", "start_d", "end_d", "rn")
     )
+
+
+# --- Share-of-total window columns (C244) --------------------------------------------
+
+# The BI idiom behind every "% of category" column: each row's share
+# of its partition total and its cumulative share in rank order, as
+# EXACT integer millionths (cross-multiplied — the window carries
+# sums, the division happens once per row on exact longs).
+_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS status,
+         CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+)
+SELECT pri, status, v,
+       CAST((1000000 * v) // SUM(v) OVER (PARTITION BY pri) AS BIGINT) AS share_m,
+       CAST((1000000 * SUM(v) OVER (PARTITION BY pri ORDER BY v DESC, status
+                                    ROWS UNBOUNDED PRECEDING))
+            // SUM(v) OVER (PARTITION BY pri) AS BIGINT) AS cum_share_m
+FROM rev ORDER BY pri, v DESC, status
+"""
+
+
+@register("b_win_share_of_total", oracle=_SHARE_ORACLE, tags=("window", "share"))
+def b_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C244: share-of-total and cumulative-share window columns — each
+    (priority, status) revenue cell as a millionth share of its
+    priority's total, plus the running share in (v DESC, status)
+    order (the Pareto-curve reading).  Exact: the windows carry
+    integer-cent SUMS; each share is one integer division of exact
+    longs, never a float ratio.
+
+    Scale shape: the rollup collapses the corpus map-side to 15
+    cells; both windows run over those 15 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.sum(F.round(100 * F.col("o_totalprice")).cast("bigint")).alias("v"))
+    wp = Window.partitionBy("pri")
+    wc = (
+        Window.partitionBy("pri")
+        .orderBy(F.desc("v"), F.asc("status"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.select(
+            "pri",
+            "status",
+            "v",
+            F.sum("v").over(wp).cast("bigint").alias("tot"),
+            F.sum("v").over(wc).cast("bigint").alias("cum"),
+        )
+        .select(
+            "pri",
+            "status",
+            "v",
+            F.expr("(1000000 * v) div tot").cast("bigint").alias("share_m"),
+            F.expr("(1000000 * cum) div tot").cast("bigint").alias("cum_share_m"),
+        )
+    )

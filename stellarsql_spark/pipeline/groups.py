@@ -142,3 +142,81 @@ def b_llm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("comp").alias("representative"), "group_size", "members")
     )
+
+
+# --- Duplicate-cluster canonicalization (C245) ------------------------------------------
+
+# The step AFTER grouping: pick ONE canonical document per duplicate
+# cluster and account for what was dropped.  Policy here is
+# longest-content-wins (n_chars DESC, doc_id ASC tie-break) — the
+# usual crawl heuristic (the longest copy is most often the complete
+# one); the deterministic tie-break is what makes the choice a hash
+# contract.  Composes connected_components over the same Jaccard pair
+# graph as b_llm_dup_groups; the oracle extends that key's
+# recursive-closure oracle with the argmax selection.
+_CANONICALIZE_ORACLE = (
+    _DUP_GROUPS_ORACLE[: _DUP_GROUPS_ORACLE.index("SELECT comp AS representative")]
+    + """, sel AS (
+  SELECT c.comp, c.node, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.comp
+                            ORDER BY d.n_chars DESC, c.node) AS rn
+  FROM comp c JOIN documents d ON c.node = d.doc_id
+)
+SELECT comp AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(MIN(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS canonical_doc,
+       CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM sel GROUP BY comp ORDER BY comp
+"""
+)
+
+
+@register("b_llm_canonicalize", oracle=_CANONICALIZE_ORACLE, tags=("pipeline", "dedup", "canonical"))
+def b_llm_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C245: duplicate-cluster canonicalization — for every transitive
+    near-dup cluster (the C-dup-groups components), keep the
+    longest-content member (n_chars DESC, doc_id ASC — deterministic)
+    and account for the dropped volume.  This is the step a curation
+    funnel actually executes after grouping; the kept/dropped char
+    accounting is what the funnel report needs.
+
+    Scale shape: the component labeling is the O(log n)
+    min-propagation (two slim node-keyed shuffles per round); the
+    selection is one window over |cluster members| rows joined to a
+    slim (doc_id, n_chars) projection."""
+    from pyspark.sql import Window
+
+    from stellarsql_spark.catalog import load_table
+    from stellarsql_spark.pipeline.dedup import b_llm_jaccard
+
+    pairs = b_llm_jaccard(spark, sf_dir).select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    )
+    comps = connected_components(pairs)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sel = comps.join(d, comps.node == d.doc_id).select(
+        "comp",
+        "node",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("node")))
+        .alias("rn"),
+    )
+    return (
+        sel.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.min(F.when(F.col("rn") == 1, F.col("node")))
+            .cast("bigint")
+            .alias("canonical_doc"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("canonical_chars"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+    )

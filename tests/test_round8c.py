@@ -1210,3 +1210,78 @@ class TestBinaryFileSource:
         assert {k: (r.n_files, r.total_bytes) for k, r in rows.items()} == {
             k: tuple(v) for k, v in agg.items()
         }
+
+
+class TestHHI:
+    def test_bounds_and_python_recompute(self, spark):
+        """1e6/n <= hhi <= 1e6; exact recompute from raw orders."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import b_agg_hhi
+
+        rows = {r.nationkey: r for r in b_agg_hhi(spark, SF).collect()}
+        o = load_table(spark, SF, "orders").collect()
+        c = {x.c_custkey: x.c_nationkey for x in
+             load_table(spark, SF, "customer").collect()}
+        rev: dict[tuple[int, int], int] = {}
+        for x in o:
+            k = (c[x.o_custkey], x.o_custkey)
+            rev[k] = rev.get(k, 0) + round(100 * x.o_totalprice)
+        by_nation: dict[int, list[int]] = {}
+        for (nk, _), v in rev.items():
+            by_nation.setdefault(nk, []).append(v)
+        for nk, vs in by_nation.items():
+            r = rows[nk]
+            t = sum(vs)
+            want = (1_000_000 * sum(v * v for v in vs)) // (t * t)
+            assert r.hhi_m == want
+            assert 1_000_000 // len(vs) <= r.hhi_m <= 1_000_000
+            assert (r.n_customers, r.total_c) == (len(vs), t)
+
+
+class TestShareOfTotal:
+    def test_shares_sum_and_cumulative_monotone(self, spark):
+        """Per partition: shares are each v's exact millionth of the
+        total; the cumulative share is non-decreasing and ends at the
+        exact total's millionth (1e6 or one ulp below from floor)."""
+        from stellarsql_spark.operators.windows import b_win_share_of_total
+
+        rows = b_win_share_of_total(spark, SF_MED).collect()
+        by_pri: dict[str, list] = {}
+        for r in rows:
+            by_pri.setdefault(r.pri, []).append(r)
+        for pri, rs in by_pri.items():
+            rs.sort(key=lambda r: (-r.v, r.status))
+            tot = sum(r.v for r in rs)
+            cum = 0
+            last = -1
+            for r in rs:
+                assert r.share_m == (1_000_000 * r.v) // tot
+                cum += r.v
+                assert r.cum_share_m == (1_000_000 * cum) // tot
+                assert r.cum_share_m >= last
+                last = r.cum_share_m
+            assert rs[-1].cum_share_m == 1_000_000
+
+
+class TestCanonicalize:
+    def test_canonical_is_longest_and_accounting_balances(self, spark):
+        """Canonical member has the max n_chars in its cluster (min
+        doc_id on ties); cluster_size = n_dropped + 1; dropped chars
+        = cluster total minus canonical."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.groups import b_llm_dup_groups
+        from stellarsql_spark.pipeline.groups import b_llm_canonicalize
+
+        rows = {r.cluster_id: r for r in b_llm_canonicalize(spark, SF).collect()}
+        groups = {g.representative: g for g in b_llm_dup_groups(spark, SF).collect()}
+        chars = {
+            d.doc_id: d.n_chars
+            for d in load_table(spark, SF, "documents").collect()
+        }
+        assert set(rows) == set(groups)
+        for cid, r in rows.items():
+            members = [int(x) for x in groups[cid].members.split(",")]
+            assert r.cluster_size == len(members) == r.n_dropped + 1
+            best = sorted(members, key=lambda m: (-chars[m], m))[0]
+            assert (r.canonical_doc, r.canonical_chars) == (best, chars[best])
+            assert r.chars_dropped == sum(chars[m] for m in members) - chars[best]
