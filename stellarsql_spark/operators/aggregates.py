@@ -1656,8 +1656,10 @@ WITH rev AS (
 SELECT nationkey,
        COUNT(*) AS n_customers,
        CAST(SUM(v) AS BIGINT) AS total_c,
-       -- HUGEINT // HUGEINT is exact floor division; DECIMAL // would
-       -- round the quotient before flooring (off-by-one at .9999…)
+       -- HUGEINT // HUGEINT is exact floor division; DECIMAL // does
+       -- NOT floor (returns the decimal quotient) and the BIGINT cast
+       -- would then ROUND — documented divergence, see
+       -- tests/test_differential.py::test_decimal_floor_division_…
        CAST(CAST(1000000 * SUM(CAST(v AS DECIMAL(38,0)) * v) AS HUGEINT)
             // CAST(CAST(SUM(v) AS DECIMAL(38,0)) * SUM(v) AS HUGEINT)
             AS BIGINT) AS hhi_m

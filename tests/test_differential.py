@@ -468,3 +468,31 @@ def test_differential_watermark_windows(spark, duck):
         if not s.equals(d):
             mismatches.append((i, seed, q, len(s), len(d)))
     assert not mismatches, mismatches[:2]
+
+
+def test_decimal_floor_division_divergence_documented():
+    """Engine divergence found while building C243 (b_agg_hhi): on
+    DECIMAL operands DuckDB's // does NOT floor — it returns the
+    plain decimal quotient — and the subsequent CAST(… AS BIGINT)
+    ROUNDS half-up, so a fractional ratio comes back one HIGHER than
+    Spark's `div` (exact integral division) whenever the fraction is
+    >= .5.  Casting both operands to HUGEINT first restores exact
+    floor semantics in DuckDB; that cast is the convention this
+    repo's oracles use for any div on DECIMAL(38) carriers."""
+    import duckdb
+
+    num = 3480377188547544720000000  # real operands from b_agg_hhi
+    den = 161504867222398162576
+    want = num // den  # exact floor = 21549 (true ratio 21549.67…)
+    dec = duckdb.sql(
+        f"SELECT CAST(CAST({num} AS DECIMAL(38,0)) // CAST({den} AS DECIMAL(38,0)) AS BIGINT)"
+    ).fetchone()[0]
+    raw = duckdb.sql(
+        f"SELECT CAST({num} AS DECIMAL(38,0)) // CAST({den} AS DECIMAL(38,0))"
+    ).fetchone()[0]
+    hug = duckdb.sql(
+        f"SELECT CAST({num} AS HUGEINT) // CAST({den} AS HUGEINT)"
+    ).fetchone()[0]
+    assert int(hug) == want
+    assert float(raw) != float(want)  # // on DECIMAL did not floor
+    assert int(dec) == want + 1  # quotient .67 then round-on-cast
