@@ -1635,3 +1635,68 @@ def b_ev_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_cm"), F.asc("user_id"))
         .limit(50)
     )
+
+
+# --- Wilson confidence interval for conversion rates (C247) -------------------------------
+
+# The interval a rate dashboard should show (the normal approximation
+# misbehaves at small n / extreme p; Wilson stays inside [0,1]).
+# Sufficient statistics are exact integers; the interval is one
+# fixed composition of IEEE correctly-rounded double ops (+ one
+# sqrt) over them with the z=1.96 literal, rounded once at 1e-6.
+_WILSON_ORACLE = """
+WITH arm AS (
+  SELECT user_id % 4 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c FROM arm GROUP BY grp
+)
+SELECT grp, n, c,
+       ROUND(CAST(c AS DOUBLE) / n, 6) AS rate,
+       ROUND((CAST(c AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+              - 1.96 * sqrt((CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+       ROUND((CAST(c AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+              + 1.96 * sqrt((CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+FROM s ORDER BY grp
+"""
+
+
+@register("b_ev_rate_wilson", oracle=_WILSON_ORACLE, tags=("events", "stats", "wilson"))
+def b_ev_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C247: Wilson score interval for per-arm conversion rates — the
+    CI that stays inside [0, 1] and doesn't collapse at extreme rates
+    (the normal-approximation interval the C145 z-test implies does
+    both).  Four deterministic user-hash arms; the interval is an
+    identical double expression in both engines over exact (n, c),
+    rounded once.
+
+    Scale shape: one user-keyed conversion rollup (map-side boolean
+    max), a 4-row group, scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    arm = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).select((F.col("user_id") % 4).alias("grp"), "conv")
+    s = arm.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").cast("bigint").alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2 * F.col("n"))
+    half = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return s.select(
+        "grp",
+        "n",
+        "c",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -959,3 +959,86 @@ def b_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+# --- Zone-map audit: footer stats vs logical truth (C246) -------------------------------
+
+# Trust-but-verify for the pruning stack: partition pruning, row-group
+# skipping and min/max zone maps all believe the parquet FOOTER — this
+# key writes a key-bucketed layout, reads the footers back with
+# pyarrow IN EXECUTORS, and hash-compares the footer-derived
+# (rows, min, max) per bucket against the logical truth computed from
+# the table.  A writer that mis-stats a column (the bug class that
+# silently breaks pruning) fails the hash.
+_ZONEMAP_ORACLE = """
+WITH w AS (SELECT (MAX(o_orderkey) // 4) + 1 AS w FROM orders)
+SELECT CAST(o_orderkey // (SELECT w FROM w) AS BIGINT) AS kb,
+       COUNT(*) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("b_layout_zonemap_audit", oracle=_ZONEMAP_ORACLE, tags=("layout", "zonemap", "audit"))
+def b_layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C246: zone-map audit — write orders key-bucketed into four hive
+    dirs, then read ONLY THE FOOTERS back (pyarrow metadata, executed
+    distributed in mapInPandas over the file list — row data is never
+    re-read) and emit per-bucket (rows, min, max) from row-group
+    statistics.  The oracle computes the same numbers logically from
+    the table, so the key certifies that footer stats faithfully
+    describe written data — the property every pruning optimization
+    (C40 partition pruning, C72 sorted scan, C100 parquet bloom)
+    silently relies on.
+
+    Scale shape: the write is one bucket-keyed shuffle; the audit
+    reads O(files) footers, never data bytes — at 100 TB this audit
+    costs megabytes."""
+    import glob as _glob
+
+    o = load_table(spark, sf_dir, "orders")
+    w_row = o.agg((F.floor(F.max("o_orderkey") / 4) + 1).alias("w")).collect()[0]
+    width = int(w_row.w)
+    out = _scratch("zonemap")
+    (
+        o.select("o_orderkey", F.expr(f"o_orderkey div {width}").alias("kb"))
+        .repartition("kb")
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(out)
+    )
+    files = [
+        (int(p.split("kb=")[1].split("/")[0]), p)
+        for p in _glob.glob(os.path.join(out, "kb=*", "*.parquet"))
+    ]
+    fdf = spark.createDataFrame(files, "kb bigint, path string")
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for kb, path in zip(pdf["kb"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.names.index("o_orderkey")
+                n = md.num_rows
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                rows.append((kb, n, min(mins), max(maxs)))
+            yield pd.DataFrame(
+                rows, columns=["kb", "n_rows", "min_k", "max_k"]
+            )
+
+    footer = fdf.mapInPandas(
+        read_footers, schema="kb bigint, n_rows bigint, min_k bigint, max_k bigint"
+    )
+    return footer.groupBy("kb").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("min_k").cast("bigint").alias("min_k"),
+        F.max("max_k").cast("bigint").alias("max_k"),
+    )

@@ -1285,3 +1285,46 @@ class TestCanonicalize:
             best = sorted(members, key=lambda m: (-chars[m], m))[0]
             assert (r.canonical_doc, r.canonical_chars) == (best, chars[best])
             assert r.chars_dropped == sum(chars[m] for m in members) - chars[best]
+
+
+class TestZonemapAudit:
+    def test_footer_stats_match_and_ranges_disjoint(self, spark):
+        """Footer-derived per-bucket stats equal the logical truth;
+        bucket key ranges are pairwise disjoint (the property pruning
+        relies on)."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.sources.io import b_layout_zonemap_audit
+
+        rows = sorted(b_layout_zonemap_audit(spark, SF).collect(), key=lambda r: r.kb)
+        o = load_table(spark, SF, "orders").collect()
+        width = (max(x.o_orderkey for x in o) // 4) + 1
+        want: dict[int, list[int]] = {}
+        for x in o:
+            kb = x.o_orderkey // width
+            a = want.setdefault(kb, [0, x.o_orderkey, x.o_orderkey])
+            a[0] += 1
+            a[1] = min(a[1], x.o_orderkey)
+            a[2] = max(a[2], x.o_orderkey)
+        assert {r.kb: [r.n_rows, r.min_k, r.max_k] for r in rows} == want
+        for a, b in zip(rows, rows[1:]):
+            assert a.max_k < b.min_k
+
+
+class TestWilson:
+    def test_interval_properties_and_scipy_free_recompute(self, spark):
+        """0 <= lo <= rate <= hi <= 1; recomputes in Python; wider arms
+        with fewer users get wider intervals (sanity)."""
+        import math
+
+        from stellarsql_spark.operators.events_analytics import b_ev_rate_wilson
+
+        rows = b_ev_rate_wilson(spark, SF_MED).collect()
+        assert len(rows) == 4
+        for r in rows:
+            p, n, z = r.c / r.n, r.n, 1.96
+            denom = 1 + z * z / n
+            center = p + z * z / (2 * n)
+            half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+            assert abs(r.wilson_lo - round((center - half) / denom, 6)) < 1e-9
+            assert abs(r.wilson_hi - round((center + half) / denom, 6)) < 1e-9
+            assert 0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1
