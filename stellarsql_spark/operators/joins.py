@@ -483,3 +483,65 @@ def b_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("k").eqNullSafe(F.col("kb")))
         .select("k", "n_a", "n_b", (F.col("n_a") * F.col("n_b")).cast("bigint").alias("n_pairs"))
     )
+
+
+# --- As-of join with staleness tolerance (C249) --------------------------------------------
+
+# The feature-store form of the as-of join: the latest click
+# at-or-before each purchase COUNTS ONLY IF it is fresh enough
+# (within 1 hour) — a stale feature is worse than a missing one, so
+# the match nulls out rather than silently shipping old state.  LEFT
+# semantics: every purchase row survives.  Same union-timeline
+# construction as b_join_asof (one per-user sort, never pairwise);
+# the tolerance is a residual predicate on the matched timestamp.
+_ASOF_TOL_US = 3_600_000_000
+
+_ASOF_TOL_ORACLE = f"""
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS t_p,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+            THEN epoch_us(c.ts) END AS t_click
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("b_join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "asof", "tolerance"))
+def b_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C249: as-of join with a 1-hour staleness tolerance — the
+    feature-store lookup rule ("join the latest feature value, but
+    never one older than the SLA").  LEFT semantics keep every
+    purchase; a match older than the tolerance NULLS OUT instead of
+    shipping stale state.  The oracle is DuckDB's native ASOF LEFT
+    JOIN plus the tolerance predicate; the Spark side is the
+    b_join_asof union-timeline (one user-keyed sort, no pairwise
+    blowup) with the tolerance as a post-window null-out.
+
+    Scale shape: identical to b_join_asof — union, one window per
+    user partition, map-side tolerance check."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    timeline = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
+    t_p = F.unix_micros("ts")
+    t_c = F.unix_micros("click_ts")
+    return (
+        timeline.withColumn("click_ts", click_ts)
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            t_p.alias("t_p"),
+            F.when(t_p - t_c <= _ASOF_TOL_US, t_c).alias("t_click"),
+        )
+    )

@@ -880,3 +880,90 @@ def b_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gap_len"), F.asc("gap_lo"))
         .limit(5)
     )
+
+
+# --- Data freshness audit (C250) -------------------------------------------------------------
+
+# The on-call question: "is this table stale?"  Per time-bearing
+# table: newest timestamp, lag (whole days) behind the freshest table
+# in the lake, and the last-7-days row count (the ingest-rate
+# canary).  Pure epoch arithmetic — exact integers.
+_FRESHNESS_ORACLE = """
+WITH m AS (
+  SELECT 'events' AS tbl, MAX(epoch_us(ts)) AS t_max,
+         CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+  UNION ALL
+  SELECT 'orders', MAX(epoch_us(o_orderdate)), COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'lineitem', MAX(epoch_us(l_shipdate)), COUNT(*) FROM lineitem
+),
+w AS (SELECT MAX(t_max) AS wm FROM m),
+recent AS (
+  SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_last7
+  FROM events, w WHERE epoch_us(ts) > wm - 7 * 86400000000
+  UNION ALL
+  SELECT 'orders', COUNT(*) FROM orders, w
+  WHERE epoch_us(o_orderdate) > wm - 7 * 86400000000
+  UNION ALL
+  SELECT 'lineitem', COUNT(*) FROM lineitem, w
+  WHERE epoch_us(l_shipdate) > wm - 7 * 86400000000
+)
+SELECT m.tbl, m.n_rows,
+       m.t_max AS t_max_us,
+       CAST((w.wm - m.t_max) // 86400000000 AS BIGINT) AS lag_days,
+       r.n_last7
+FROM m CROSS JOIN w JOIN recent r ON m.tbl = r.tbl
+ORDER BY m.tbl
+"""
+
+
+@register("b_quality_freshness", oracle=_FRESHNESS_ORACLE, tags=("quality", "freshness"))
+def b_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C250: freshness audit — newest timestamp per time-bearing
+    table, whole-day lag behind the lake's watermark (the freshest
+    table), and the trailing-7-day row count that catches a stalled
+    ingest even when the max timestamp looks right.  Completes the
+    quality family's operational trio: constraints (C234/C237),
+    content (C39/C134), now recency.
+
+    Scale shape: per table one MAX + one filtered COUNT with map-side
+    partials; the watermark is a 1-row broadcast."""
+    specs = (
+        ("events", "ts"),
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+    )
+    per = []
+    for tbl, col in specs:
+        t = load_table(spark, sf_dir, tbl)
+        us = F.unix_micros(F.col(col).cast("timestamp"))
+        per.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.max(us).alias("t_max_us"),
+            )
+        )
+    m = per[0].unionAll(per[1]).unionAll(per[2])
+    w = m.agg(F.max("t_max_us").alias("wm"))
+    recent = []
+    for tbl, col in specs:
+        t = load_table(spark, sf_dir, tbl)
+        us = F.unix_micros(F.col(col).cast("timestamp"))
+        recent.append(
+            t.crossJoin(F.broadcast(w))
+            .where(us > F.col("wm") - 7 * 86_400_000_000)
+            .agg(F.lit(tbl).alias("tbl"), F.count("*").cast("bigint").alias("n_last7"))
+        )
+    r = recent[0].unionAll(recent[1]).unionAll(recent[2])
+    return (
+        m.crossJoin(F.broadcast(w))
+        .join(r, "tbl")
+        .select(
+            "tbl",
+            "n_rows",
+            "t_max_us",
+            F.expr("(wm - t_max_us) div 86400000000").cast("bigint").alias("lag_days"),
+            "n_last7",
+        )
+    )

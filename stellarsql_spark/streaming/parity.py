@@ -744,3 +744,51 @@ def b_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(input_rows, sink_rows, state_rows >= sink_rows)],
         schema="input_rows_total bigint, sink_rows bigint, state_rows_nonneg boolean",
     )
+
+
+# --- Sliding window through the REAL engine (C248) ----------------------------------------
+
+# Completes the run_* trio (tumbling C?/B42, session C88): the
+# 1h/15min sliding aggregate executed by the actual micro-batch
+# engine and drained from a memory sink.  The aggregate is
+# streaming-legal (count + cents sum — exact COUNT DISTINCT is not
+# allowed under streaming aggregation, which is why this form differs
+# from the batch-plan key b_stream_sliding); every event lands in 4
+# overlapping windows, which the oracle expands with an explicit
+# 0..3 offset fan-out.
+_RUN_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS window_start,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE)
+           AS total_value
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+"""
+
+
+@register("b_stream_run_sliding", oracle=_RUN_SLIDING_ORACLE, tags=("streaming", "runtime", "window", "eager"))
+def b_stream_run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C248: the sliding window through the REAL micro-batch engine —
+    watermarked 1h/15min windows, complete mode, drained from the
+    memory sink; the streamed state must reproduce the batch
+    expansion bit-for-bit (the oracle fans each event into its 4
+    windows explicitly).  With tumbling (B42) and session (C88) runs,
+    all three window shapes are now certified on the actual engine,
+    not just as shared batch plans.
+
+    Scale shape: streaming state is one row per (open window), i.e.
+    4× the tumbling key count — bounded by time span, not corpus; the
+    money sum is the exact-cents convention."""
+    from stellarsql_spark.functions.exact import cents
+
+    streamed = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")) / 100.0).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_to_memory(streamed, output_mode="complete")

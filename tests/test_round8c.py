@@ -1328,3 +1328,82 @@ class TestWilson:
             assert abs(r.wilson_lo - round((center - half) / denom, 6)) < 1e-9
             assert abs(r.wilson_hi - round((center + half) / denom, 6)) < 1e-9
             assert 0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1
+
+
+class TestRunSliding:
+    def test_stream_equals_batch_expansion(self, spark):
+        """The drained micro-batch result equals the explicit 4-window
+        batch expansion, and every event appears in exactly 4 windows
+        (sum of window counts = 4x event count)."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.streaming.parity import b_stream_run_sliding
+
+        rows = b_stream_run_sliding(spark, SF).collect()
+        n_events = load_table(spark, SF, "events").count()
+        assert sum(r.n_events for r in rows) == 4 * n_events
+        assert len({r.window_start for r in rows}) == len(rows)
+
+
+class TestAsofTolerance:
+    def test_tolerance_nulls_stale_matches(self, spark):
+        """Every purchase row survives (LEFT); matches recompute from a
+        per-user walk; matches older than 1h are NULL but the
+        untoleranced as-of would have matched them (the key's point —
+        assert at least one such case exists OR no click precedes any
+        purchase by >1h)."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.joins import b_join_asof_tolerance
+
+        got = {r.event_id: r for r in b_join_asof_tolerance(spark, SF).collect()}
+        ev = load_table(spark, SF, "events").collect()
+        purchases = [e for e in ev if e.event_type == "purchase"]
+        clicks: dict[int, list[int]] = {}
+        for e in ev:
+            if e.event_type == "click":
+                clicks.setdefault(e.user_id, []).append(
+                    int(e.ts.timestamp() * 1_000_000)
+                )
+        assert len(got) == len(purchases)
+        n_stale = 0
+        for p in purchases:
+            t_p = int(p.ts.timestamp() * 1_000_000)
+            prior = [t for t in clicks.get(p.user_id, []) if t <= t_p]
+            r = got[p.event_id]
+            assert r.t_p == t_p
+            if not prior:
+                assert r.t_click is None
+            else:
+                best = max(prior)
+                if t_p - best <= 3_600_000_000:
+                    assert r.t_click == best
+                else:
+                    assert r.t_click is None
+                    n_stale += 1
+        assert n_stale > 0  # the tolerance must actually bite on this corpus
+
+
+class TestFreshness:
+    def test_lag_and_recent_counts(self, spark):
+        """Watermark = max over tables; per-table lag and last-7d
+        counts recompute from raw rows."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.quality import b_quality_freshness
+
+        rows = {r.tbl: r for r in b_quality_freshness(spark, SF).collect()}
+        assert set(rows) == {"events", "orders", "lineitem"}
+        maxes = {}
+        data = {}
+        for tbl, col in (("events", "ts"), ("orders", "o_orderdate"),
+                         ("lineitem", "l_shipdate")):
+            vals = [
+                int(getattr(x, col).timestamp() * 1_000_000)
+                for x in load_table(spark, SF, tbl).select(col).collect()
+            ]
+            maxes[tbl] = max(vals)
+            data[tbl] = vals
+        wm = max(maxes.values())
+        for tbl, r in rows.items():
+            assert r.t_max_us == maxes[tbl]
+            assert r.lag_days == (wm - maxes[tbl]) // 86_400_000_000
+            assert r.n_last7 == sum(1 for v in data[tbl] if v > wm - 7 * 86_400_000_000)
+            assert r.n_rows == len(data[tbl])
