@@ -1701,3 +1701,106 @@ def b_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi_m"),
         )
     )
+
+
+# --- Poisson bootstrap standard error (C252) ---------------------------------------------
+
+# THE distributed bootstrap: classical resampling needs coordinated
+# with-replacement draws, but for large n the per-row resample weight
+# converges to Poisson(1) — so each row independently draws a weight
+# per replicate and the whole bootstrap is ONE pass with no
+# coordination (the reason it's the standard at cluster scale).
+# Weights are DETERMINISTIC here: the uniform is md5(row, replicate)
+# reduced to integer millionths, inverted through the exact-millionth
+# Poisson(1) CDF thresholds (floor(1e6·e^-1·Σ1/k!)):
+#   u < 367879 → 0, < 735758 → 1, < 919698 → 2, < 981011 → 3, else 4.
+_BOOT_R = 16
+_BOOT_THRESH = (367879, 735758, 919698, 981011)
+
+_BOOT_CASE = (
+    "CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 "
+    "WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 ELSE 4 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH draws AS (
+  SELECT r.r,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS v,
+         CAST(concat('0x', substring(md5(concat(CAST(o_orderkey AS VARCHAR),
+                                                ':', CAST(r.r AS VARCHAR))),
+                     1, 15)) AS BIGINT) % 1000000 AS u
+  FROM orders, unnest(range(0, {_BOOT_R})) AS r(r)
+),
+rep AS (
+  SELECT r,
+         CAST(SUM(({_BOOT_CASE}) * v) AS BIGINT) AS s,
+         CAST(SUM({_BOOT_CASE}) AS BIGINT) AS n
+  FROM draws GROUP BY r
+),
+means AS (SELECT r, CAST(s AS DOUBLE) / n AS m FROM rep)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       ROUND(AVG(m), 4) AS boot_mean_c,
+       ROUND(sqrt((SUM(m * m) - COUNT(*) * AVG(m) * AVG(m)) / (COUNT(*) - 1)), 4)
+           AS boot_se_c
+FROM means
+"""
+
+
+@register("b_agg_poisson_bootstrap", oracle=_BOOT_ORACLE, tags=("agg", "bootstrap", "stats"))
+def b_agg_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C252: Poisson-bootstrap standard error of the mean order value
+    — the ONE-PASS distributed bootstrap (per-row Poisson(1) weights
+    approximate with-replacement resampling without any coordination,
+    which is why it is the technique of record at cluster scale;
+    Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012 [pub]).  Fully deterministic: the uniform
+    is md5(orderkey:replicate) in integer millionths inverted through
+    exact-millionth Poisson CDF thresholds, so both engines draw
+    IDENTICAL weights and the whole contract carries a hash oracle —
+    a seeded-RNG bootstrap could never cross engines.
+
+    Scale shape: the replicate fan-out is a 16-way map-side explode;
+    each replicate reduces to (Σwv, Σw) partials — one shuffle of
+    16 tiny rows; no data ever re-reads."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = F.explode(F.array(*[F.lit(r) for r in range(_BOOT_R)])).alias("r")
+    draws = (
+        o.select(
+            F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v"),
+            F.col("o_orderkey").cast("string").alias("k"),
+        )
+        .select("v", "k", reps)
+        .select(
+            "v",
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("k"), F.lit(":"), F.col("r").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 1000000
+            ).alias("u"),
+        )
+    )
+    wgt = F.expr(_BOOT_CASE)
+    rep = draws.groupBy("r").agg(
+        F.sum(wgt * F.col("v")).cast("bigint").alias("s"),
+        F.sum(wgt).cast("bigint").alias("n"),
+    )
+    means = rep.select((F.col("s").cast("double") / F.col("n")).alias("m"))
+    return means.agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean_c"),
+        F.round(
+            F.sqrt(
+                (F.sum(F.col("m") * F.col("m")) - F.count("*") * F.avg("m") * F.avg("m"))
+                / (F.count("*") - 1)
+            ),
+            4,
+        ).alias("boot_se_c"),
+    )

@@ -1735,3 +1735,93 @@ def b_ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad").cast("bigint").alias("mad_m"),
         )
     )
+
+
+# --- Rolling correlation (C251) -----------------------------------------------------------
+
+# The co-movement dashboard: trailing 14-day Pearson between the
+# daily 'view' and 'purchase' cents series.  The window carries the
+# five EXACT integer moment sums (n, Σx, Σy, Σx², Σy², Σxy — cents²
+# fits BIGINT at these day totals); each day's coefficient is one
+# identical double expression over them, ROUND 6 — the C146/C216
+# recipe under a moving frame.
+_ROLLCORR_ORACLE = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS d,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+),
+m AS (
+  SELECT d, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+  FROM d
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT d, n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           AS rollcorr
+FROM m WHERE n = 14 ORDER BY d
+"""
+
+
+@register("b_ts_rolling_corr", oracle=_ROLLCORR_ORACLE, tags=("timeseries", "corr", "rolling"))
+def b_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C251: trailing 14-day Pearson correlation between the daily
+    view and purchase series — the co-movement monitor whose global
+    cousins are C146 (autocorr) and C216 (lead-lag).  The moving
+    frame carries five exact BIGINT moment sums; the coefficient is
+    one identically-parenthesized double expression, rounded once;
+    incomplete leading frames are excluded by the window row count.
+
+    Scale shape: the day rollup collapses the corpus map-side; six
+    window aggregates share one |days|-row ordered frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cts = F.round(F.col("value") * 100).cast("bigint")
+    d = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", cts).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", cts).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    m = d.select(
+        "d",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    ).where(F.col("n") == 14)
+    return m.select(
+        "d",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n").cast("double") * F.col("sxx")
+                 - F.col("sx").cast("double") * F.col("sx"))
+                * (F.col("n").cast("double") * F.col("syy")
+                   - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("rollcorr"),
+    )

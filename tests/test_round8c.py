@@ -1407,3 +1407,94 @@ class TestFreshness:
             assert r.lag_days == (wm - maxes[tbl]) // 86_400_000_000
             assert r.n_last7 == sum(1 for v in data[tbl] if v > wm - 7 * 86_400_000_000)
             assert r.n_rows == len(data[tbl])
+
+
+class TestRollingCorr:
+    def test_recomputes_and_bounds(self, spark):
+        """Every coefficient in [-1, 1] and the first complete frame
+        recomputes exactly in Python."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.timeseries import b_ts_rolling_corr
+
+        rows = sorted(b_ts_rolling_corr(spark, SF_MED).collect(), key=lambda r: r.d)
+        assert rows and all(r.n == 14 for r in rows)
+        assert all(-1 <= r.rollcorr <= 1 for r in rows)
+        ev = load_table(spark, SF_MED, "events").collect()
+        dx: dict[int, int] = {}
+        dy: dict[int, int] = {}
+        for e in ev:
+            d = int(e.ts.timestamp() * 1_000_000) // 86_400_000_000
+            c = round(e.value * 100)
+            if e.event_type == "view":
+                dx[d] = dx.get(d, 0) + c
+                dy.setdefault(d, dy.get(d, 0))
+            elif e.event_type == "purchase":
+                dy[d] = dy.get(d, 0) + c
+                dx.setdefault(d, dx.get(d, 0))
+        import math
+
+        days = sorted(set(dx) | set(dy))
+        frame = days[:14]
+        xs = [dx.get(d, 0) for d in frame]
+        ys = [dy.get(d, 0) for d in frame]
+        n = 14
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        want = round(
+            (n * sxy - sx * sy)
+            / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+        assert abs(rows[0].rollcorr - want) < 1e-9
+
+
+class TestPoissonBootstrap:
+    def test_weights_and_se_recompute(self, spark):
+        """Replicate means and the bootstrap SE recompute exactly from
+        the md5-deterministic Poisson weights; the weight
+        distribution is Poisson(1)-shaped (mean weight near 1)."""
+        import hashlib
+        import math
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.aggregates import (
+            _BOOT_R,
+            b_agg_poisson_bootstrap,
+        )
+
+        r = b_agg_poisson_bootstrap(spark, SF).collect()[0]
+        orders = load_table(spark, SF, "orders").collect()
+
+        def w(u: int) -> int:
+            for i, t in enumerate((367879, 735758, 919698, 981011)):
+                if u < t:
+                    return i
+            return 4
+
+        means = []
+        total_w = 0
+        for rep in range(_BOOT_R):
+            s = n = 0
+            for o in orders:
+                u = (
+                    int(
+                        hashlib.md5(f"{o.o_orderkey}:{rep}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 1_000_000
+                )
+                wt = w(u)
+                s += wt * round(100 * o.o_totalprice)
+                n += wt
+            means.append(s / n)
+            total_w += n
+        assert r.n_replicates == _BOOT_R
+        mbar = sum(means) / len(means)
+        se = math.sqrt(
+            (sum(m * m for m in means) - len(means) * mbar * mbar) / (len(means) - 1)
+        )
+        assert abs(r.boot_mean_c - round(mbar, 4)) < 1e-6
+        assert abs(r.boot_se_c - round(se, 4)) < 1e-6
+        assert 0.9 < total_w / (_BOOT_R * len(orders)) < 1.1
