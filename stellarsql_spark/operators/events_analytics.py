@@ -1700,3 +1700,117 @@ def b_ev_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+# --- Uplift with Newcombe interval (C253) ------------------------------------------------
+
+# The experiment readout one level up from C145's z-statistic: the
+# treatment-minus-control rate DIFFERENCE with Newcombe's hybrid
+# score interval, which combines the two arms' Wilson bounds
+# (lo = d − √((p1−l1)² + (u2−p2)²), hi symmetric) — the method that
+# behaves at extreme rates where the Wald interval collapses.
+# Deterministic: exact (n, c) per arm, then a fixed composition of
+# correctly-rounded double ops, rounded once.
+_UPLIFT_ORACLE = """
+WITH arm AS (
+  SELECT user_id % 2 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c FROM arm GROUP BY grp
+),
+wil AS (
+  SELECT grp, n, c,
+         CAST(c AS DOUBLE) / n AS p,
+         (CAST(c AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+          - 1.96 * sqrt((CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n) / n
+                        + 1.96 * 1.96 / (4.0 * n * n))) / (1 + 1.96 * 1.96 / n) AS lo,
+         (CAST(c AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+          + 1.96 * sqrt((CAST(c AS DOUBLE) / n) * (1 - CAST(c AS DOUBLE) / n) / n
+                        + 1.96 * 1.96 / (4.0 * n * n))) / (1 + 1.96 * 1.96 / n) AS hi
+  FROM s
+),
+wide AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n_t,
+         MAX(CASE WHEN grp = 1 THEN c END) AS c_t,
+         MAX(CASE WHEN grp = 1 THEN p END) AS p_t,
+         MAX(CASE WHEN grp = 1 THEN lo END) AS l_t,
+         MAX(CASE WHEN grp = 1 THEN hi END) AS h_t,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n_c,
+         MAX(CASE WHEN grp = 0 THEN c END) AS c_c,
+         MAX(CASE WHEN grp = 0 THEN p END) AS p_c,
+         MAX(CASE WHEN grp = 0 THEN lo END) AS l_c,
+         MAX(CASE WHEN grp = 0 THEN hi END) AS h_c
+  FROM wil
+)
+SELECT CAST(n_t AS BIGINT) AS n_t, CAST(c_t AS BIGINT) AS c_t,
+       CAST(n_c AS BIGINT) AS n_c, CAST(c_c AS BIGINT) AS c_c,
+       ROUND(p_t - p_c, 6) AS uplift,
+       ROUND(p_t - p_c - sqrt((p_t - l_t) * (p_t - l_t)
+                              + (h_c - p_c) * (h_c - p_c)), 6) AS uplift_lo,
+       ROUND(p_t - p_c + sqrt((h_t - p_t) * (h_t - p_t)
+                              + (p_c - l_c) * (p_c - l_c)), 6) AS uplift_hi
+FROM wide
+"""
+
+
+@register("b_ev_uplift_newcombe", oracle=_UPLIFT_ORACLE, tags=("events", "stats", "uplift"))
+def b_ev_uplift_newcombe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C253: treatment-vs-control conversion uplift with Newcombe's
+    hybrid score interval — the difference-of-rates CI built from the
+    two arms' Wilson bounds (C247's machinery composed into C145's
+    experiment design).  The z-test says WHETHER the arms differ;
+    this says BY HOW MUCH, with an interval that survives extreme
+    rates.  Exact (n, c) per arm, one fixed correctly-rounded double
+    composition, rounded once.
+
+    Scale shape: one user-keyed conversion rollup, a 2-row group,
+    scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    arm = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("grp"), "conv")
+    s = arm.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").cast("bigint").alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2 * F.col("n"))
+    half = 1.96 * F.sqrt(p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n")))
+    denom = 1 + z2 / F.col("n")
+    wil = s.select(
+        "grp", "n", "c",
+        p.alias("p"),
+        ((center - half) / denom).alias("lo"),
+        ((center + half) / denom).alias("hi"),
+    )
+    wide = wil.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(col))).alias(f"{col}_{tag}")
+            for g, tag in ((1, "t"), (0, "c"))
+            for col in ("n", "c", "p", "lo", "hi")
+        ]
+    )
+    d = F.col("p_t") - F.col("p_c")
+    lo_half = F.sqrt(
+        (F.col("p_t") - F.col("lo_t")) * (F.col("p_t") - F.col("lo_t"))
+        + (F.col("hi_c") - F.col("p_c")) * (F.col("hi_c") - F.col("p_c"))
+    )
+    hi_half = F.sqrt(
+        (F.col("hi_t") - F.col("p_t")) * (F.col("hi_t") - F.col("p_t"))
+        + (F.col("p_c") - F.col("lo_c")) * (F.col("p_c") - F.col("lo_c"))
+    )
+    return wide.select(
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("c_t").cast("bigint").alias("c_t"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.col("c_c").cast("bigint").alias("c_c"),
+        F.round(d, 6).alias("uplift"),
+        F.round(d - lo_half, 6).alias("uplift_lo"),
+        F.round(d + hi_half, 6).alias("uplift_hi"),
+    )

@@ -1498,3 +1498,43 @@ class TestPoissonBootstrap:
         assert abs(r.boot_mean_c - round(mbar, 4)) < 1e-6
         assert abs(r.boot_se_c - round(se, 4)) < 1e-6
         assert 0.9 < total_w / (_BOOT_R * len(orders)) < 1.1
+
+
+class TestUpliftNewcombe:
+    def test_interval_brackets_and_recomputes(self, spark):
+        """uplift_lo <= uplift <= uplift_hi; recomputes in Python from
+        the two arms' exact counts via the Wilson-bound composition;
+        interval is contained in [-1, 1]."""
+        import math
+
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.events_analytics import b_ev_uplift_newcombe
+
+        r = b_ev_uplift_newcombe(spark, SF_MED).collect()[0]
+        ev = load_table(spark, SF_MED, "events").collect()
+        conv: dict[int, int] = {}
+        for e in ev:
+            v = 1 if (e.event_type == "purchase" and e.value > 150) else 0
+            conv[e.user_id] = max(conv.get(e.user_id, 0), v)
+        arms = {0: [0, 0], 1: [0, 0]}
+        for u, c in conv.items():
+            arms[u % 2][0] += 1
+            arms[u % 2][1] += c
+
+        def wilson(n, c, z=1.96):
+            p = c / n
+            denom = 1 + z * z / n
+            center = p + z * z / (2 * n)
+            half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+            return p, (center - half) / denom, (center + half) / denom
+
+        p_t, l_t, h_t = wilson(*arms[1])
+        p_c, l_c, h_c = wilson(*arms[0])
+        d = p_t - p_c
+        lo = d - math.sqrt((p_t - l_t) ** 2 + (h_c - p_c) ** 2)
+        hi = d + math.sqrt((h_t - p_t) ** 2 + (p_c - l_c) ** 2)
+        assert (r.n_t, r.c_t, r.n_c, r.c_c) == (arms[1][0], arms[1][1], arms[0][0], arms[0][1])
+        assert abs(r.uplift - round(d, 6)) < 1e-9
+        assert abs(r.uplift_lo - round(lo, 6)) < 1e-9
+        assert abs(r.uplift_hi - round(hi, 6)) < 1e-9
+        assert -1 <= r.uplift_lo <= r.uplift <= r.uplift_hi <= 1
