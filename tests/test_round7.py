@@ -242,6 +242,14 @@ class TestAdversarialCorpus:
         "b_llm_cdc_chunks",
         "b_llm_zipf",
         "b_llm_phrase_search",
+        # r8 second-half additions
+        "b_llm_ttr",
+        "b_llm_containment",
+        "b_llm_vocab_coverage",
+        "b_llm_fertility",
+        "b_llm_feature_hashing",
+        "b_llm_simhash_dedup",
+        "b_llm_canonicalize",
     ]
 
     @staticmethod
