@@ -345,9 +345,10 @@ WITH rev AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT pri, status, v,
-       CAST((1000000 * v) // SUM(v) OVER (PARTITION BY pri) AS BIGINT) AS share_m,
-       CAST((1000000 * SUM(v) OVER (PARTITION BY pri ORDER BY v DESC, status
-                                    ROWS UNBOUNDED PRECEDING))
+       CAST((1000000 * CAST(v AS HUGEINT)) // SUM(v) OVER (PARTITION BY pri)
+            AS BIGINT) AS share_m,
+       CAST((1000000 * CAST(SUM(v) OVER (PARTITION BY pri ORDER BY v DESC, status
+                                         ROWS UNBOUNDED PRECEDING) AS HUGEINT))
             // SUM(v) OVER (PARTITION BY pri) AS BIGINT) AS cum_share_m
 FROM rev ORDER BY pri, v DESC, status
 """
@@ -360,7 +361,11 @@ def b_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority's total, plus the running share in (v DESC, status)
     order (the Pareto-curve reading).  Exact: the windows carry
     integer-cent SUMS; each share is one integer division of exact
-    longs, never a float ratio.
+    integers, never a float ratio.  The cross-multiply runs in
+    DECIMAL(38,0)/HUGEINT carriers (the sibling C216/C217/C243 rule):
+    1e6·cum is the running per-priority revenue in millionths of a
+    cent, which crosses int64 around sf1-2 — BIGINT would wrap
+    silently on the Spark side (ANSI off) while DuckDB errors.
 
     Scale shape: the rollup collapses the corpus map-side to 15
     cells; both windows run over those 15 rows."""
@@ -389,7 +394,11 @@ def b_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pri",
             "status",
             "v",
-            F.expr("(1000000 * v) div tot").cast("bigint").alias("share_m"),
-            F.expr("(1000000 * cum) div tot").cast("bigint").alias("cum_share_m"),
+            F.expr("(1000000 * CAST(v AS DECIMAL(38,0))) div tot")
+            .cast("bigint")
+            .alias("share_m"),
+            F.expr("(1000000 * CAST(cum AS DECIMAL(38,0))) div tot")
+            .cast("bigint")
+            .alias("cum_share_m"),
         )
     )

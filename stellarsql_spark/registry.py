@@ -164,23 +164,17 @@ _R02_CHECKED = frozenset(
 # re-stamps it.  Routine staleness needs no entry — the stamped tail
 # is ordered oldest-stamp-first, so the driver's ~50-key window
 # re-certifies the stalest evidence automatically each round.
-# Keys whose builder or oracle semantics changed AFTER their latest
-# driver stamp (r8 ADVICE audit): editdist's oracle ASCII-fold landed
-# after its r3 stamp, read_text's base64-format rewrite after r4,
-# cosine_topk's mapInArrow rewrite after r2, the shingle/bigram
-# expression changes after jaccard/repetition/contamination's r2-r3
-# stamps, and curation_funnel composes those changed shingle exprs
-# (stamped r6).  All verified green by the local full-registry gate on
-# the current corpus; listed here until the driver re-stamps them.
-# (r7's entries b_llm_dsir/b_llm_domain_mix were re-stamped green in
-# CORRECTNESS_r07 and are dropped per the removal rule above.)
+# (r8's eight entries — editdist, read_text, cosine_topk, jaccard,
+# repetition, contamination, curation_funnel, ann_recall — were all
+# re-stamped green in CORRECTNESS_r08 and are dropped per the removal
+# rule above.)
 _RESTAMP: tuple[str, ...] = (
-    "b_llm_editdist", "b_read_text", "b_llm_cosine_topk",
-    "b_llm_jaccard", "b_llm_repetition", "b_llm_contamination",
-    "b_llm_curation_funnel",
-    # r8: the IVF recall floor was raised 0.2 → 0.7 (seeded-k-means
-    # quantizer) after this key's r3 stamp.
-    "b_llm_ann_recall",
+    # r8: b_sample_seeded gained a brand-new HASH oracle (the
+    # engine-RNG draw was replaced by a seed-keyed md5 draw,
+    # operators/reshape.py) after its r07 stamp, which certified the
+    # OLD rows-only contract — the stale stamp is misleading evidence
+    # until the driver re-stamps the hash contract.
+    "b_sample_seeded",
 )
 
 

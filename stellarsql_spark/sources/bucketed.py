@@ -209,3 +209,124 @@ def b_join_inner_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev_p") / 100.0).cast("double").alias("revenue"),
         )
     )
+
+
+# --- served twin of the b_join_inner headline (C254) -----------------
+
+def ensure_join_rollup(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per corpus fingerprint) the serving artifacts
+    of the b_join_inner headline, the same lineage step that closed
+    the tumbling family (events_layout.ensure_hourly_rollup):
+
+    ``<warehouse>/join_ck_preagg_<tag>/``  the custkey-level pre-agg
+        (o_custkey, n_orders_p, rev_p) over status-'F' orders — the
+        eager-aggregation intermediate b_join_inner computes per
+        query, landed at rest.  This is the DELTA-MAINTAINABLE level:
+        new order batches fold in with a SUM-of-partials re-aggregate
+        and no dim join (b_ts_rollup_incremental's merge pattern /
+        b_merge_ivm's refresh), which is why the pipeline maintains
+        custkey granularity rather than only the final 25 rows.
+    ``<warehouse>/join_nation_rollup_<tag>/``  the 25-row nationkey
+        rollup derived from it (preagg ⋈ slim customer map → SUM),
+        re-derived whenever the pre-agg changes — dashboards read
+        THIS.
+    ``<warehouse>/nation_names_<tag>/``  the 25-row conformed name
+        dim (n_nationkey, n_name, r_name) = nation ⋈ region.
+
+    Builds are serialized/idempotent via the same fingerprint-marker +
+    exclusive-lock protocol as the events layout (r8 ADVICE)."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    preagg_dir = os.path.join(warehouse, f"join_ck_preagg_{tag}")
+    rollup_dir = os.path.join(warehouse, f"join_nation_rollup_{tag}")
+    names_dir = os.path.join(warehouse, f"nation_names_{tag}")
+    marker = os.path.join(rollup_dir, "_ROLLUP_DONE")
+    # the rollup depends on facts AND the dims that map/name keys —
+    # fingerprint all four inputs so regenerating any one rebuilds it
+    fp = ":".join(
+        _bucket_fingerprint(table_path(sf_dir, t), 0)
+        for t in ("orders", "customer", "nation", "region")
+    )
+    if _marker_ok(marker, fp):
+        return rollup_dir, names_dir
+
+    def _build() -> None:
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+        (
+            o.select("o_custkey", cents("o_totalprice").alias("cts"))
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders_p"), F.sum("cts").alias("rev_p"))
+            .write.mode("overwrite")
+            .parquet(preagg_dir)
+        )
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        (
+            spark.read.parquet(preagg_dir)
+            .join(c.hint("shuffle_hash"), F.col("o_custkey") == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("n_orders_p").cast("bigint").alias("n_orders"),
+                F.sum("rev_p").cast("bigint").alias("rev_cts"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(rollup_dir)
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        (
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("n_nationkey", "n_name", "r_name")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(names_dir)
+        )
+
+    _build_serialized(rollup_dir, marker, fp, _build)
+    return rollup_dir, names_dir
+
+
+@register("b_join_inner_served", oracle=_INNER_BUCKETED_ORACLE,
+          tags=("join", "served"))
+def b_join_inner_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C254: the SERVED form of the join headline — read the maintained
+    25-row nationkey rollup instead of re-joining facts, completing
+    the plain → bucketed → served lineage exactly as the tumbling
+    family did (r8 VERDICT next-round #3).  Same result contract as
+    b_join_inner and its bucketed twin (one shared oracle); equality
+    across all three forms is the test contract
+    (tests/test_round9.py).
+
+    At 100 TB: the custkey pre-agg is maintained incrementally from
+    order deltas (SUM-of-partials, no dim join —
+    b_ts_rollup_incremental's pattern), the 25-row nation rollup is
+    re-derived from it, and every dashboard query costs O(nations) —
+    a 25-row scan plus a 25-row broadcast name join — not O(orders).
+    The DuckDB oracle still re-joins the raw parquet: the maintained
+    rollup IS the Spark-side serving architecture being measured,
+    same contract as the tumbling served twin.
+
+    Scale shape: two 25-row scans, one broadcast hash join, zero
+    data-sized anything at query time."""
+    rollup_dir, names_dir = ensure_join_rollup(spark, sf_dir)
+    s2 = spark.newSession()
+    # same session shape as the tumbling served twin: every input is
+    # ≤25 rows, so AQE re-planning and 32-way shuffles are pure floor
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "1")
+    ru = s2.read.parquet(rollup_dir)
+    nm = s2.read.parquet(names_dir)
+    return (
+        ru.join(F.broadcast(nm), ru.c_nationkey == nm.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            (F.sum("rev_cts") / 100.0).cast("double").alias("revenue"),
+        )
+    )

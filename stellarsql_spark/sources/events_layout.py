@@ -50,6 +50,40 @@ from stellarsql_spark.registry import register
 
 US_PER_HOUR = 3_600_000_000
 
+
+def _marker_ok(marker: str, fp: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read() == fp
+    except OSError:
+        return False
+
+
+def _build_serialized(target_dir: str, marker: str, fp: str, build) -> None:
+    """Run ``build()`` (an overwrite-write + marker publish) at most
+    once per fingerprint, serialized across sessions via an exclusive
+    lock file beside the target dir.
+
+    Without this, two sessions materializing the same corpus could
+    interleave their overwrite and marker writes, leaving a marker
+    that describes a partially-overwritten directory.  flock gives
+    single-host mutual exclusion (the sandbox and the bench/driver
+    sessions are single-host); on a real multi-writer lake this job
+    belongs to a transactional table format's commit protocol, not a
+    marker file.  Double-checked: the marker is re-read under the
+    lock so the loser of the race returns the winner's build."""
+    import fcntl
+
+    lock_path = target_dir.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if _marker_ok(marker, fp):
+            return
+        build()
+        with open(marker, "w") as f:
+            f.write(fp)
+
 # Identical result contract to b_stream_tumbling
 # (streaming/windows.py) — the twin measures the layout, not a
 # different query.
@@ -95,45 +129,46 @@ def ensure_hour_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     dim_dir = os.path.join(warehouse, f"event_types_{tag}")
     marker = os.path.join(fact_dir, "_LAYOUT_DONE")
     fp = _layout_fingerprint(table_path(sf_dir, "events"))
-    if os.path.exists(marker) and open(marker).read() == fp:
+    if _marker_ok(marker, fp):
         return fact_dir, dim_dir
 
-    e = load_table(spark, sf_dir, "events")
-    dim = (
-        e.select("event_type")
-        .distinct()
-        .sort("event_type")
-        .select(
-            F.row_number().over(Window.orderBy("event_type")).cast("int").alias("type_id"),
-            "event_type",
+    def _build() -> None:
+        e = load_table(spark, sf_dir, "events")
+        dim = (
+            e.select("event_type")
+            .distinct()
+            .sort("event_type")
+            .select(
+                F.row_number().over(Window.orderBy("event_type")).cast("int").alias("type_id"),
+                "event_type",
+            )
         )
-    )
-    dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
-    dim_b = F.broadcast(spark.read.parquet(dim_dir))
-    h = F.unix_micros("ts")
-    fact = (
-        e.join(dim_b, "event_type")
-        .select(
-            "event_id",
-            "ts",
-            "user_id",
-            "type_id",
-            "value",
-            cents("value").alias("cts"),
-            "props",
-            ((h - (h % US_PER_HOUR)) / US_PER_HOUR).cast("bigint").alias("event_hour"),
-            F.floor(h / (24 * US_PER_HOUR)).cast("bigint").alias("event_day"),
+        dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        dim_b = F.broadcast(spark.read.parquet(dim_dir))
+        h = F.unix_micros("ts")
+        fact = (
+            e.join(dim_b, "event_type")
+            .select(
+                "event_id",
+                "ts",
+                "user_id",
+                "type_id",
+                "value",
+                cents("value").alias("cts"),
+                "props",
+                ((h - (h % US_PER_HOUR)) / US_PER_HOUR).cast("bigint").alias("event_hour"),
+                F.floor(h / (24 * US_PER_HOUR)).cast("bigint").alias("event_day"),
+            )
+            # hash-repartition on the partition key so each day lands
+            # wholly in one task → exactly one file per hive dir (a
+            # straight partitionBy write would emit width×days files),
+            # then sort within so the hour/type columns become RLE runs.
+            .repartition("event_day")
+            .sortWithinPartitions("event_day", "event_hour", "type_id")
         )
-        # hash-repartition on the partition key so each day lands
-        # wholly in one task → exactly one file per hive dir (a
-        # straight partitionBy write would emit width×days files),
-        # then sort within so the hour/type columns become RLE runs.
-        .repartition("event_day")
-        .sortWithinPartitions("event_day", "event_hour", "type_id")
-    )
-    fact.write.mode("overwrite").partitionBy("event_day").parquet(fact_dir)
-    with open(marker, "w") as f:
-        f.write(fp)
+        fact.write.mode("overwrite").partitionBy("event_day").parquet(fact_dir)
+
+    _build_serialized(fact_dir, marker, fp, _build)
     return fact_dir, dim_dir
 
 
@@ -205,21 +240,23 @@ def ensure_hourly_rollup(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     marker = os.path.join(rollup_dir, "_ROLLUP_DONE")
     fp = _layout_fingerprint(table_path(sf_dir, "events"))
     fact_dir, dim_dir = ensure_hour_layout(spark, sf_dir)
-    if os.path.exists(marker) and open(marker).read() == fp:
+    if _marker_ok(marker, fp):
         return rollup_dir, dim_dir
-    (
-        spark.read.parquet(fact_dir)
-        .groupBy("event_hour", "type_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("cts").cast("bigint").alias("sum_cts"),
+
+    def _build() -> None:
+        (
+            spark.read.parquet(fact_dir)
+            .groupBy("event_hour", "type_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cts").cast("bigint").alias("sum_cts"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(rollup_dir)
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(rollup_dir)
-    )
-    with open(marker, "w") as f:
-        f.write(fp)
+
+    _build_serialized(rollup_dir, marker, fp, _build)
     return rollup_dir, dim_dir
 
 

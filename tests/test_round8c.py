@@ -41,21 +41,69 @@ class TestKcore:
         assert by_tier["hi"][-1].n_nodes < by_tier["hi"][0].n_nodes
 
     def test_survivors_meet_degree_bar(self, spark):
-        """Every node surviving the final lo-tier round really has
-        degree >= k_lo in the original graph (the peel never removes
-        a node the definition keeps on this converged tier)."""
-        from pyspark.sql import functions as F
+        """UNCONDITIONAL (r8 ADVICE fix — the old version only asserted
+        under a fixpoint precondition and could pass vacuously): an
+        exact driver-side replay of the same synchronous peel on the
+        tiny corpus must reproduce every per-round (n_nodes, n_edges)
+        pair for BOTH tiers, and every node surviving the final round
+        must meet the degree bar IN THE PEELED SUBGRAPH (recomputed
+        from the replayed survivor edge set, not the original graph)."""
+        from collections import Counter
 
-        from stellarsql_spark.operators.graph import _degrees, _edges, b_graph_kcore
+        from stellarsql_spark.operators.graph import (
+            _KCORE_ROUNDS,
+            _edges,
+            b_graph_kcore,
+        )
 
         rows = b_graph_kcore(spark, SF).collect()
-        lo = sorted((r for r in rows if r.k_tier == "lo"), key=lambda r: r.peel_round)
-        k_lo = lo[0].k
-        deg = _degrees(_edges(spark, SF)).collect()
-        n_at_least_k = sum(1 for d in deg if d.d >= k_lo)
-        # converged fixpoint that kept everything => every node meets the bar
-        if lo[0].n_nodes == len(deg):
-            assert n_at_least_k == len(deg)
+        by_tier: dict[str, list] = {}
+        for r in rows:
+            by_tier.setdefault(r.k_tier, []).append(r)
+        edges = [(r.u, r.v) for r in _edges(spark, SF).collect()]
+        assert edges, "tiny corpus must yield a non-empty co-occurrence graph"
+
+        for tier, tier_rows in by_tier.items():
+            tier_rows.sort(key=lambda r: r.peel_round)
+            assert len(tier_rows) == _KCORE_ROUNDS
+            k = tier_rows[0].k
+            cur = list(edges)
+            for rnd, row in enumerate(tier_rows, start=1):
+                deg = Counter()
+                for u, v in cur:
+                    deg[u] += 1
+                    deg[v] += 1
+                keep = {n for n, d in deg.items() if d >= k}
+                cur = [(u, v) for u, v in cur if u in keep and v in keep]
+                assert (row.n_nodes, row.n_edges) == (len(keep), len(cur)), (
+                    f"{tier} round {rnd}: engine ({row.n_nodes}, {row.n_edges}) "
+                    f"!= exact replay ({len(keep)}, {len(cur)})"
+                )
+            # the degree bar, recomputed in the peeled subgraph: every
+            # endpoint of a surviving edge was in the last kept set, so
+            # check the kept nodes' degrees within the survivor edges —
+            # after a converged round each must be >= k; after a
+            # non-converged round the NEXT peel would drop the
+            # under-bar ones, so assert the weaker invariant that the
+            # kept set is exactly the >=k set of the PRE-round graph
+            # (already certified by the replay equality above) and the
+            # converged-case bar when the tier did converge.
+            if len(tier_rows) >= 2 and (
+                tier_rows[-1].n_nodes,
+                tier_rows[-1].n_edges,
+            ) == (tier_rows[-2].n_nodes, tier_rows[-2].n_edges):
+                final_deg = Counter()
+                for u, v in cur:
+                    final_deg[u] += 1
+                    final_deg[v] += 1
+                for n, d in final_deg.items():
+                    assert d >= k, f"{tier}: converged survivor {n} has degree {d} < {k}"
+        # at least one tier must exercise the converged branch on this
+        # corpus (the lo tier fixpoints immediately — asserted in
+        # test_two_tiers_and_monotone_peel), so the bar above is never
+        # vacuous across the test as a whole
+        lo = sorted(by_tier["lo"], key=lambda r: r.peel_round)
+        assert (lo[-1].n_nodes, lo[-1].n_edges) == (lo[-2].n_nodes, lo[-2].n_edges)
 
 
 class TestClustCoeff:
