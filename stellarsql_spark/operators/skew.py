@@ -297,3 +297,94 @@ def b_join_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("gross"),
     )
+
+
+@register("b_join_skew_bypass", oracle=_SALTED_ORACLE, tags=("join", "skew", "broadcast"))
+def b_join_skew_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C255: hot-key BYPASS — the skew form that removes the hot
+    shuffle entirely (r8 VERDICT next-round #2).
+
+    The r8 five-form A/B stopped at the AQE-split shuffle floor
+    (6.3 s at 300×z): splitting balances the hot partition but every
+    hot probe row still crosses the exchange.  This form routes the
+    hot keys around the shuffle instead:
+
+    - **hot lane** (~8 keys holding ~50% of lineitem): the probe rows
+      pre-aggregate BY KEY first — with ≤|hot| distinct keys the
+      map-side partial collapses each task to ≤|hot| rows, so the
+      ~90M hot rows reduce in place and the exchange carries
+      |hot|×tasks partials (~256 rows).  The ~8 matching orders rows
+      then BROADCAST onto the 8-row aggregate.  Zero data-sized
+      shuffle, zero stragglers.
+    - **cold lane** (the skew-free remainder): plain shuffled hash
+      join, exactly b_join_skew_split without its pathology.
+
+    Both lanes aggregate to ≤|status| rows and a union re-aggregate
+    (SUM of partial counts/sums — exact, decimal carriers) folds them.
+    Result-identical to the plain join for ANY detected hot set
+    (routing is a physical partitioning of the probe rows), so the
+    shared _SALTED_ORACLE covers every corpus; with no detected hot
+    key it degenerates to the plain shuffle-hash join.
+
+    Cost note: the probe side is scanned twice (hot filter + cold
+    filter — the In(8 keys) predicate pushes to the parquet scan both
+    ways).  One extra columnar scan buys the removal of a ~90M-row
+    shuffle materialization; at 100 TB the same trade holds whenever
+    hot keys carry a material fraction of the table, and the scan is
+    the cheaper side of it (SCALE.md round-9 measures the split)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = [
+        r[0]
+        for r in li.sample(_HOT_SAMPLE, seed=7)
+        .groupBy("l_orderkey")
+        .count()
+        .where(F.col("count") >= _HOT_MIN_SAMPLED)
+        .orderBy(F.desc("count"))
+        .limit(_HOT_TOP)
+        .collect()
+    ]
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    if not hot:
+        return (
+            li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(dec).cast("double").alias("gross"),
+            )
+        )
+    is_hot_li = F.col("l_orderkey").isin(hot)
+    is_hot_o = F.col("o_orderkey").isin(hot)
+    hot_pre = (
+        li.where(is_hot_li)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_p"), F.sum(dec).alias("g_p"))
+    )
+    o_hot = o.where(is_hot_o).select("o_orderkey", "o_orderstatus")
+    hot_lane = (
+        hot_pre.join(F.broadcast(o_hot), hot_pre.l_orderkey == o_hot.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_p").alias("n_items"),
+            F.sum("g_p").cast("decimal(38,2)").alias("gross_d"),
+        )
+    )
+    li_cold = li.where(~is_hot_li).select("l_orderkey", "l_extendedprice")
+    o_cold = o.where(~is_hot_o).select("o_orderkey", "o_orderstatus")
+    cold_lane = (
+        li_cold.join(o_cold.hint("shuffle_hash"), li_cold.l_orderkey == o_cold.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(dec).cast("decimal(38,2)").alias("gross_d"),
+        )
+    )
+    return (
+        hot_lane.unionByName(cold_lane)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("gross_d").cast("double").alias("gross"),
+        )
+    )

@@ -37,6 +37,10 @@ def get_spark(app_name: str = "stellarsql_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # no \r progress-bar spam on stdout: the bench's final JSON
+        # line must survive a 2000-char stdout tail window (r7/r8
+        # BENCH artifacts were head-truncated to unparseable)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )

@@ -90,8 +90,39 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(15)
+    kind = rng.randrange(17)
     where = _pred(rng, t)
+    if kind == 15:  # RANGE INTERVAL frame over a date ORDER BY (r9):
+        # time-based window frames — peers aggregate together, so ties
+        # on the date are deterministic; both engines accept the ANSI
+        # INTERVAL 'n' DAY literal (verified before this branch landed)
+        days = rng.randrange(5, 120)
+        e = _int_expr(rng, TABLES["orders"]["int"])
+        return (
+            f"SELECT o_orderkey AS k, "
+            f"CAST(SUM({e}) OVER (PARTITION BY o_orderstatus "
+            f"ORDER BY o_orderdate RANGE BETWEEN INTERVAL '{days}' DAY "
+            f"PRECEDING AND CURRENT ROW) AS BIGINT) AS w "
+            f"FROM orders WHERE {_pred(rng, 'orders')} "
+            f"ORDER BY k LIMIT {rng.randrange(30, 80)}"
+        )
+    if kind == 16:  # CUBE with a portable grouping-id bitmask (r9):
+        # GROUPING(a)*2+GROUPING(b) spells GROUPING_ID in text both
+        # engines accept (Spark's GROUPING_ID/DuckDB's multi-arg
+        # GROUPING are spelled differently). No WHERE — same
+        # empty-input divergence as the ROLLUP branch.
+        if len(strs) < 2:
+            kind = 14
+        else:
+            g1 = rng.choice(strs)
+            g2 = rng.choice([c for c in strs if c != g1])
+            e = _int_expr(rng, ints)
+            return (
+                f"SELECT {g1} AS g1, {g2} AS g2, "
+                f"GROUPING({g1})*2 + GROUPING({g2}) AS gid, "
+                f"COUNT(*) AS n, CAST(SUM({e}) AS BIGINT) AS s "
+                f"FROM {t} GROUP BY CUBE ({g1}, {g2})"
+            )
     if kind == 12:  # ROLLUP with GROUPING() disambiguation.
         # No WHERE here: on an EMPTY input DuckDB emits the standard
         # grand-total row (n=0, all GROUPING()=1) while Spark returns
@@ -295,7 +326,7 @@ def test_differential_corpus(spark, duck):
     seed = _round_seed(20260814)
     rng = random.Random(seed)
     mismatches = []
-    for i in range(160):
+    for i in range(200):
         q = gen_query(rng)
         s = _canon(spark.sql(q).toPandas())
         d = _canon(duck.execute(q).df())
