@@ -1,0 +1,106 @@
+"""Scalable global ordered prefix aggregation (SURVEY.md §4 "windows
+at scale").
+
+A `Window.orderBy(...)` with no PARTITION BY forces every row through
+ONE task — fine for |days|- or |groups|-sized intermediates, fatal for
+data-sized inputs (Spark even warns: "No Partition Defined for Window
+operation").  Several operators document the standard fix ("range-
+partition the running sum — two passes, same values"); this module
+SHIPS it, so data-sized global running sums / ranks stop being a
+narrated mitigation:
+
+  pass 1  range-repartition on the TOTAL order (caller must include a
+          unique tiebreak column — with a total order, no key ever
+          straddles a range boundary, so partition placement cannot
+          change any prefix), then compute ordinary intra-partition
+          running aggregates with a partition-local window.
+  pass 2  per-partition totals (npart rows, one tiny agg); the
+          exclusive prefix over THEM — one window over npart rows —
+          is each partition's offset, broadcast-joined back and
+          added.
+
+Values are bit-identical to the single-partition window for ANY total
+order, because a prefix over a totally ordered sequence is invariant
+to where the sequence is cut.  Cost: one range exchange (same as the
+sort the single-partition window needs anyway) + an npart-row agg +
+a broadcast join — but the running work itself is npart-way parallel
+and no task ever materializes more than ~1/npart of the rows, which
+is the difference between "works at sf0.1" and "works at 100 TB".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__prefix_pid"
+_LRN = "__prefix_lrn"
+
+
+def ordered_running(
+    df: DataFrame,
+    order: list[Column],
+    sums: dict[str, Column],
+    *,
+    npart: int = 32,
+    row_number_as: str | None = None,
+) -> DataFrame:
+    """Append inclusive global running SUM column(s) (and optionally a
+    global ROW_NUMBER) over a total order, without a single-partition
+    window.
+
+    ``order``   total-order sort expressions (MUST be a total order:
+                include a unique tiebreak, or prefixes at ties are
+                underdetermined in ANY engine).
+    ``sums``    {out_col: value_expr} — each out_col becomes the
+                inclusive running sum of value_expr in ``order``.
+    ``row_number_as``  optional column name for the 1-based global
+                row number in ``order``.
+
+    Returns df's columns + the requested prefix columns.  Row order of
+    the RESULT is unspecified (as with any DataFrame); the prefix
+    VALUES are exactly those of the equivalent global window.
+    """
+    part = df.repartitionByRange(npart, *order)
+    with_pid = part.withColumn(_PID, F.spark_partition_id())
+    w_rank = Window.partitionBy(_PID).orderBy(*order)
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    local = with_pid.select(
+        "*",
+        F.row_number().over(w_rank).alias(_LRN),
+        *[F.sum(v).over(w_run).alias(f"__l_{name}") for name, v in sums.items()],
+    )
+    # npart-row pass 2: each partition's row count and value total
+    # (F.sum of the value expr, NOT max of the running column — a
+    # signed series' running sum is not monotone), then the EXCLUSIVE
+    # prefix over those totals ordered by partition id.  Range
+    # partitions are handed out in key order, so ascending _PID IS the
+    # global order.  This one window runs over npart rows — the
+    # justified single-partition window — and computing it in Spark
+    # (not on the driver) keeps exact carrier types (BIGINT and
+    # DECIMAL(38,0) alike) end to end.
+    totals = local.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(v).alias(f"__t_{name}") for name, v in sums.items()],
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    off_df = totals.select(
+        _PID,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__rn_off"),
+        *[F.sum(f"__t_{name}").over(w_off).alias(f"__off_{name}") for name in sums],
+    )
+    joined = local.join(F.broadcast(off_df), _PID)
+    out_cols = [c for c in df.columns]
+    proj = [F.col(c) for c in out_cols]
+    for name in sums:
+        proj.append(
+            (
+                F.col(f"__l_{name}")
+                + F.coalesce(F.col(f"__off_{name}"), F.lit(0))
+            ).alias(name)
+        )
+    if row_number_as:
+        proj.append(
+            (F.col(_LRN) + F.col("__rn_off")).cast("bigint").alias(row_number_as)
+        )
+    return joined.select(*proj)

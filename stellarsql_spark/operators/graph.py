@@ -701,7 +701,15 @@ def b_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node-keyed shuffles of edge-list-sized data — the triangle
     join's little sibling); moments reduce to one row.  By symmetry
     sy=sx and syy=sxx, but both are computed so the oracle and the
-    engine agree on the FORMULA, not a simplification."""
+    engine agree on the FORMULA, not a simplification.
+
+    Headroom bound: the emitted moments (sxx = Σ deg² over edge
+    ends) are themselves the output contract, so they stay BIGINT —
+    exact while Σ deg² < 2^63, i.e. up to ~1e9 edge-ends of ~1e4
+    mean degree.  Past that (hub degrees ≥ ~1e6 on 100 TB event
+    graphs) the moments must move to DECIMAL(38,0)/HUGEINT on BOTH
+    engines — a contract change (decimal output schema), unlike the
+    C244/C182/C212/C251 cases whose wide carriers are internal."""
     edges = _edges(spark, sf_dir)
     deg = _degrees(edges).select("node", F.col("d").cast("long").alias("d"))
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))

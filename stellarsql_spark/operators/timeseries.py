@@ -1304,21 +1304,24 @@ win AS (
   SELECT d, rev_d,
          CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
          CAST(SUM(rev_d) OVER w AS BIGINT) AS sum_d,
-         CAST(SUM(rev_d * rev_d) OVER w AS BIGINT) AS sumsq_d
+         SUM(CAST(rev_d AS HUGEINT) * rev_d) OVER w AS sumsq_d
   FROM daily
   WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT d, rev_d, n_win, sum_d,
-       CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d - sum_d * sum_d AS DOUBLE))
+       CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d -
+                                   CAST(sum_d AS HUGEINT) * sum_d AS DOUBLE))
                   / n_win) AS BIGINT) AS sd_k,
        CAST(1000 * n_win * rev_d >
             1000 * sum_d + 2 * n_win *
-            CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d - sum_d * sum_d
+            CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d -
+                                        CAST(sum_d AS HUGEINT) * sum_d
                                         AS DOUBLE)) / n_win) AS BIGINT)
             AS BIGINT) AS breach_hi,
        CAST(1000 * n_win * rev_d <
             1000 * sum_d - 2 * n_win *
-            CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d - sum_d * sum_d
+            CAST(ROUND(1000 * sqrt(CAST(n_win * sumsq_d -
+                                        CAST(sum_d AS HUGEINT) * sum_d
                                         AS DOUBLE)) / n_win) AS BIGINT)
             AS BIGINT) AS breach_lo
 FROM win ORDER BY d
@@ -1334,9 +1337,12 @@ def b_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(1000*sqrt(n*sumsq - sum^2)/n), composed only of IEEE
     correctly-rounded ops, so both engines produce the identical
     thousandth-dollar value; the breach predicates are then pure
-    integer comparisons against it.  BIGINT headroom: sumsq stays
-    under 2^63 through ~1e9-dollar days (sf ~1); past that, swap the
-    carriers to DECIMAL(38,0)/HUGEINT — the shape is unchanged.
+    integer comparisons against it.  Carriers: the sum-of-squares and
+    the variance numerator ride DECIMAL(38,0)/HUGEINT (the
+    C146/C216/C244 sibling rule — rev_d² alone crosses int64 at
+    ~1e9-dollar days ≈ sf 1, far below the 100 TB target); the
+    linear terms (sum_d and the ×1000 breach cross-multiplies) keep
+    BIGINT, whose headroom runs to ~1e14-dollar days ≈ sf 1e5.
 
     Scale shape: a date-keyed rollup (map-side partials, |days| rows
     out of any corpus), then one |days|-row ordered window; the raw
@@ -1357,14 +1363,16 @@ def b_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_d",
         F.count("*").over(w).cast("bigint").alias("n_win"),
         F.sum("rev_d").over(w).cast("bigint").alias("sum_d"),
-        F.sum(F.col("rev_d") * F.col("rev_d")).over(w).cast("bigint").alias("sumsq_d"),
+        F.sum(F.expr("CAST(rev_d AS DECIMAL(38,0)) * rev_d")).over(w).alias("sumsq_d"),
     )
     sd_k = (
         F.round(
             1000
             * F.sqrt(
-                (F.col("n_win") * F.col("sumsq_d") - F.col("sum_d") * F.col("sum_d"))
-                .cast("double")
+                F.expr(
+                    "CAST(n_win * sumsq_d - "
+                    "CAST(sum_d AS DECIMAL(38,0)) * sum_d AS DOUBLE)"
+                )
             )
             / F.col("n_win")
         )
@@ -1759,14 +1767,14 @@ m AS (
          CAST(COUNT(*) OVER w AS BIGINT) AS n,
          CAST(SUM(x) OVER w AS BIGINT) AS sx,
          CAST(SUM(y) OVER w AS BIGINT) AS sy,
-         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
-         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
-         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) OVER w AS syy,
+         SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy
   FROM d
   WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 )
 SELECT d, n,
-       ROUND((n * sxy - sx * sy)
+       ROUND((n * sxy - CAST(sx AS HUGEINT) * sy)
              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
            AS rollcorr
@@ -1779,9 +1787,13 @@ def b_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C251: trailing 14-day Pearson correlation between the daily
     view and purchase series — the co-movement monitor whose global
     cousins are C146 (autocorr) and C216 (lead-lag).  The moving
-    frame carries five exact BIGINT moment sums; the coefficient is
-    one identically-parenthesized double expression, rounded once;
-    incomplete leading frames are excluded by the window row count.
+    frame carries the exact moment sums — linear ones in BIGINT, the
+    quadratic ones (Σx², Σy², Σxy and the n·Σxy − Σx·Σy numerator)
+    in DECIMAL(38,0)/HUGEINT, since day-total cents square past
+    int64 well before the 100 TB target (the C146/C216/C244 sibling
+    rule); the coefficient is one identically-parenthesized double
+    expression, rounded once; incomplete leading frames are excluded
+    by the window row count.
 
     Scale shape: the day rollup collapses the corpus map-side; six
     window aggregates share one |days|-row ordered frame."""
@@ -1807,15 +1819,17 @@ def b_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n"),
         F.sum("x").over(w).cast("bigint").alias("sx"),
         F.sum("y").over(w).cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(w).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).over(w).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).over(w).alias("sxy"),
     ).where(F.col("n") == 14)
     return m.select(
         "d",
         "n",
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            F.expr(
+                "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            )
             / F.sqrt(
                 (F.col("n").cast("double") * F.col("sxx")
                  - F.col("sx").cast("double") * F.col("sx"))

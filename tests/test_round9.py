@@ -312,3 +312,219 @@ class TestBinaryFileAdversarial:
         out = src.mapInPandas(decode_image_batch, schema=DECODE_SCHEMA).collect()
         assert len(out) == 1
         assert (out[0].width, out[0].height) == (-1, -1)
+
+
+class TestWideCarrierHeadroom:
+    """Round-9 carrier-widening sweep (the C244 ADVICE class applied
+    repo-wide): C182 Pareto's class predicate and C212 Bollinger's
+    sum-of-squares ride DECIMAL(38,0) carriers, so both stay exact on
+    synthetic corpora whose money sums overflow int64 — the regime the
+    100 TB target actually lives in (Spark with ANSI off would wrap
+    silently and misclassify/mis-sigma; these tests pin the wide
+    carrier by driving values past 2^63 and checking exact ints)."""
+
+    @pytest.fixture(scope="class")
+    def big_orders_dir(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("bigmoney"))
+        # 10 customers x 3 orders of ~$1e14 each: total 3e17 cents, so
+        # Pareto's 100*cum cross-multiply needs >2^63; daily revenue
+        # ~3e14 dollars/day puts Bollinger's rev_d^2 at ~1e29 >> 2^63.
+        rows = []
+        for ck in range(1, 11):
+            for j in range(3):
+                rows.append(
+                    (
+                        ck * 100 + j,
+                        ck,
+                        "F",
+                        float((ck + 1) * 10_000_000_000_000 + j * 977),
+                        f"1995-01-{(j % 7) + 1:02d}",
+                    )
+                )
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string",
+        ).selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+        )
+        df.coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+        return d
+
+    def test_pareto_classes_exact_past_int64(self, spark, big_orders_dir):
+        from stellarsql_spark.operators.aggregates import b_agg_pareto
+
+        rows = {r.abc: r for r in b_agg_pareto(spark, big_orders_dir).collect()}
+        # replay exactly in unbounded Python ints
+        rev = {}
+        for ck in range(1, 11):
+            rev[ck] = sum(
+                round(100 * ((ck + 1) * 10_000_000_000_000 + j * 977))
+                for j in range(3)
+            )
+        total = sum(rev.values())
+        assert 100 * total > 2**63  # the predicate NEEDS the wide carrier
+        ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum, want = 0, {}
+        for ck, v in ranked:
+            cls = (
+                "A" if 100 * cum < 80 * total
+                else "B" if 100 * cum < 95 * total
+                else "C"
+            )
+            want.setdefault(cls, []).append(v)
+            cum += v
+        assert set(rows) == set(want)
+        for cls, vs in want.items():
+            assert rows[cls].n_cust == len(vs)
+            assert rows[cls].class_rev_c == sum(vs)
+
+    def test_bollinger_sigma_exact_past_int64(self, spark, big_orders_dir):
+        from math import sqrt
+
+        from stellarsql_spark.operators.timeseries import b_ts_bollinger
+
+        out = {r.d: r for r in b_ts_bollinger(spark, big_orders_dir).collect()}
+        daily = {}
+        for ck in range(1, 11):
+            for j in range(3):
+                day = (j % 7) + 1
+                daily[day] = daily.get(day, 0) + int(
+                    (ck + 1) * 10_000_000_000_000 + j * 977
+                )
+        days = sorted(daily)
+        assert max(daily.values()) ** 2 > 2**63  # sumsq NEEDS the carrier
+        for i, day in enumerate(days):
+            lo = max(0, i - 6)
+            win = [daily[d] for d in days[lo : i + 1]]
+            n, s, ss = len(win), sum(win), sum(v * v for v in win)
+            want_sd = round(1000 * sqrt(float(n * ss - s * s)) / n)
+            # match by unique daily revenue (d is epoch-days keyed)
+            row = [r2 for r2 in out.values() if r2.rev_d == daily[day]]
+            assert len(row) == 1
+            assert row[0].n_win == n and row[0].sum_d == s
+            assert row[0].sd_k == want_sd
+
+    def test_rolling_corr_exact_past_int64(self, spark, tmp_path_factory):
+        """C251's quadratic moments (day-cents squared) ride
+        DECIMAL(38,0): on a synthetic series whose daily totals square
+        past 2^63 the coefficient must equal the unbounded-int Python
+        replay to the same 6-dp rounding."""
+        from math import sqrt
+
+        from stellarsql_spark.operators.timeseries import b_ts_rolling_corr
+
+        d = str(tmp_path_factory.mktemp("bigevents"))
+        rows = []
+        xs, ys = {}, {}
+        for day in range(20):
+            x_val = float((day % 7 + 1) * 2_000_000_000_000 + day)
+            y_val = float((day % 5 + 1) * 1_500_000_000_000 + 2 * day)
+            rows.append((f"2024-01-{day + 1:02d} 12:00:00", "view", x_val, day))
+            rows.append((f"2024-01-{day + 1:02d} 13:00:00", "purchase", y_val, day))
+            xs[day] = round(x_val * 100)
+            ys[day] = round(y_val * 100)
+        df = spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double, user_id long"
+        ).selectExpr(
+            "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value", "user_id"
+        )
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        assert max(xs.values()) ** 2 > 2**63
+        out = sorted(b_ts_rolling_corr(spark, d).collect(), key=lambda r: r.d)
+        assert len(out) == 20 - 13
+        for i, r in enumerate(out):
+            win = range(i, i + 14)
+            n = 14
+            sx, sy = sum(xs[k] for k in win), sum(ys[k] for k in win)
+            sxx = sum(xs[k] * xs[k] for k in win)
+            syy = sum(ys[k] * ys[k] for k in win)
+            sxy = sum(xs[k] * ys[k] for k in win)
+            want = round(
+                float(n * sxy - sx * sy)
+                / sqrt(
+                    (n * float(sxx) - float(sx) * sx)
+                    * (n * float(syy) - float(sy) * sy)
+                ),
+                6,
+            )
+            assert abs(r.rollcorr - want) < 5e-6, (i, r.rollcorr, want)
+
+
+class TestScalablePrefix:
+    """functions/prefix.py: the shipped two-pass global running
+    sum/rank must be value-identical to the single-partition window
+    for any total order — including signed values (partition totals
+    are true sums, not max-of-running) and DECIMAL(38,0) carriers —
+    while genuinely spreading rows over many range partitions."""
+
+    def test_matches_naive_window_signed_values(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.functions.prefix import ordered_running
+
+        df = spark.range(0, 5_000).select(
+            F.col("id").alias("k"),
+            # signed, sign-alternating values: running sum is NOT
+            # monotone, so a max-of-running-column shortcut would break
+            ((F.col("id") % 97) * F.when(F.col("id") % 3 == 0, -1).otherwise(1))
+            .cast("bigint")
+            .alias("v"),
+        )
+        got = ordered_running(
+            df,
+            order=[F.col("v").desc(), F.col("k")],
+            sums={"cum": F.col("v")},
+            npart=16,
+            row_number_as="rn",
+        )
+        w = Window.orderBy(F.col("v").desc(), "k")
+        want = df.select(
+            "k",
+            "v",
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        a = sorted(got.collect(), key=lambda r: r.rn)
+        b = sorted(want.collect(), key=lambda r: r.rn)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # the work really was spread: >1 range partition carried rows
+        from pyspark.sql.functions import spark_partition_id
+
+        nparts = (
+            df.repartitionByRange(16, F.col("v").desc(), F.col("k"))
+            .select(spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert nparts > 1
+
+    def test_decimal_carrier_survives(self, spark):
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.functions.prefix import ordered_running
+
+        df = spark.range(1, 40).select(
+            F.col("id").alias("k"),
+            F.expr(
+                "CAST(id AS DECIMAL(38,0)) * 400000000000000000"
+            ).alias("v"),  # 4e17 per step: cum crosses 2^63 fast
+        )
+        got = sorted(
+            ordered_running(
+                df, order=[F.col("k")], sums={"cum": F.col("v")}, npart=8
+            ).collect(),
+            key=lambda r: r.k,
+        )
+        run = 0
+        for r in got:
+            run += int(r.k) * 400_000_000_000_000_000
+            assert int(r.cum) == run
+        assert run > 2**63  # the sum genuinely needed the wide carrier
