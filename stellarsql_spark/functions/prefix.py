@@ -65,11 +65,23 @@ def ordered_running(
     with_pid = part.withColumn(_PID, F.spark_partition_id())
     w_rank = Window.partitionBy(_PID).orderBy(*order)
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    # PERSIST is load-bearing, not an optimization: `local` feeds two
+    # plan branches (the rows themselves and the per-partition totals
+    # the offsets come from).  Range-exchange boundary sampling is not
+    # guaranteed stable across independent recomputations, and
+    # spark_partition_id() is explicitly nondeterministic — if each
+    # branch recomputed `local` itself, a row near a boundary could
+    # land in partition k in one branch and k+1 in the other, and its
+    # prefix would silently shift by the straddling rows (observed on
+    # b_ev_auc at sf0.01 before this persist).  The cache pins ONE
+    # materialized assignment that both branches read.
+    from pyspark import StorageLevel
+
     local = with_pid.select(
         "*",
         F.row_number().over(w_rank).alias(_LRN),
         *[F.sum(v).over(w_run).alias(f"__l_{name}") for name, v in sums.items()],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # npart-row pass 2: each partition's row count and value total
     # (F.sum of the value expr, NOT max of the running column — a
     # signed series' running sum is not monotone), then the EXCLUSIVE

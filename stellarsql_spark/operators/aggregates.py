@@ -1125,20 +1125,22 @@ def b_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves) with the estimators built on them.
 
     Scale shape: the value rollup collapses to |distinct cents| rows;
-    the rank prefix runs over that rollup; cuts broadcast back as a
-    single row.  Exactness: see _WINSOR_ORACLE — rank-defined cuts,
-    exact long sums, two rounded divisions."""
-    from pyspark.sql import Window
+    the rank prefix runs over that rollup through the two-pass
+    range-partitioned form (functions/prefix.py — v is unique after
+    the rollup, so ORDER BY v is the required total order); cuts
+    broadcast back as a single row.  Exactness: see _WINSOR_ORACLE —
+    rank-defined cuts, exact long sums, two rounded divisions."""
+    from stellarsql_spark.functions.prefix import ordered_running
 
     o = load_table(spark, sf_dir, "orders")
     grp = o.select(
         F.round(100 * F.col("o_totalprice")).cast("bigint").alias("v")
     ).groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = grp.select(
-        "*",
-        F.sum("cnt").over(wv).cast("bigint").alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    ranked = ordered_running(
+        grp, order=[F.col("v")], sums={"cum": F.col("cnt")}
+    ).withColumn("cum", F.col("cum").cast("bigint"))
+    ranked = ranked.join(
+        F.broadcast(grp.agg(F.sum("cnt").cast("bigint").alias("n")))
     )
     cuts = ranked.agg(
         F.min(F.when(100 * F.col("cum") >= _WINSOR_LO_PCT * F.col("n"), F.col("v"))).alias("lo_c"),
@@ -1322,23 +1324,22 @@ def b_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes by swapping COUNT for SUM(weight).
 
     Scale shape: the (value) rollup pre-sums weights (data-sized
-    shuffle down to |distinct cents|); one prefix window; one row
-    out.  Exactness: cross-multiplied exact-long cut predicates;
+    shuffle down to |distinct cents|); the unit prefix runs through
+    the two-pass range-partitioned form (functions/prefix.py); one
+    row out.  Exactness: cross-multiplied exact-long cut predicates;
     quantities are integral in this corpus."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     grp = li.select(
         F.round(100 * F.col("l_extendedprice")).cast("bigint").alias("v"),
         F.col("l_quantity").cast("bigint").alias("w"),
     ).groupBy("v").agg(F.sum("w").cast("bigint").alias("w"))
-    ranked = grp.select(
-        "*",
-        F.sum("w")
-        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint")
-        .alias("wcum"),
-        F.sum("w").over(Window.partitionBy()).cast("bigint").alias("wtot"),
+    from stellarsql_spark.functions.prefix import ordered_running
+
+    ranked = ordered_running(
+        grp, order=[F.col("v")], sums={"wcum": F.col("w")}
+    ).withColumn("wcum", F.col("wcum").cast("bigint"))
+    ranked = ranked.join(
+        F.broadcast(grp.agg(F.sum("w").cast("bigint").alias("wtot")))
     )
     return ranked.agg(
         F.max("wtot").cast("bigint").alias("total_units"),

@@ -382,11 +382,15 @@ def b_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: see _KS_ORACLE's note — every compared quantity is an
     exact long, the one ROUND is display-only. Scale shape: one
-    (value)-keyed count rollup, then ECDF windows over |distinct
-    values| rows in ONE global value order. At 100 TB the ECDF pass
-    range-partitions on v (the windows are prefix sums — the
-    b_win_running_sum two-pass plan); the per-value rollup upstream
-    has already collapsed row count to support size."""
+    (value)-keyed count rollup; the ECDF prefix runs through the
+    SHIPPED two-pass range-partitioned form (functions/prefix.py —
+    v is unique after the rollup); the top-N gap pick is a
+    sort+limit, so no data-sized single-partition window remains in
+    the plan.  Headroom bound: gap_num = |cum_a·n_b − cum_b·n_a| is
+    an OUTPUT column, so it stays BIGINT — exact while
+    n_a·n_b < 2^63 (~3e9 rows per era); past that the gap statistic
+    itself outgrows int64 and must move to DECIMAL on both engines —
+    a contract change, documented rather than silently widened."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -400,11 +404,16 @@ def b_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").cast("bigint").alias("ca"),
         F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
     )
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
+    from stellarsql_spark.functions.prefix import ordered_running
+
+    cum = ordered_running(
+        per_v,
+        order=[F.col("v")],
+        sums={"cum_a": F.col("ca"), "cum_b": F.col("cb")},
+    ).select(
         "v",
-        F.sum("ca").over(wcum).cast("bigint").alias("cum_a"),
-        F.sum("cb").over(wcum).cast("bigint").alias("cum_b"),
+        F.col("cum_a").cast("bigint").alias("cum_a"),
+        F.col("cum_b").cast("bigint").alias("cum_b"),
     )
     tot = per_v.agg(
         F.sum("ca").cast("bigint").alias("n_a"), F.sum("cb").cast("bigint").alias("n_b")
@@ -419,10 +428,15 @@ def b_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_num"),
     )
+    # top-N selection is a TakeOrderedAndProject (sort+limit), not a
+    # data-sized global rank window; the rank/global-max windows then
+    # run over the N surviving rows only.  The global max gap is the
+    # top-1 of this order, so MAX over the N-row set IS the global D.
+    topn = gaps.orderBy(F.col("gap_num").desc(), "v").limit(_KS_TOPN)
     wrank = Window.orderBy(F.col("gap_num").desc(), "v")
     wall = Window.partitionBy()
     return (
-        gaps.withColumn("rn", F.row_number().over(wrank))
+        topn.withColumn("rn", F.row_number().over(wrank))
         .withColumn(
             "ks",
             F.round(
@@ -430,7 +444,6 @@ def b_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .where(F.col("rn") <= _KS_TOPN)
         .select("v", "cum_a", "cum_b", "gap_num", "ks", "rn")
     )
 
@@ -558,15 +571,14 @@ def b_ev_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDCG (b_llm_ndcg).
 
     Scale shape: one groupBy collapses the corpus to |distinct score|
-    rows (exact cents), the prefix-rank window runs over that rollup,
-    and the statistic reduces to one row.  At 100 TB the rollup is
-    the only data-sized shuffle; a distinct-score cardinality too big
-    for one window task would range-partition the prefix sum (two
-    passes), which changes no value.  The 2x-rank longs bound the
-    corpus at ~2*10^9 rows before u2 needs DECIMAL; past that, swap
-    the BIGINTs for DECIMAL(38,0) unchanged."""
-    from pyspark.sql import Window
-
+    rows (exact cents); the prefix-rank runs through the SHIPPED
+    two-pass range-partitioned form (functions/prefix.py — score is
+    unique after the rollup), so no data-sized single-partition
+    window remains; the statistic reduces to one row.  Headroom
+    bound: u2/r2 are OUTPUT columns, so they stay BIGINT — exact
+    while rank sums < 2^63 (~2e9 rows); past that the U statistic
+    itself outgrows int64 and must move to DECIMAL on both engines —
+    a contract change, documented rather than silently widened."""
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
         F.round(100 * F.col("o_totalprice")).cast("bigint").alias("score"),
@@ -576,8 +588,11 @@ def b_ev_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cnt"),
         F.sum("pos").cast("bigint").alias("pos_cnt"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = grp.withColumn("hi", F.sum("cnt").over(w).cast("bigint"))
+    from stellarsql_spark.functions.prefix import ordered_running
+
+    ranked = ordered_running(
+        grp, order=[F.col("score")], sums={"hi": F.col("cnt")}
+    ).withColumn("hi", F.col("hi").cast("bigint"))
     tot = ranked.agg(
         F.sum("pos_cnt").cast("bigint").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos_cnt")).cast("bigint").alias("n_neg"),

@@ -528,3 +528,33 @@ class TestScalablePrefix:
             run += int(r.k) * 400_000_000_000_000_000
             assert int(r.cum) == run
         assert run > 2**63  # the sum genuinely needed the wide carrier
+
+    def test_recompute_consistency_across_actions(self, spark):
+        """The b_ev_auc regression shape: `local` feeds two branches
+        (rows + offset totals), and without the load-bearing persist a
+        re-sampled range boundary could shift prefixes between
+        recomputations.  Drive an aggregate DERIVED from the prefix
+        (so any branch inconsistency changes the value) through
+        repeated independent actions and demand the identical result
+        every time, matching the driver-side exact replay."""
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.functions.prefix import ordered_running
+
+        df = spark.range(0, 15_000).select(
+            (F.hash(F.col("id")).cast("bigint")).alias("k"),
+            (F.col("id") % 101 + 1).cast("bigint").alias("c"),
+        ).groupBy("k").agg(F.sum("c").alias("c"))
+        run = ordered_running(df, order=[F.col("k")], sums={"cum": F.col("c")})
+        derived = run.agg(
+            F.sum(F.col("cum") * F.col("c")).cast("decimal(38,0)").alias("s")
+        )
+        vals = {str(derived.collect()[0][0]) for _ in range(3)}
+        assert len(vals) == 1
+        rows = df.collect()
+        rows.sort(key=lambda r: r.k)
+        cum, want = 0, 0
+        for r in rows:
+            cum += r.c
+            want += cum * r.c
+        assert vals == {str(want)}
