@@ -49,9 +49,15 @@ def ordered_running(
     global ROW_NUMBER) over a total order, without a single-partition
     window.
 
-    ``order``   total-order sort expressions (MUST be a total order:
-                include a unique tiebreak, or prefixes at ties are
-                underdetermined in ANY engine).
+    ``order``   total-order sort expressions (include a unique
+                tiebreak, or prefixes at ties are underdetermined in
+                ANY engine).  Relaxation: duplicate order-keys are
+                fine when the duplicated rows are FULLY identical —
+                the range partitioner never splits equal keys across
+                partitions, and permuting identical rows permutes
+                identical prefix contributions, so the (row, prefix)
+                multiset is invariant (the sweep-line delta stream is
+                the canonical case).
     ``sums``    {out_col: value_expr} — each out_col becomes the
                 inclusive running sum of value_expr in ``order``.
     ``row_number_as``  optional column name for the 1-based global
@@ -116,3 +122,41 @@ def ordered_running(
             (F.col(_LRN) + F.col("__rn_off")).cast("bigint").alias(row_number_as)
         )
     return joined.select(*proj)
+
+
+def ordered_ntile(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    out: str,
+    *,
+    npart: int = 32,
+) -> DataFrame:
+    """NTILE(k) over a total order without a single-partition window.
+
+    NTILE is pure rank arithmetic: with n rows, q = n div k and
+    r = n mod k, the first r buckets take q+1 rows and the rest take
+    q (the SQL-standard rule both Spark and DuckDB implement).  So a
+    scalable global rank (ordered_running's two-pass row_number) plus
+    a broadcast 1-row count reproduces it exactly:
+
+        bucket(rn) = ceil(rn / (q+1))                  if rn <= r*(q+1)
+                     r + ceil((rn - r*(q+1)) / q)      otherwise
+
+    The q = 0 edge (n < k) takes the first branch for every row.
+    ``order`` must be a total order (NTILE itself is underdetermined
+    at ties otherwise)."""
+    ranked = ordered_running(
+        df, order=order, sums={}, npart=npart, row_number_as="__ntile_rn"
+    )
+    n_row = df.agg(F.count(F.lit(1)).cast("bigint").alias("__ntile_n"))
+    j = ranked.join(F.broadcast(n_row))
+    # exact integer arithmetic throughout (div, not double /): bucket
+    # boundaries must never ride a float truncation
+    bucket = F.expr(
+        f"CAST(CASE WHEN __ntile_rn <= (__ntile_n % {k}) * (__ntile_n div {k} + 1) "
+        f"THEN (__ntile_rn + __ntile_n div {k}) div (__ntile_n div {k} + 1) "
+        f"ELSE __ntile_n % {k} + (__ntile_rn - (__ntile_n % {k}) * (__ntile_n div {k} + 1) "
+        f"+ __ntile_n div {k} - 1) div (__ntile_n div {k}) END AS INT)"
+    )
+    return j.select(*[F.col(c) for c in df.columns], bucket.alias(out))

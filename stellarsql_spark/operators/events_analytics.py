@@ -367,13 +367,15 @@ def b_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-level frame (tiny vs the fact table — |users| rows), one
     final cell rollup; the fact scan is touched exactly once. The
     corpus-max recency anchor is a scalar subquery → broadcast, not a
-    per-row re-aggregation. NTILE needs a total order, so the window
-    is global over the user frame — acceptable to ~10^8 users; past
-    that, production swaps to approx_percentile cutoffs (the C95 GK
-    contract) joined map-side, same scores within sketch error."""
+    per-row re-aggregation. NTILE needs a total order; each of the
+    three global quartile passes runs through the SHIPPED two-pass
+    rank (functions/prefix.py ordered_ntile — exact NTILE bucket
+    arithmetic over the scalable row_number), so the user frame never
+    funnels through one window task at any cardinality.  Production
+    may still prefer approx_percentile cutoffs (the C95 GK contract)
+    joined map-side when sketch error is acceptable — this form is
+    the EXACT one."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
     max_ts = ev.agg(F.max("ts").alias("mx"))
     base = (
         ev.groupBy("user_id")
@@ -392,12 +394,16 @@ def b_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = base.select(
-        "user_id",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id")).alias("m_score"),
+    from stellarsql_spark.functions.prefix import ordered_ntile
+
+    scored = ordered_ntile(
+        base, [F.col("recency_days"), F.col("user_id")], 4, "r_score"
+    )
+    scored = ordered_ntile(
+        scored, [F.col("frequency").desc(), F.col("user_id")], 4, "f_score"
+    )
+    scored = ordered_ntile(
+        scored, [F.col("monetary").desc(), F.col("user_id")], 4, "m_score"
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_users"),
@@ -1036,13 +1042,15 @@ def b_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap self-join.
 
     Scale shape: delta emission is map-side (union of two
-    projections); the prefix sum orders by time — at 100 TB it
-    range-partitions by time with per-partition sums + a tiny
-    carry-in pass (the standard distributed scan), which changes no
-    value.  Tie order (t, delta) closes ends before starts — the
-    half-open convention, asserted in the test."""
-    from pyspark.sql import Window
-
+    projections); the time-ordered prefix sum runs through the
+    SHIPPED two-pass range-partitioned scan (functions/prefix.py) —
+    the deltas stream is 2×|events|, the single most data-sized
+    prefix in the suite, so no single-partition window is ever
+    acceptable here.  (t, delta) duplicates are fully identical rows,
+    the helper's documented safe case: the (row, prefix) multiset —
+    and hence peak and MIN(t at peak) — is tie-permutation-invariant.
+    Tie order (t, delta) closes ends before starts — the half-open
+    convention, asserted in the test."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         F.col("ts").alias("t0"),
@@ -1051,8 +1059,13 @@ def b_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(F.col("t0").alias("t"), F.lit(1).cast("bigint").alias("delta")).unionAll(
         iv.select(F.col("t1").alias("t"), F.lit(-1).cast("bigint").alias("delta"))
     )
-    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    curve = deltas.withColumn("concurrent", F.sum("delta").over(w).cast("bigint"))
+    from stellarsql_spark.functions.prefix import ordered_running
+
+    curve = ordered_running(
+        deltas,
+        order=[F.col("t"), F.col("delta")],
+        sums={"concurrent": F.col("delta")},
+    ).withColumn("concurrent", F.col("concurrent").cast("bigint"))
     peak = curve.agg(F.max("concurrent").alias("pk"))
     return (
         curve.crossJoin(F.broadcast(peak))

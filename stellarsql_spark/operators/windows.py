@@ -166,18 +166,25 @@ FROM customer
 def b_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing — per-nation quartiles and global deciles. The
     sort key includes the unique c_custkey so tie order (and therefore
-    bucket assignment) is engine-independent. The global NTILE is the
-    one justified single-partition window in the suite; at scale the
-    per-nation form (or a 2-pass quantile cut) is the pattern."""
+    bucket assignment) is engine-independent. The global decile runs
+    through functions/prefix.py's ordered_ntile (exact NTILE bucket
+    arithmetic over the two-pass scalable rank), so it no longer
+    funnels |customers| through one window task — what used to be
+    "the one justified single-partition window in the suite" is now
+    just another scalable rank."""
+    from stellarsql_spark.functions.prefix import ordered_ntile
+
     c = load_table(spark, sf_dir, "customer")
     by_nation = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    global_w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    quart = c.select(
         "c_custkey",
         "c_nationkey",
+        "c_acctbal",
         F.ntile(4).over(by_nation).alias("quartile"),
-        F.ntile(10).over(global_w).alias("decile"),
     )
+    return ordered_ntile(
+        quart, [F.col("c_acctbal"), F.col("c_custkey")], 10, "decile"
+    ).select("c_custkey", "c_nationkey", "quartile", "decile")
 
 
 # C94 — time-interval RANGE frame: "activity in the preceding hour"
@@ -326,8 +333,9 @@ def b_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.col("len_days").desc(), "o_custkey", "start_d")
     return (
-        streaks.withColumn("rn", F.row_number().over(wr).cast("int"))
-        .where(F.col("rn") <= _STREAK_TOPN)
+        streaks.orderBy(F.col("len_days").desc(), "o_custkey", "start_d")
+        .limit(_STREAK_TOPN)
+        .withColumn("rn", F.row_number().over(wr).cast("int"))
         .select("o_custkey", "len_days", "start_d", "end_d", "rn")
     )
 

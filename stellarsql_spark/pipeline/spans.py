@@ -608,29 +608,29 @@ def b_llm_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST((rn−1)/N AS BIGINT) silently assigns boundary rows to
     different batches in the two engines.
 
-    Scale shape: the length projection is map-side; each strategy
-    needs one global ordering (the same sort a sort-based shard
-    writer already pays), and the per-batch rollup is keyed by batch
-    ordinal. At 100 TB the exact global sort becomes
-    repartitionByRange on length (quantile-sampled bounds) with
-    in-partition batch assembly — identical census semantics, no
-    total order required."""
+    Scale shape: the length projection is map-side; each strategy's
+    global batch ordinal now comes from the SHIPPED two-pass
+    range-partitioned rank (functions/prefix.py), so neither ordering
+    funnels through a single window task at any corpus size; the
+    per-batch rollup is keyed by batch ordinal."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from stellarsql_spark.functions.prefix import ordered_running
 
     lens = d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
-    naive = lens.select(
+    naive = ordered_running(
+        lens, order=[F.col("doc_id")], sums={}, row_number_as="rn"
+    ).select(
         "n",
-        F.floor((F.row_number().over(Window.orderBy("doc_id")) - 1) / _BATCH_N)
-        .cast("bigint")
-        .alias("b"),
-    ).withColumn("strategy", F.lit("naive"))
-    slen = lens.select(
+        F.expr(f"CAST((rn - 1) div {_BATCH_N} AS BIGINT)").alias("b"),
+        F.lit("naive").alias("strategy"),
+    )
+    slen = ordered_running(
+        lens, order=[F.col("n"), F.col("doc_id")], sums={}, row_number_as="rn"
+    ).select(
         "n",
-        F.floor((F.row_number().over(Window.orderBy("n", "doc_id")) - 1) / _BATCH_N)
-        .cast("bigint")
-        .alias("b"),
-    ).withColumn("strategy", F.lit("length_sorted"))
+        F.expr(f"CAST((rn - 1) div {_BATCH_N} AS BIGINT)").alias("b"),
+        F.lit("length_sorted").alias("strategy"),
+    )
     stats = (
         naive.unionByName(slen)
         .groupBy("strategy", "b")

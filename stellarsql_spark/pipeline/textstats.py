@@ -1171,13 +1171,16 @@ def b_llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
     )
+    # top-K pick is sort+limit (TakeOrderedAndProject), so the rank
+    # window below runs over K rows, never the vocab frame
     w = Window.orderBy(F.col("f").desc(), "word")
     vocab = (
         toks.where((F.col("doc_id") / 20).cast("long") % 2 == 0)
         .groupBy("word")
         .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), "word")
+        .limit(_OOV_VOCAB_K)
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _OOV_VOCAB_K)
         .select("word", F.lit(True).alias("in_vocab"))
     )
     return (
@@ -1634,8 +1637,9 @@ def b_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
     return (
-        stats.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= _BP_TOPN)
+        stats.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
+        .limit(_BP_TOPN)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
     )
 
 
@@ -1772,8 +1776,9 @@ def b_llm_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("rake_m").desc(), "phrase")
     return (
-        pscore.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= _RAKE_TOPN)
+        pscore.orderBy(F.col("rake_m").desc(), "phrase")
+        .limit(_RAKE_TOPN)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
     )
 
 
@@ -1857,8 +1862,9 @@ def b_llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.orderBy(F.col("bf").desc(), "t1", "t2")
     queries = (
-        bigrams.withColumn("qid", F.row_number().over(wq).cast("int"))
-        .where(F.col("qid") <= _PHRASE_TOPQ)
+        bigrams.orderBy(F.col("bf").desc(), "t1", "t2")
+        .limit(_PHRASE_TOPQ)
+        .withColumn("qid", F.row_number().over(wq).cast("int"))
     )
     cand = a.join(
         F.broadcast(queries.select("qid", "t1", "t2")), "t1"
@@ -1984,8 +1990,9 @@ def b_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
     return (
-        stats.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= _CDC_TOPN)
+        stats.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
+        .limit(_CDC_TOPN)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
         .select("chunk", "n_words", "n_docs", "n_occ", "rn")
     )
 

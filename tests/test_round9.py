@@ -558,3 +558,30 @@ class TestScalablePrefix:
             cum += r.c
             want += cum * r.c
         assert vals == {str(want)}
+
+    def test_ordered_ntile_matches_builtin(self, spark):
+        """ordered_ntile == NTILE(k) exactly, including the n % k != 0
+        bucket-size rule and the n < k edge, on several (n, k)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.functions.prefix import ordered_ntile
+
+        for n, k in ((2_003, 4), (96, 10), (3, 7), (1_000, 3)):
+            df = spark.range(0, n).select(
+                F.col("id").alias("u"),
+                (F.hash(F.col("id")) % 50).alias("s"),
+            )
+            got = ordered_ntile(
+                df, [F.col("s").desc(), F.col("u")], k, "b", npart=8
+            )
+            want = df.select(
+                "u",
+                "s",
+                F.ntile(k)
+                .over(Window.orderBy(F.col("s").desc(), "u"))
+                .alias("b"),
+            )
+            a = sorted(got.collect(), key=lambda r: r.u)
+            b = sorted(want.collect(), key=lambda r: r.u)
+            assert [tuple(r) for r in a] == [tuple(r) for r in b], (n, k)
