@@ -81,6 +81,12 @@ def ordered_running(
     # prefix would silently shift by the straddling rows (observed on
     # b_ev_auc at sf0.01 before this persist).  The cache pins ONE
     # materialized assignment that both branches read.
+    # Cache lifecycle: each ordered_running call creates one cached
+    # frame sized like the INPUT ROLLUP (callers feed value rollups,
+    # not raw facts).  MEMORY_AND_DISK spills under pressure, and
+    # Spark's ContextCleaner unpersists the entry once the returned
+    # DataFrame is garbage-collected, so repeated invocations (bench
+    # trials, gate reruns) do not accumulate live cache unboundedly.
     from pyspark import StorageLevel
 
     local = with_pid.select(
