@@ -375,3 +375,58 @@ def tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Network-attached text stream over a TCP socket — the
+    line-per-record source Structured Streaming ships for exactly this
+    shape.  Each line is parsed as the events CSV projection
+    ``event_id,ts_us,user_id,event_type,value`` into typed columns, so
+    every downstream transform (tumbling windows, watermarks, stateful
+    dedup) is byte-compatible with the file-source pipelines.
+
+    This closes the "no network-attached source exercised" gap within
+    the sandbox's reach: localhost TCP needs no external bus, but the
+    source IS the push-based network path (driver-side listener →
+    micro-batch), unlike the file source's directory polling.  At
+    production scale the same parse swaps the socket for Kafka's
+    ``value`` column; nothing downstream changes.  Spark documents the
+    socket source as at-most-once / non-replayable — appropriate for
+    the parity tests that drive it, never for durable pipelines."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parts = F.split(F.col("value"), ",")
+    return raw.select(
+        parts.getItem(0).cast("bigint").alias("event_id"),
+        F.timestamp_micros(parts.getItem(1).cast("bigint")).alias("ts"),
+        parts.getItem(2).cast("bigint").alias("user_id"),
+        parts.getItem(3).alias("event_type"),
+        parts.getItem(4).cast("double").alias("value"),
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """The built-in rate source: monotonically increasing (timestamp,
+    value) rows generated executor-side — the standard
+    load-generation / backpressure-probe source.  Projected into the
+    events shape (value → event_id, synthetic round-robin user/type)
+    so the shared transforms run unchanged on generated load."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000).cast("double").alias("value"),
+    )
