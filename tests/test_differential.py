@@ -90,8 +90,40 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(17)
+    kind = rng.randrange(18)
     where = _pred(rng, t)
+    if kind == 17:  # portable scalar cocktail (r9 second half): the
+        # string/date builtin surface the relational kinds never touch.
+        # Every function below is spelled and defined identically in
+        # Spark and DuckDB (1-based substring, SQL trim semantics,
+        # ANSI EXTRACT); EXTRACT is cast to BIGINT because the engines
+        # disagree only on the return WIDTH.
+        c = rng.choice(strs)
+        scalar = rng.choice(
+            [
+                f"upper({c})",
+                f"lower({c})",
+                f"substring({c}, 2, 5)",
+                f"replace({c}, 'a', '_')",
+                f"length(trim({c}))",
+                f"reverse({c})",
+                f"lpad({c}, 12, 'x')",
+                f"rpad({c}, 12, 'y')",
+                f"concat(upper({c}), '-', lower({c}))",
+            ]
+        )
+        if t == "orders" and rng.randrange(2):
+            unit = rng.choice(["year", "month", "day"])
+            scalar = f"CAST(EXTRACT({unit} FROM o_orderdate) AS BIGINT)"
+        # ORDER BY k alone is NOT total on lineitem (l_orderkey repeats
+        # per line item) and a LIMIT cutting mid-tie selects engine-
+        # dependent rows — caught by this branch's own pre-landing
+        # sweep. Ordering by (k, s) makes rows at the cut identical
+        # pairs, so the selected multiset is engine-independent.
+        return (
+            f"SELECT {key} AS k, {scalar} AS s FROM {t} "
+            f"WHERE {where} ORDER BY k, s LIMIT {rng.randrange(40, 120)}"
+        )
     if kind == 15:  # RANGE INTERVAL frame over a date ORDER BY (r9):
         # time-based window frames — peers aggregate together, so ties
         # on the date are deterministic; both engines accept the ANSI
