@@ -44,6 +44,7 @@ def ordered_running(
     *,
     npart: int = 32,
     row_number_as: str | None = None,
+    total_count_as: str | None = None,
 ) -> DataFrame:
     """Append inclusive global running SUM column(s) (and optionally a
     global ROW_NUMBER) over a total order, without a single-partition
@@ -63,37 +64,66 @@ def ordered_running(
     ``row_number_as``  optional column name for the 1-based global
                 row number in ``order``.
 
+    ``total_count_as``  optional column name for the broadcast grand
+                row count (computed from the already-materialized
+                per-partition totals — npart rows — NOT by re-scanning
+                df's lineage; ordered_ntile uses this to avoid a
+                second input pass).
+
     Returns df's columns + the requested prefix columns.  Row order of
     the RESULT is unspecified (as with any DataFrame); the prefix
     VALUES are exactly those of the equivalent global window.
     """
+    reserved = {_PID, _LRN, "__rn_off", "__cnt"}
+    reserved |= {f"__l_{n}" for n in sums} | {f"__t_{n}" for n in sums}
+    reserved |= {f"__off_{n}" for n in sums}
+    requested = set(sums)
+    if row_number_as:
+        requested.add(row_number_as)
+    if total_count_as:
+        requested.add(total_count_as)
+    clash = (requested | reserved) & set(df.columns)
+    clash |= requested & reserved
+    if clash:
+        raise ValueError(
+            "ordered_running: output/internal column name(s) collide "
+            f"with input columns or reserved internals: {sorted(clash)}"
+        )
     part = df.repartitionByRange(npart, *order)
     with_pid = part.withColumn(_PID, F.spark_partition_id())
     w_rank = Window.partitionBy(_PID).orderBy(*order)
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    # PERSIST is load-bearing, not an optimization: `local` feeds two
-    # plan branches (the rows themselves and the per-partition totals
-    # the offsets come from).  Range-exchange boundary sampling is not
-    # guaranteed stable across independent recomputations, and
-    # spark_partition_id() is explicitly nondeterministic — if each
-    # branch recomputed `local` itself, a row near a boundary could
-    # land in partition k in one branch and k+1 in the other, and its
-    # prefix would silently shift by the straddling rows (observed on
-    # b_ev_auc at sf0.01 before this persist).  The cache pins ONE
-    # materialized assignment that both branches read.
-    # Cache lifecycle: each ordered_running call creates one cached
-    # frame sized like the INPUT ROLLUP (callers feed value rollups,
-    # not raw facts).  MEMORY_AND_DISK spills under pressure, and
-    # Spark's ContextCleaner unpersists the entry once the returned
-    # DataFrame is garbage-collected, so repeated invocations (bench
-    # trials, gate reruns) do not accumulate live cache unboundedly.
-    from pyspark import StorageLevel
-
+    # The LINEAGE TRUNCATION here is load-bearing, not an optimization:
+    # `local` feeds two plan branches (the rows themselves and the
+    # per-partition totals the offsets come from).  Range-exchange
+    # boundary sampling is not guaranteed stable across independent
+    # recomputations, and spark_partition_id() is explicitly
+    # nondeterministic — if each branch recomputed `local` itself, a
+    # row near a boundary could land in partition k in one branch and
+    # k+1 in the other, and its prefix would silently shift by the
+    # straddling rows (observed on b_ev_auc at sf0.01 when the frame
+    # was unpinned).  A plain persist() pins one assignment only while
+    # the cached blocks survive; on block LOSS (executor failure,
+    # eviction under a stage retry) Spark transparently recomputes
+    # through the range exchange with FRESH boundary sampling — the
+    # silent-drift failure mode again.  localCheckpoint() instead cuts
+    # the lineage at the materialized blocks (MEMORY_AND_DISK): both
+    # branches read one pinned assignment, and losing a block is a
+    # LOUD job failure ("Checkpoint block not found"), never a silent
+    # value shift.  (For multi-tenant clusters where executor loss is
+    # routine, reliable checkpoint() to the cluster FS is the drop-in
+    # upgrade; local checkpoint is the right cost point for this
+    # engine's single-app deployment.)  eager=False defers
+    # materialization to the first action — the broadcast-offsets job
+    # below — so no extra job is spawned.  Spark's ContextCleaner
+    # releases checkpoint blocks once the returned DataFrame is
+    # garbage-collected, so repeated invocations (bench trials, gate
+    # reruns) do not accumulate live storage unboundedly.
     local = with_pid.select(
         "*",
         F.row_number().over(w_rank).alias(_LRN),
         *[F.sum(v).over(w_run).alias(f"__l_{name}") for name, v in sums.items()],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     # npart-row pass 2: each partition's row count and value total
     # (F.sum of the value expr, NOT max of the running column — a
     # signed series' running sum is not monotone), then the EXCLUSIVE
@@ -114,6 +144,13 @@ def ordered_running(
         *[F.sum(f"__t_{name}").over(w_off).alias(f"__off_{name}") for name in sums],
     )
     joined = local.join(F.broadcast(off_df), _PID)
+    if total_count_as:
+        # grand total from the npart-row totals frame — local is
+        # already checkpointed, so this never re-reads df's lineage
+        grand = totals.agg(
+            F.coalesce(F.sum("__cnt"), F.lit(0)).cast("bigint").alias(total_count_as)
+        )
+        joined = joined.join(F.broadcast(grand))
     out_cols = [c for c in df.columns]
     proj = [F.col(c) for c in out_cols]
     for name in sums:
@@ -127,6 +164,8 @@ def ordered_running(
         proj.append(
             (F.col(_LRN) + F.col("__rn_off")).cast("bigint").alias(row_number_as)
         )
+    if total_count_as:
+        proj.append(F.col(total_count_as))
     return joined.select(*proj)
 
 
@@ -151,12 +190,19 @@ def ordered_ntile(
 
     The q = 0 edge (n < k) takes the first branch for every row.
     ``order`` must be a total order (NTILE itself is underdetermined
-    at ties otherwise)."""
-    ranked = ordered_running(
-        df, order=order, sums={}, npart=npart, row_number_as="__ntile_rn"
+    at ties otherwise).
+
+    n comes from ordered_running's own per-partition totals
+    (total_count_as), NOT a separate df.agg(count) — a second agg
+    would re-execute df's full lineage and double the input scan."""
+    j = ordered_running(
+        df,
+        order=order,
+        sums={},
+        npart=npart,
+        row_number_as="__ntile_rn",
+        total_count_as="__ntile_n",
     )
-    n_row = df.agg(F.count(F.lit(1)).cast("bigint").alias("__ntile_n"))
-    j = ranked.join(F.broadcast(n_row))
     # exact integer arithmetic throughout (div, not double /): bucket
     # boundaries must never ride a float truncation
     bucket = F.expr(

@@ -365,7 +365,10 @@ def b_ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic), then a census per (R,F,M) cell. Plan shape: one
     user-keyed aggregate, three window passes over the SAME
     user-level frame (tiny vs the fact table — |users| rows), one
-    final cell rollup; the fact scan is touched exactly once. The
+    final cell rollup; the fact scan is touched exactly once (each
+    ordered_ntile derives n from its own per-partition totals and
+    checkpoints its input, so no pass re-executes the rollup's
+    lineage). The
     corpus-max recency anchor is a scalar subquery → broadcast, not a
     per-row re-aggregation. NTILE needs a total order; each of the
     three global quartile passes runs through the SHIPPED two-pass
