@@ -128,6 +128,7 @@ _PROBE_TABLES = {
     "b_join_salted_hot": ("orders", "lineitem"),
     "b_join_skew_split": ("orders", "lineitem"),
     "b_join_skew_bypass": ("orders", "lineitem"),
+    "b_join_skew_coldagg": ("orders", "lineitem"),
 }
 
 # Skew tier (r8): the skew-handling forms of the same orders⋈lineitem
@@ -139,7 +140,12 @@ _PROBE_TABLES = {
 # NSALT× build-side replication measured 96.5 s at this tier (one-off,
 # SCALE.md round-8) and re-timing the documented negative 7× per round
 # would cost more bench wall-clock than every other block combined.
-SKEW_MATCHED = ("b_join_skew_split", "b_join_salted_hot", "b_join_skew_bypass")
+SKEW_MATCHED = (
+    "b_join_skew_split",
+    "b_join_salted_hot",
+    "b_join_skew_bypass",
+    "b_join_skew_coldagg",
+)
 SKEW_FACTOR = 300
 
 # Retrieval tier (r8): the lexical-retrieval corpus pass at depth.
@@ -450,6 +456,7 @@ _SHORT = {
     "b_join_skew_split": "skSplit",
     "b_join_salted_hot": "skSalt",
     "b_join_skew_bypass": "skByp",
+    "b_join_skew_coldagg": "skCold",
     "b_topk_per_group": "topk",
 }
 

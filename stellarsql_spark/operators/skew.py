@@ -388,3 +388,113 @@ def b_join_skew_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gross_d").cast("double").alias("gross"),
         )
     )
+
+
+@register("b_join_skew_coldagg", oracle=_SALTED_ORACLE, tags=("join", "skew", "eager-agg"))
+def b_join_skew_coldagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C256: hot-key bypass + COLD-lane eager aggregation — the r9
+    VERDICT next-round #1 form, closing the skew family.
+
+    b_join_skew_bypass removed the hot lane's data-sized shuffle
+    (map-side collapse to ~|hot|x tasks partials + broadcast) but its
+    cold lane still pushed every uniform row through the exchange as a
+    raw (key, price) pair and aggregated only after the join.  This
+    form applies the hot lane's own move to the cold lane: aggregate
+    BY KEY first, join second —
+
+    - **cold lane**: repartition cold lineitem on l_orderkey, then a
+      FUSED partial+final aggregate to one (key, n, cents) row per
+      orderkey (~|orderkeys| rows, ~4x fewer than line items), then
+      the orders join probes the AGGREGATE, reusing the aggregate's
+      hash partitioning so only the slim orders side shuffles for the
+      join.  The repartition-first shape is b_join_inner's measured
+      lesson: with ~4 scattered line items per key a PRE-exchange
+      partial map reduces almost nothing (the zipfian corpus is
+      round-robin-replicated, so cold keys are spread across every
+      task) while paying a data-sized hash-map build per task;
+      post-exchange the collapse is total and the aggregate fuses
+      into the exchange-consumer stage.
+    - **hot lane**: unchanged from C255 — ~|hot| keys pre-aggregate
+      map-side and meet a broadcast of their ~|hot| orders rows.
+
+    MEASURED NEGATIVE (kept, like b_join_salted, so it isn't
+    re-tried): at 300x zipfian, min-of-3 fresh executions, the cold
+    pre-agg lane costs 6.72 s vs the bypass cold lane's 5.28 s — the
+    post-exchange hash aggregate over ~45M distinct keys costs more
+    than the 4x-smaller join probe saves.  The decomposition shows
+    why no cold-lane rewrite can close the family's residual: the
+    cold exchanges ALONE (repartition-by-key + drain, no join) cost
+    4.02 s (lineitem 2.67 + orders 1.35) against 0.65 s of scans and
+    ~0.6 s of probe+agg, while DuckDB's whole query on the same
+    parquet is ~1.34 s — a single-node shared-memory hash join pays
+    no shuffle materialization at all.  The residual is the
+    irreducible single-node shuffle tax; on a real cluster the same
+    exchange buys horizontal scaling DuckDB cannot (SCALE.md
+    round-10).  Result-identical to the plain join for ANY detected
+    hot set (SUM/COUNT distribute over the key partition), so the
+    shared _SALTED_ORACLE covers every corpus; with no detected hot
+    key it degenerates to the eager-agg join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = [
+        r[0]
+        for r in li.sample(_HOT_SAMPLE, seed=7)
+        .groupBy("l_orderkey")
+        .count()
+        .where(F.col("count") >= _HOT_MIN_SAMPLED)
+        .orderBy(F.desc("count"))
+        .limit(_HOT_TOP)
+        .collect()
+    ]
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def agg_join_lane(li_side: DataFrame, o_side: DataFrame) -> DataFrame:
+        pre = (
+            li_side.select("l_orderkey", dec.alias("__px"))
+            .repartition(F.col("l_orderkey"))
+            .groupBy("l_orderkey")
+            .agg(F.count("*").alias("n_p"), F.sum("__px").alias("g_p"))
+        )
+        return (
+            pre.join(o_side.hint("shuffle_hash"), pre.l_orderkey == o_side.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_p").alias("n_items"),
+                F.sum("g_p").cast("decimal(38,2)").alias("gross_d"),
+            )
+        )
+
+    if not hot:
+        lane = agg_join_lane(li, o.select("o_orderkey", "o_orderstatus"))
+        return lane.select(
+            "o_orderstatus",
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("gross_d").cast("double").alias("gross"),
+        )
+    is_hot_li = F.col("l_orderkey").isin(hot)
+    is_hot_o = F.col("o_orderkey").isin(hot)
+    hot_pre = (
+        li.where(is_hot_li)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_p"), F.sum(dec).alias("g_p"))
+    )
+    o_hot = o.where(is_hot_o).select("o_orderkey", "o_orderstatus")
+    hot_lane = (
+        hot_pre.join(F.broadcast(o_hot), hot_pre.l_orderkey == o_hot.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_p").alias("n_items"),
+            F.sum("g_p").cast("decimal(38,2)").alias("gross_d"),
+        )
+    )
+    cold_lane = agg_join_lane(
+        li.where(~is_hot_li), o.where(~is_hot_o).select("o_orderkey", "o_orderstatus")
+    )
+    return (
+        hot_lane.unionByName(cold_lane)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("gross_d").cast("double").alias("gross"),
+        )
+    )
