@@ -73,6 +73,7 @@ SCALE2_FACTOR = 100
 # narrated once.
 SCALE3_MATCHED = (
     "b_agg_groupby",
+    "b_agg_groupby_served",
     "b_join_inner",
     "b_join_inner_bucketed",
     "b_join_inner_served",
@@ -97,6 +98,7 @@ SCALE3_FACTOR = 300
 # floor (~0.45 s) and the layout is a wash.
 SCALE4_MATCHED = (
     "b_agg_groupby",
+    "b_agg_groupby_served",
     "b_join_inner",
     "b_join_inner_bucketed",
     "b_join_inner_served",
@@ -114,6 +116,7 @@ SCALE4_TABLES = ("lineitem", "orders", "customer", "events", "embeddings")
 # comfortably; caching unused tables just evicts the used ones).
 _PROBE_TABLES = {
     "b_agg_groupby": ("lineitem",),
+    "b_agg_groupby_served": ("lineitem",),
     "b_join_inner": ("orders", "customer", "nation", "region"),
     "b_join_inner_bucketed": ("orders", "customer", "nation", "region"),
     "b_join_inner_served": ("orders", "customer", "nation", "region"),
@@ -445,6 +448,7 @@ _T0 = time.perf_counter()
 # carries a compact line engineered to fit the tail window.
 _SHORT = {
     "b_agg_groupby": "grp",
+    "b_agg_groupby_served": "grpS",
     "b_join_inner": "join",
     "b_join_inner_bucketed": "joinB",
     "b_join_inner_served": "joinS",
@@ -611,6 +615,10 @@ def main() -> None:
 
                 ensure_hour_layout(spark, scaled_dir)
                 ensure_hourly_rollup(spark, scaled_dir)
+            if "b_agg_groupby_served" in names:
+                from stellarsql_spark.sources.bucketed import ensure_pricing_rollup
+
+                ensure_pricing_rollup(spark, scaled_dir)
             if "b_join_inner_served" in names:
                 from stellarsql_spark.sources.bucketed import ensure_join_rollup
 

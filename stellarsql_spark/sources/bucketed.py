@@ -330,3 +330,122 @@ def b_join_inner_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev_cts") / 100.0).cast("double").alias("revenue"),
         )
     )
+
+
+def ensure_pricing_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus fingerprint) the serving artifact
+    of the b_agg_groupby flagship — the last headline shape without a
+    served twin (r9 VERDICT next-round #4):
+
+    ``<warehouse>/pricing_day_rollup_<tag>/``  the (l_shipdate,
+        l_returnflag, l_linestatus)-level partial aggregate of every
+        Q1 measure as exact scaled-integer BIGINT sums plus the
+        per-measure counts.  ~|days|x6 rows (~15k at any SF) — the
+        DELTA-MAINTAINABLE level: a new lineitem batch folds in with
+        a SUM-of-partials re-aggregate keyed on its own days (C81
+        b_ts_rollup_incremental's merge pattern), and keeping the day
+        key means ANY shipdate cutoff filter stays answerable at
+        serving time.  The rollup keys on the raw l_shipdate value
+        (observed midnight-aligned; keying on the value rather than a
+        truncation keeps the cutoff comparison exact by construction
+        even if a corpus ever carried intraday times).
+
+    Build is serialized/idempotent via the same fingerprint-marker +
+    exclusive-lock protocol as the other layout artifacts."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    rollup_dir = os.path.join(warehouse, f"pricing_day_rollup_{tag}")
+    marker = os.path.join(rollup_dir, "_ROLLUP_DONE")
+    fp = _bucket_fingerprint(table_path(sf_dir, "lineitem"), 0)
+    if _marker_ok(marker, fp):
+        return rollup_dir
+
+    def _build() -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        ep, dc, tx, qt = (
+            cents(c)
+            for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity")
+        )
+        (
+            li.groupBy("l_shipdate", "l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(qt).alias("qt_s"),
+                F.sum(ep).alias("ep_s"),
+                F.sum(ep * (100 - dc)).alias("dp_s"),
+                F.sum(ep * (100 - dc) * (100 + tx)).alias("ch_s"),
+                F.sum(dc).alias("dc_s"),
+                F.count("l_quantity").alias("n_qt"),
+                F.count("l_extendedprice").alias("n_ep"),
+                F.count("l_discount").alias("n_dc"),
+                F.count("*").alias("n_rows"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(rollup_dir)
+        )
+
+    _build_serialized(rollup_dir, marker, fp, _build)
+    return rollup_dir
+
+
+from stellarsql_spark.operators.aggregates import PRICING_SUMMARY_ORACLE
+
+
+@register(
+    "b_agg_groupby_served",
+    oracle=PRICING_SUMMARY_ORACLE,
+    tags=("agg", "served", "flagship"),
+)
+def b_agg_groupby_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C257: the SERVED form of the groupby flagship — read the
+    maintained (day, flag, status) pricing rollup and re-aggregate
+    ~15k partial rows instead of re-scanning lineitem, completing the
+    plain -> served lineage for the last headline shape without one
+    (r9 VERDICT next-round #4).  Same result contract as
+    b_agg_groupby: identical exact scaled-integer arithmetic (BIGINT
+    SUM-of-partials distributes over the day partition; the final
+    double conversions are the same expressions), so the shared
+    PRICING_SUMMARY_ORACLE covers it and plain==served equality is a
+    test contract (tests/test_round10.py).
+
+    At 100 TB: the day-level rollup is maintained incrementally from
+    lineitem deltas (SUM-of-partials keyed on the delta's days —
+    b_ts_rollup_incremental's merge), and the dashboard query costs
+    O(days x groups), not O(line items).  The shipdate cutoff stays a
+    serving-time parameter because the rollup keeps the day key.
+
+    Scale shape: one ~15k-row scan, one 6-row aggregate, zero
+    data-sized anything at query time."""
+    from stellarsql_spark.functions.exact import require_ansi
+
+    require_ansi(spark)
+    rollup_dir = ensure_pricing_rollup(spark, sf_dir)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "1")
+    s2.conf.set("spark.sql.ansi.enabled", "true")
+    ru = s2.read.parquet(rollup_dir)
+    return (
+        ru.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum("qt_s") / 100.0).cast("double").alias("sum_qty"),
+            (F.sum("ep_s") / 100.0).cast("double").alias("sum_base_price"),
+            (F.sum("dp_s") / 10000.0).cast("double").alias("sum_disc_price"),
+            (F.sum("ch_s") / 1000000.0).cast("double").alias("sum_charge"),
+            ((F.sum("qt_s") / 100.0).cast("double") / F.sum("n_qt"))
+            .cast("double")
+            .alias("avg_qty"),
+            ((F.sum("ep_s") / 100.0).cast("double") / F.sum("n_ep"))
+            .cast("double")
+            .alias("avg_price"),
+            ((F.sum("dc_s") / 100.0).cast("double") / F.sum("n_dc"))
+            .cast("double")
+            .alias("avg_disc"),
+            F.sum("n_rows").cast("bigint").alias("count_order"),
+        )
+    )

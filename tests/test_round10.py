@@ -154,3 +154,32 @@ class TestPrefixHardening:
         # checkpointed relation, not re-derive from the range source
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+
+
+class TestGroupbyServed:
+    def test_served_equals_plain(self, spark):
+        """The served flagship must be value-identical to the plain
+        recompute — SUM-of-partials distributes over the day rollup
+        and the final double arithmetic is expression-identical."""
+        from stellarsql_spark.operators.aggregates import b_agg_groupby
+        from stellarsql_spark.sources.bucketed import b_agg_groupby_served
+
+        plain = sorted(
+            tuple(r) for r in b_agg_groupby(spark, SF).collect()
+        )
+        served = sorted(
+            tuple(r) for r in b_agg_groupby_served(spark, SF).collect()
+        )
+        assert served == plain
+
+    def test_rollup_is_day_keyed_and_small(self, spark):
+        """The maintained artifact keeps the day key (serving-time
+        cutoffs stay answerable) and is |days|x|groups|-sized."""
+        from stellarsql_spark.sources.bucketed import ensure_pricing_rollup
+
+        d = ensure_pricing_rollup(spark, SF)
+        ru = spark.read.parquet(d)
+        assert {"l_shipdate", "l_returnflag", "l_linestatus"} <= set(ru.columns)
+        n = ru.count()
+        days = ru.select("l_shipdate").distinct().count()
+        assert n <= days * 6  # at most |days| x (flag,status) combos
