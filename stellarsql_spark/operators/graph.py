@@ -709,7 +709,9 @@ def b_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean degree.  Past that (hub degrees ≥ ~1e6 on 100 TB event
     graphs) the moments must move to DECIMAL(38,0)/HUGEINT on BOTH
     engines — a contract change (decimal output schema), unlike the
-    C244/C182/C212/C251 cases whose wide carriers are internal."""
+    C244/C182/C212/C251 cases whose wide carriers are internal.
+    That wide contract SHIPS as b_graph_assortativity_wide (C258),
+    past-2^63-tested — this key stays the long-adds hot path."""
     edges = _edges(spark, sf_dir)
     deg = _degrees(edges).select("node", F.col("d").cast("long").alias("d"))
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
@@ -1063,4 +1065,108 @@ def b_graph_link_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_m"), "u_node", "v_node")
         .limit(20)
+    )
+
+
+# --- Degree assortativity, wide-moment twin (C258) ---------------------------
+
+# C197's recorded headroom debt, graduated into a key (r9 VERDICT
+# next-round #5): the emitted moments (sxx = Σ deg² over edge ends)
+# are the output contract, and BIGINT wraps once Σ deg² crosses 2^63
+# (hub degrees ≥ ~1e6 on 100 TB event graphs).  This twin carries
+# every moment as DECIMAL(38,0) (Spark) / HUGEINT-cast-DECIMAL(38,0)
+# (DuckDB) end to end, so the key itself has NO SF ceiling: the
+# past-2^63 case is exercised by a synthetic star-graph test on the
+# shipped key (tests/test_round10.py TestWideMoments).  Endpoint
+# degrees are < 2^63 by construction (they are row counts), so the
+# per-edge products fit DECIMAL(38,0) exactly (two 19-digit factors).
+# The moments cross the Python/pandas result boundary as exact
+# DECIMAL STRINGS: pandas has no int128 dtype, so a numeric fetch of
+# a 38-digit value would silently round through float64 — the string
+# is the only exact transport, and both engines print scale-0
+# decimals identically.
+_ASSORT_WIDE_ORACLE = f"""
+WITH {_EDGES_CTE},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+ends AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM ends
+)
+SELECT n,
+       CAST(sx AS VARCHAR) AS sx,
+       CAST(sxy AS VARCHAR) AS sxy,
+       CAST(sxx AS VARCHAR) AS sxx,
+       CAST(ROUND(1000000 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+            AS BIGINT) AS assort_m
+FROM mom
+"""
+
+
+@register(
+    "b_graph_assortativity_wide",
+    oracle=_ASSORT_WIDE_ORACLE,
+    tags=("graph", "assortativity", "wide"),
+)
+def b_graph_assortativity_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C258: Newman degree assortativity with DECIMAL(38,0) moment
+    carriers — C197's wide-schema twin; see _ASSORT_WIDE_ORACLE note.
+    Same plan shape as C197 (two node-keyed joins onto the edge list,
+    one-row reduce); only the carrier types differ, which costs the
+    Decimal-object adds ONLY in this twin — C197 stays the long-adds
+    hot path below the documented bound."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges).select("node", F.col("d").cast("long").alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("yv"))
+    both = edges.join(du, "u").join(dv, "v")
+    ends = both.select(F.col("xu").alias("x"), F.col("yv").alias("y")).unionAll(
+        both.select(F.col("yv").alias("x"), F.col("xu").alias("y"))
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    mom = ends.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return mom.select(
+        "n",
+        F.col("sx").cast("string").alias("sx"),
+        F.col("sxy").cast("string").alias("sxy"),
+        F.col("sxx").cast("string").alias("sxx"),
+        F.round(1_000_000 * num / den).cast("bigint").alias("assort_m"),
     )

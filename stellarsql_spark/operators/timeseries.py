@@ -1692,7 +1692,9 @@ def b_ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the day rollup is the only data-sized pass; windows
     run over the |days| series.  At 100 TB with many series the two
     global medians become per-series-key partitions of the same
-    windows."""
+    windows.  The DECIMAL(38,0)-carrier contract (day cents past
+    ~9e12) ships as b_ts_stl_anomaly_wide (C259), past-2^63-tested —
+    this key stays the long-adds hot path."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -1838,4 +1840,150 @@ def b_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rollcorr"),
+    )
+
+
+# --- STL-residual anomaly detection, wide-carrier twin (C259) -----------------------
+
+# C222's recorded headroom debt graduated into a key (r9 VERDICT
+# next-round #5): resid_m = 1e6*d7 - seasonal_m wraps BIGINT once a
+# day's cent total swings past ~9e12 (1e6 x 7 x day-cents), a bound a
+# 100 TB revenue stream crosses.  This twin carries x_c, sum7, d7,
+# seasonal_m, resid_m as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the
+# two robust medians interpolate over an EXPLICIT double cast of the
+# residual in both engines (the original's implicit BIGINT->double,
+# made visible), and med/mad round to DOUBLE outputs (they can exceed
+# int64).  The per-dow seasonal mean is an exact TRUNCATING integer
+# division (DuckDB HUGEINT `//`; Spark subtract-remainder-then-divide)
+# instead of the original's double ROUND: a double round-trip at 1e21
+# diverges between engines (Spark's double->decimal cast goes through
+# the shortest decimal repr, DuckDB converts the exact binary value).  x_c and resid_m cross the result boundary as exact decimal
+# strings — pandas has no int128, so a numeric fetch would round
+# through float64.  Per-row cents stay BIGINT (the data contract keeps
+# single prices < 2^53); only the SUMS widen.  The past-2^63 case is
+# exercised on the shipped key by a synthetic corpus test
+# (tests/test_round10.py TestWideMoments).
+_STL_ANOM_WIDE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS epoch_d,
+         SUM(CAST(CAST(ROUND(100 * o_totalprice) AS BIGINT) AS HUGEINT)) AS x_c
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT epoch_d, x_c,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN SUM(x_c) OVER w END AS sum7
+  FROM daily
+  WINDOW w AS (ORDER BY epoch_d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT epoch_d, x_c, CAST((epoch_d + 4) % 7 AS BIGINT) AS dow,
+         7 * x_c - sum7 AS d7
+  FROM tr WHERE sum7 IS NOT NULL
+),
+seas AS (
+  SELECT *,
+         (1000000 * SUM(d7) OVER dw) // COUNT(*) OVER dw AS seasonal_m
+  FROM det
+  WINDOW dw AS (PARTITION BY dow)
+),
+resid AS (
+  SELECT epoch_d, x_c, 1000000 * d7 - seasonal_m AS resid_m
+  FROM seas
+),
+med1 AS (
+  SELECT *, quantile_cont(CAST(resid_m AS DOUBLE), 0.5) OVER () AS med FROM resid
+),
+med2 AS (
+  SELECT *, quantile_cont(abs(CAST(resid_m AS DOUBLE) - med), 0.5) OVER () AS mad
+  FROM med1
+)
+SELECT epoch_d,
+       CAST(x_c AS VARCHAR) AS x_c,
+       CAST(resid_m AS VARCHAR) AS resid_m,
+       ROUND(med) AS med_m, ROUND(mad) AS mad_m
+FROM med2
+WHERE abs(CAST(resid_m AS DOUBLE) - med) > 5.1891 * mad
+ORDER BY epoch_d
+"""
+
+
+@register(
+    "b_ts_stl_anomaly_wide",
+    oracle=_STL_ANOM_WIDE_ORACLE,
+    tags=("timeseries", "anomaly", "stl", "wide"),
+)
+def b_ts_stl_anomaly_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C259: seasonal-residual anomaly detection with DECIMAL(38,0)
+    carriers — C222's wide-schema twin; see _STL_ANOM_WIDE_ORACLE
+    note.  Same plan shape as C222 (one data-sized day rollup, then
+    |days|-sized windows); only the carrier types differ, so C222
+    stays the long-adds hot path below its documented bound."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("bigint")
+        .alias("epoch_d")
+    ).agg(
+        F.sum(
+            F.round(100 * F.col("o_totalprice")).cast("bigint").cast("decimal(38,0)")
+        ).alias("x_c")
+    )
+    w = Window.orderBy("epoch_d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "epoch_d",
+        "x_c",
+        F.when(F.count("*").over(w) == 7, F.sum("x_c").over(w)).alias("sum7"),
+    ).where(F.col("sum7").isNotNull())
+    det = tr.select(
+        "epoch_d",
+        "x_c",
+        ((F.col("epoch_d") + 4) % 7).cast("bigint").alias("dow"),
+        (F.lit(7).cast("decimal(38,0)") * F.col("x_c") - F.col("sum7"))
+        .cast("decimal(38,0)")
+        .alias("d7"),
+    )
+    dw = Window.partitionBy("dow")
+    num = (F.lit(1_000_000).cast("decimal(38,0)") * F.sum("d7").over(dw)).cast(
+        "decimal(38,0)"
+    )
+    cnt = F.count("*").over(dw)
+    # exact truncating division (DuckDB HUGEINT `//` semantics):
+    # subtract the dividend-signed remainder, then the division is
+    # exact — no double round-trip, so no shortest-repr divergence
+    seas = det.withColumn(
+        "seasonal_m", ((num - num % cnt) / cnt).cast("decimal(38,0)")
+    )
+    resid = seas.select(
+        "epoch_d",
+        "x_c",
+        (
+            F.lit(1_000_000).cast("decimal(38,0)") * F.col("d7")
+            - F.col("seasonal_m")
+        )
+        .cast("decimal(38,0)")
+        .alias("resid_m"),
+    )
+    wall = Window.partitionBy()
+    med1 = resid.withColumn(
+        "med", F.expr("percentile(CAST(resid_m AS DOUBLE), 0.5)").over(wall)
+    )
+    med2 = med1.withColumn(
+        "mad",
+        F.expr("percentile(abs(CAST(resid_m AS DOUBLE) - med), 0.5)").over(wall),
+    )
+    return (
+        med2.where(
+            F.abs(F.col("resid_m").cast("double") - F.col("med"))
+            > 5.1891 * F.col("mad")
+        )
+        .select(
+            "epoch_d",
+            F.col("x_c").cast("string").alias("x_c"),
+            F.col("resid_m").cast("string").alias("resid_m"),
+            F.round("med").alias("med_m"),
+            F.round("mad").alias("mad_m"),
+        )
     )
