@@ -290,3 +290,66 @@ class TestWideMoments:
         assert got == want
         assert len(got) == 1
         assert int(got[0][3]) > 2**63  # sxx genuinely past int64
+
+
+class TestOnepartGate:
+    """r9 VERDICT #6: the 1part plan-audit column is a hard gate —
+    an injected data-sized global window must go red."""
+
+    def test_injected_global_window_is_flagged(self, spark):
+        """A fabricated spec whose plan runs a global (un-partitioned)
+        window over a data-sized input must trip the ONEPART flag
+        through the same audit path preflight runs."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import Window
+
+        from tools.plan_audit import audit_one, onepart_allowlist
+
+        class BadSpec:
+            tags = ()
+
+            @staticmethod
+            def builder(spark, sf_dir):
+                from stellarsql_spark.catalog import load_table
+
+                li = load_table(spark, sf_dir, "lineitem")
+                w = Window.orderBy("l_orderkey", "l_linenumber").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+                return li.select(
+                    "l_orderkey", F.sum("l_extendedprice").over(w).alias("rs")
+                )
+
+        allow = onepart_allowlist()
+        counts, flags = audit_one(
+            "b_injected_global_window", BadSpec, spark, SF, allow=allow
+        )
+        assert counts["single"] >= 1
+        assert any(f.startswith("ONEPART") for f in flags)
+
+    def test_count_increase_on_allowlisted_key_is_flagged(self):
+        """A regression that ADDS a SinglePartition exchange to an
+        already-allowlisted key must also go red."""
+        from tools.plan_audit import onepart_allowlist, onepart_violation
+
+        allow = onepart_allowlist()
+        key = "b_ts_ewma"  # allowlisted at n=1 (days)
+        assert allow[key]["n"] == 1
+        assert onepart_violation(key, 1, allow) is None
+        assert onepart_violation(key, 2, allow) is not None
+        assert onepart_violation("b_brand_new_key", 1, allow) is not None
+        assert onepart_violation("b_brand_new_key", 0, allow) is None
+
+    def test_registry_is_clean(self, spark):
+        """Spot-check: the shipped keys with the largest allowlisted
+        counts compile to exactly their allowlisted counts today."""
+        from stellarsql_spark.registry import all_specs
+        from tools.plan_audit import audit_one, onepart_allowlist
+
+        allow = onepart_allowlist()
+        specs = all_specs()
+        for key in ("b_quality_freshness", "b_ev_rfm", "b_win_ntile"):
+            counts, flags = audit_one(key, specs[key], spark, SF, allow=allow)
+            assert not [f for f in flags if f.startswith("ONEPART")], (key, flags)

@@ -32,6 +32,41 @@ from stellarsql_spark.session import get_spark  # noqa: E402
 # row-at-a-time python is *declared* here and nowhere else
 ROW_UDF_ALLOWED = {"b_udf_scalar"}
 
+import json  # noqa: E402
+import os  # noqa: E402
+
+_ALLOWLIST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "onepart_allowlist.json")
+
+
+def onepart_allowlist() -> dict:
+    """Per-query allowlisted `Exchange SinglePartition` count with a
+    one-word reason (r9 VERDICT #6).  Every entry is a BOUNDED or
+    SUBLINEAR intermediate (npart = the two-pass prefix's offset
+    window over partition totals; days/weeks/groups/vocab/percol =
+    the window input's cardinality class; scalar = a 1-row final
+    reduce).  A query whose count EXCEEDS its entry — or a new query
+    with any SinglePartition exchange and no entry — is flagged
+    ONEPART and fails the audit: that is how a data-sized global
+    window (the classic Spark scale-killer) surfaces as a hard red
+    instead of a prose claim."""
+    with open(_ALLOWLIST_PATH) as f:
+        return json.load(f)
+
+
+def onepart_violation(name: str, single: int, allow: dict) -> str | None:
+    """Return a flag string if `single` exceeds the allowlisted count
+    (or the key has no entry), else None.  Shared by the audit CLI,
+    preflight, and the regression test."""
+    if single <= 0:
+        return None
+    entry = allow.get(name)
+    if entry is None:
+        return f"ONEPART(new:{single})"
+    if single > entry["n"]:
+        return f"ONEPART({single}>{entry['n']}:{entry['why']})"
+    return None
+
 
 def effective_plan_text(plan: str) -> str:
     """Drop subtree lines printed under InMemoryTableScan / ReusedExchange
@@ -53,7 +88,7 @@ def effective_plan_text(plan: str) -> str:
     return "\n".join(out)
 
 
-def audit_one(name, spec, spark, sf_dir):
+def audit_one(name, spec, spark, sf_dir, allow=None):
     df = spec.builder(spark, sf_dir)
     plan = effective_plan_text(df._jdf.queryExecution().executedPlan().toString())
     counts = {
@@ -78,6 +113,10 @@ def audit_one(name, spec, spark, sf_dir):
         flags.append("CARTESIAN")
     if counts["py_row"] and name not in ROW_UDF_ALLOWED:
         flags.append("ROW_PYTHON")
+    if allow is not None:
+        v = onepart_violation(name, counts["single"], allow)
+        if v:
+            flags.append(v)
     return counts, flags
 
 
@@ -91,21 +130,23 @@ def main() -> int:
     specs = all_specs()
     keys = args.keys or sorted(specs)
     spark = get_spark("plan_audit")
+    allow = onepart_allowlist()
 
-    lines = ["| query | exchanges | 1part | BHJ | SMJ | BNLJ | py(arrow) | codegen | flags |",
-             "|---|---|---|---|---|---|---|---|---|"]
+    lines = ["| query | exchanges | 1part | why | BHJ | SMJ | BNLJ | py(arrow) | codegen | flags |",
+             "|---|---|---|---|---|---|---|---|---|---|"]
     any_flag = False
     for name in keys:
         try:
-            counts, flags = audit_one(name, specs[name], spark, args.sf)
+            counts, flags = audit_one(name, specs[name], spark, args.sf, allow=allow)
         except Exception as e:
             print(f"SKIP {name}: {str(e)[:100]}")
             continue
         if flags:
             any_flag = True
             print(f"FLAG {name}: {','.join(flags)}")
+        why = allow.get(name, {}).get("why", "-") if counts["single"] else "-"
         lines.append(
-            f"| {name} | {counts['exchange']} | {counts['single']} | {counts['bhj']} | {counts['smj']} "
+            f"| {name} | {counts['exchange']} | {counts['single']} | {why} | {counts['bhj']} | {counts['smj']} "
             f"| {counts['bnlj']} | {counts['py_arrow']} | {counts['codegen']} "
             f"| {','.join(flags) or '-'} |"
         )
@@ -116,10 +157,16 @@ def main() -> int:
                 f"Compiled at `{args.sf}`. Columns: shuffle Exchanges, 1part\n"
                 "(Exchange SinglePartition count — every un-partitioned window,\n"
                 "global sort, and scalar 1-row final reduce funnels through\n"
-                "one; the final reduces are map-side-partial first and\n"
-                "SCALE.md round-9 records that every remaining global\n"
-                "window runs over bounded/sublinear intermediates, so a\n"
-                "NEW data-sized one surfaces here as a reviewable diff),\n"
+                "one; the final reduces are map-side-partial first), why\n"
+                "(the allowlisted one-word bounded-intermediate reason from\n"
+                "tools/onepart_allowlist.json — npart = the two-pass\n"
+                "prefix's offset window over partition totals; days/weeks/\n"
+                "groups/vocab/percol = the window input's cardinality\n"
+                "class; scalar = a 1-row final reduce.  A count ABOVE the\n"
+                "allowlisted value, or any SinglePartition exchange on an\n"
+                "unlisted key, is a hard ONEPART flag: the audit and\n"
+                "preflight exit non-zero, so a new data-sized global\n"
+                "window is a gate red, not a reviewable diff),\n"
                 "join strategies (broadcast-hash /\n"
                 "sort-merge / broadcast-nested-loop), Arrow-batched Python\n"
                 "ops, WholeStageCodegen spans, red flags (CARTESIAN =\n"

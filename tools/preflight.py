@@ -15,7 +15,12 @@ One command that runs, in order:
      any red here becomes a driver red;
   2. the vanilla-session driver contract (entry + a spot-check that
      every queries() callable builds against a conf-less session);
-  3. a bench smoke at sf0.01 with the scale probe off (~40 s).
+  3. a bench smoke at sf0.01 with the scale probe off (~40 s);
+  4. the whole-registry 1part plan gate (~2 min, plan compile only):
+     any query whose `Exchange SinglePartition` count exceeds its
+     allowlisted bounded-intermediate entry (tools/
+     onepart_allowlist.json) — or a new query with any such exchange
+     and no entry — fails the preflight (r9 VERDICT #6).
 
 Usage:
     python tools/preflight.py [--window 50] [--sf /root/testdata/sf0.01]
@@ -77,7 +82,7 @@ def main() -> int:
 
     window = driver_key_order()[: args.window]
 
-    print("[0/4] stamp-freshness audit")
+    print("[0/5] stamp-freshness audit")
     too_old, missing_restamp, aging = stamp_audit(args.window)
     print(
         f"  post-window: {aging} stamps >4 rounds old; "
@@ -90,7 +95,7 @@ def main() -> int:
         print(f"PREFLIGHT FAILED: rotation bound violated for: {too_old[:20]}")
         return 1
 
-    print(f"[1/4] oracle gate on the {len(window)}-key driver window at {args.sf}")
+    print(f"[1/5] oracle gate on the {len(window)}-key driver window at {args.sf}")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), "--sf", args.sf, *window],
         cwd=REPO,
@@ -99,7 +104,7 @@ def main() -> int:
         print("PREFLIGHT FAILED: window has reds")
         return 1
 
-    print("[2/4] vanilla-session driver contract")
+    print("[2/5] vanilla-session driver contract")
     probe = (
         "import sys; sys.path.insert(0, %r)\n"
         "from pyspark.sql import SparkSession\n"
@@ -116,11 +121,20 @@ def main() -> int:
         print("PREFLIGHT FAILED: driver contract broke on a vanilla session")
         return 1
 
-    print("[3/4] bench smoke (sf0.01, probe off)")
+    print("[3/5] bench smoke (sf0.01, probe off)")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf, SPARK_GRAFT_SCALE_PROBE="0")
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")], cwd=REPO, env=env)
     if r.returncode != 0:
         print("PREFLIGHT FAILED: bench smoke")
+        return 1
+
+    print("[4/5] 1part plan gate (whole registry)")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plan_audit.py"), "--sf", args.sf],
+        cwd=REPO,
+    )
+    if r.returncode != 0:
+        print("PREFLIGHT FAILED: plan audit flags (ONEPART/CARTESIAN/ROW_PYTHON)")
         return 1
 
     print("PREFLIGHT GREEN")
