@@ -90,8 +90,47 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(18)
+    kind = rng.randrange(20)
     where = _pred(rng, t)
+    if kind == 18:  # array HOFs (r10): split → lambda filter →
+        # array_sort → cast-to-varchar, the higher-order surface the
+        # scalar branch never touches.  Everything here is spelled and
+        # defined identically (probed before landing): split on a
+        # non-regex separator, `filter(arr, s -> pred)` lambdas,
+        # array_sort, array_contains, and CAST(list AS VARCHAR) both
+        # printing "[a, b]".  array_distinct alone DIVERGES (DuckDB
+        # sorts, Spark keeps first-occurrence order) — always wrapped
+        # in array_sort here.  ORDER BY every projected column: rows
+        # tying on all of them are interchangeable under LIMIT.
+        c = rng.choice(strs)
+        sep = rng.choice(["'-'", "' '", "'#'"])
+        minlen = rng.randrange(1, 6)
+        arr = f"filter(split({c}, {sep}), s -> length(s) >= {minlen})"
+        lit = rng.choice(["'1'", "'a'", "'Customer'", "'STANDARD'"])
+        return (
+            f"SELECT {key} AS k, "
+            f"CAST(array_sort({arr}) AS VARCHAR(200)) AS a, "
+            f"CAST(array_sort(array_distinct({arr})) AS VARCHAR(200)) AS ad, "
+            f"array_contains(split({c}, {sep}), {lit}) AS b, "
+            f"array_position(array_sort({arr}), {lit}) AS p "
+            f"FROM {t} WHERE {where} "
+            f"ORDER BY k, a, ad, b, p LIMIT {rng.randrange(30, 90)}"
+        )
+    if kind == 19:  # LISTAGG + ILIKE census (r10).  Unordered LISTAGG
+        # is order-NONdeterministic, so the comparison rides its
+        # order-invariant projections: LENGTH (same multiset + same
+        # separators ⇒ same length, and NULL-skip divergence would
+        # change it) next to COUNT.  ILIKE is the shared
+        # case-insensitive LIKE spelling in both engines.
+        g = rng.choice(strs)
+        c = rng.choice([x for x in strs if x != g] or strs)
+        pat = rng.choice(["%a%", "1%", "%T", "%er%", "C_s%", "%d"])
+        return (
+            f"SELECT {g} AS g, COUNT(*) AS n, "
+            f"LENGTH(LISTAGG({c}, ',')) AS ln, "
+            f"COUNT(CASE WHEN {c} ILIKE '{pat}' THEN 1 END) AS ni "
+            f"FROM {t} WHERE {where} GROUP BY {g}"
+        )
     if kind == 17:  # portable scalar cocktail (r9 second half): the
         # string/date builtin surface the relational kinds never touch.
         # Every function below is spelled and defined identically in
@@ -559,3 +598,94 @@ def test_decimal_floor_division_divergence_documented():
     assert int(hug) == want
     assert float(raw) != float(want)  # // on DECIMAL did not floor
     assert int(dec) == want + 1  # quotient .67 then round-on-cast
+
+
+# --- two-pass global prefix differential branch (r10) -----------------
+#
+# functions/prefix.py ships the scalable global running-sum/rank
+# (range-repartition → local window → broadcast exclusive prefix of
+# partition totals).  This branch fuzzes it THREE-WAY on random signed
+# series: the shipped two-pass API result must equal the naive
+# single-partition window in BOTH engines' SQL, across random tables,
+# expressions, sort directions, and partition counts — so a prefix
+# regression (boundary drift, offset off-by-one, tie handling) is a
+# differential red, not just a unit-test case.
+
+
+def test_differential_prefix_two_pass(spark, duck):
+    from pyspark.sql import functions as F
+
+    from stellarsql_spark.catalog import register_views
+    from stellarsql_spark.functions.prefix import ordered_ntile, ordered_running
+
+    register_views(spark, SF, tuple(TABLES))
+    seed = _round_seed(20260817)
+    rng = random.Random(seed)
+    mismatches = []
+    for i in range(25):
+        t = rng.choice(_UNIQUE_KEY_TABLES)
+        ints, key = TABLES[t]["int"], TABLES[t]["key"]
+        e = _int_expr(rng, ints)  # the CASE form makes the series signed
+        where = _pred(rng, t)
+        base_sql = f"SELECT {key} AS k, CAST({e} AS BIGINT) AS v FROM {t} WHERE {where}"
+        desc = rng.randrange(2)
+        dirn = "DESC" if desc else "ASC"
+        naive = (
+            f"SELECT k, CAST(SUM(v) OVER (ORDER BY v {dirn}, k "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs, "
+            f"ROW_NUMBER() OVER (ORDER BY v {dirn}, k) AS rn "
+            f"FROM ({base_sql}) b"
+        )
+        d = _canon(duck.execute(naive).df())
+        s_naive = _canon(spark.sql(naive).toPandas())
+        order = [
+            F.col("v").desc() if desc else F.col("v").asc(),
+            F.col("k"),
+        ]
+        two = ordered_running(
+            spark.sql(base_sql),
+            order,
+            {"rs": F.col("v")},
+            npart=rng.choice([3, 7, 32]),
+            row_number_as="rn",
+        ).select("k", "rs", "rn")
+        s_two = _canon(two.toPandas())
+        if not (s_two.equals(d) and s_naive.equals(d)):
+            mismatches.append((i, seed, base_sql, dirn))
+    assert not mismatches, mismatches[:3]
+
+
+def test_differential_prefix_ntile(spark, duck):
+    from pyspark.sql import functions as F
+
+    from stellarsql_spark.catalog import register_views
+    from stellarsql_spark.functions.prefix import ordered_ntile
+
+    register_views(spark, SF, tuple(TABLES))
+    seed = _round_seed(20260818)
+    rng = random.Random(seed)
+    mismatches = []
+    for i in range(15):
+        t = rng.choice(_UNIQUE_KEY_TABLES)
+        ints, key = TABLES[t]["int"], TABLES[t]["key"]
+        e = _int_expr(rng, ints)
+        where = _pred(rng, t)
+        k_buckets = rng.randrange(2, 9)
+        base_sql = f"SELECT {key} AS k, CAST({e} AS BIGINT) AS v FROM {t} WHERE {where}"
+        naive = (
+            f"SELECT k, NTILE({k_buckets}) OVER (ORDER BY v, k) AS q "
+            f"FROM ({base_sql}) b"
+        )
+        d = _canon(duck.execute(naive).df())
+        s_naive = _canon(spark.sql(naive).toPandas())
+        two = ordered_ntile(
+            spark.sql(base_sql),
+            [F.col("v"), F.col("k")],
+            k_buckets,
+            "q",
+            npart=rng.choice([3, 7, 32]),
+        ).select("k", "q")
+        s_two = _canon(two.toPandas())
+        if not (s_two.equals(d) and s_naive.equals(d)):
+            mismatches.append((i, seed, base_sql, k_buckets))
+    assert not mismatches, mismatches[:3]
