@@ -1823,3 +1823,89 @@ def b_agg_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("boot_se_c"),
     )
+
+
+# --- Pricing-rollup delta-maintenance certification (C260) --------------------
+
+# The served flagship (C257, sources/bucketed.py) claims its day-level
+# rollup is "delta-maintainable by SUM-of-partials".  This key
+# CERTIFIES that algebra end to end with a hash oracle: lineitem is
+# split at a shipdate cutoff into BASE and DELTA, each is rolled up to
+# the serving artifact's exact schema independently, the two partial
+# frames MERGE by a union + re-aggregate keyed on (day, flag, status)
+# — the C81 b_ts_rollup_incremental fold, at the pricing rollup's
+# grain — and the merged rollup serves the Q1 pricing summary.  The
+# oracle recomputes from the FULL table, so a hash match proves
+# merge(rollup(base), rollup(delta)) == rollup(base ∪ delta) on every
+# measure, including the exact scaled-integer carriers.  At 100 TB
+# the DELTA side is the day's new partitions and BASE is the standing
+# artifact: the fold touches |delta days|×6 partial rows, never the
+# history.
+_CUTOFF = "1996-01-01"
+
+
+@register(
+    "b_agg_rollup_maintain",
+    oracle=PRICING_SUMMARY_ORACLE,
+    tags=("agg", "served", "incremental"),
+)
+def b_agg_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C260: delta-fold maintenance of the pricing rollup — see the
+    block comment above.  Result contract = b_agg_groupby (shared
+    PRICING_SUMMARY_ORACLE)."""
+    from stellarsql_spark.functions.exact import require_ansi
+
+    require_ansi(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, dc, tx, qt = (
+        cents(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity")
+    )
+
+    def rollup(side: DataFrame) -> DataFrame:
+        return side.groupBy("l_shipdate", "l_returnflag", "l_linestatus").agg(
+            F.sum(qt).alias("qt_s"),
+            F.sum(ep).alias("ep_s"),
+            F.sum(ep * (100 - dc)).alias("dp_s"),
+            F.sum(ep * (100 - dc) * (100 + tx)).alias("ch_s"),
+            F.sum(dc).alias("dc_s"),
+            F.count("l_quantity").alias("n_qt"),
+            F.count("l_extendedprice").alias("n_ep"),
+            F.count("l_discount").alias("n_dc"),
+            F.count("*").alias("n_rows"),
+        )
+
+    base = rollup(li.where(F.col("l_shipdate") < _CUTOFF))
+    delta = rollup(li.where(F.col("l_shipdate") >= _CUTOFF))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_shipdate", "l_returnflag", "l_linestatus")
+        .agg(
+            *[
+                F.sum(c).alias(c)
+                for c in (
+                    "qt_s", "ep_s", "dp_s", "ch_s", "dc_s",
+                    "n_qt", "n_ep", "n_dc", "n_rows",
+                )
+            ]
+        )
+    )
+    return (
+        merged.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum("qt_s") / 100.0).cast("double").alias("sum_qty"),
+            (F.sum("ep_s") / 100.0).cast("double").alias("sum_base_price"),
+            (F.sum("dp_s") / 10000.0).cast("double").alias("sum_disc_price"),
+            (F.sum("ch_s") / 1000000.0).cast("double").alias("sum_charge"),
+            ((F.sum("qt_s") / 100.0).cast("double") / F.sum("n_qt"))
+            .cast("double")
+            .alias("avg_qty"),
+            ((F.sum("ep_s") / 100.0).cast("double") / F.sum("n_ep"))
+            .cast("double")
+            .alias("avg_price"),
+            ((F.sum("dc_s") / 100.0).cast("double") / F.sum("n_dc"))
+            .cast("double")
+            .alias("avg_disc"),
+            F.sum("n_rows").cast("bigint").alias("count_order"),
+        )
+    )

@@ -982,3 +982,105 @@ def b_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_last7",
         )
     )
+
+
+# --- Exact key-distribution skew audit (C261) --------------------------------
+
+# The skew-join family (operators/skew.py) DETECTS hot keys with a
+# sampled pre-pass; this key is the exact audit a platform runs to
+# DECIDE which join strategy a table needs: distinct-key count, max
+# single-key share, top-8-key share, and the Gini coefficient of the
+# key-count distribution (0 = uniform, →1 = one key owns the table).
+# Gini needs every key's global ascending rank — a data-sized global
+# order — so the rank runs through the shipped two-pass prefix
+# (functions/prefix.py), never a one-task window; the rank-weighted
+# sum Σ i·n_i rides DECIMAL(38,0)/HUGEINT (it crosses 2^63 once
+# |keys|·|rows| passes ~1e19, which a 100 TB fact table does).  Both
+# share fractions are one identical double expression over exact
+# integer carriers, ROUND→BIGINT millionths at the boundary.
+_KEYSKEW_ORACLE = """
+WITH k AS (
+  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM k
+),
+t8 AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS top8_n
+  FROM (SELECT n FROM k ORDER BY n DESC, key LIMIT 8) s
+),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, key) AS i FROM k),
+g AS (SELECT SUM(CAST(i AS HUGEINT) * n) AS s_in FROM r)
+SELECT n_keys, n_rows, max_n,
+       CAST(ROUND(1000000.0 * max_n / n_rows) AS BIGINT) AS max_share_m,
+       CAST(ROUND(1000000.0 * top8_n / n_rows) AS BIGINT) AS top8_share_m,
+       CAST(ROUND(1000000.0 * (
+            2.0 * CAST(s_in AS DOUBLE)
+            / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+            - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE)))
+            AS BIGINT) AS gini_m
+FROM tot, t8, g
+"""
+
+
+@register("b_quality_keyskew", oracle=_KEYSKEW_ORACLE, tags=("quality", "skew", "audit"))
+def b_quality_keyskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C261: exact join-key skew audit of lineitem.l_orderkey — see
+    the block comment above.  Plan shape: one key-count shuffle
+    (|keys| rows), the two-pass global rank over the count frame, a
+    top-8 TakeOrderedAndProject, three broadcast 1-row reduces."""
+    from stellarsql_spark.functions.prefix import ordered_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    t8 = (
+        k.orderBy(F.desc("n"), "key")
+        .limit(8)
+        .agg(F.sum("n").cast("bigint").alias("top8_n"))
+    )
+    ranked = ordered_running(
+        k, [F.col("n"), F.col("key")], {}, row_number_as="i"
+    )
+    g = ranked.agg(
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("s_in")
+    )
+    nk = F.col("n_keys").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(t8))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            F.round(F.lit(1000000.0) * F.col("max_n") / F.col("n_rows"))
+            .cast("bigint")
+            .alias("max_share_m"),
+            F.round(F.lit(1000000.0) * F.col("top8_n") / F.col("n_rows"))
+            .cast("bigint")
+            .alias("top8_share_m"),
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.lit(2.0)
+                    * F.col("s_in").cast("double")
+                    / (nk * F.col("n_rows").cast("double"))
+                    - (nk + F.lit(1.0)) / nk
+                )
+            )
+            .cast("bigint")
+            .alias("gini_m"),
+        )
+    )

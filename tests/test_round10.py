@@ -353,3 +353,40 @@ class TestOnepartGate:
         for key in ("b_quality_freshness", "b_ev_rfm", "b_win_ntile"):
             counts, flags = audit_one(key, specs[key], spark, SF, allow=allow)
             assert not [f for f in flags if f.startswith("ONEPART")], (key, flags)
+
+
+class TestKeyskewAudit:
+    def test_gini_orders_skewed_above_uniform(self, spark, tmp_path):
+        """On a one-hot-key table the audit must report a much higher
+        Gini and max share than on a uniform table — the property the
+        join-strategy decision rests on."""
+        import numpy as np
+        import pandas as pd
+
+        from stellarsql_spark.operators.quality import b_quality_keyskew
+
+        d_uni = tmp_path / "uni"
+        d_skw = tmp_path / "skw"
+        d_uni.mkdir()
+        d_skw.mkdir()
+        uni = pd.DataFrame(
+            {"l_orderkey": np.repeat(np.arange(500, dtype=np.int64), 4)}
+        )
+        skw = pd.DataFrame(
+            {
+                "l_orderkey": np.concatenate(
+                    [
+                        np.zeros(1600, dtype=np.int64),
+                        np.repeat(np.arange(1, 401, dtype=np.int64), 1),
+                    ]
+                )
+            }
+        )
+        uni.to_parquet(d_uni / "lineitem.parquet")
+        skw.to_parquet(d_skw / "lineitem.parquet")
+        ru = b_quality_keyskew(spark, str(d_uni)).first()
+        rs = b_quality_keyskew(spark, str(d_skw)).first()
+        assert ru["gini_m"] == 0  # perfectly uniform
+        assert rs["gini_m"] > 700_000  # one key owns 80%
+        assert rs["max_share_m"] == 800_000
+        assert ru["max_share_m"] == 2_000
