@@ -689,3 +689,29 @@ def test_differential_prefix_ntile(spark, duck):
         if not (s_two.equals(d) and s_naive.equals(d)):
             mismatches.append((i, seed, base_sql, k_buckets))
     assert not mismatches, mismatches[:3]
+
+
+def test_double_to_decimal_shortest_repr_divergence_documented(spark):
+    """Engine divergence found while building C259
+    (b_ts_stl_anomaly_wide): casting a large DOUBLE to a wide integer
+    type, Spark's CAST(… AS DECIMAL(38,0)) goes through the double's
+    SHORTEST DECIMAL REPRESENTATION (Java BigDecimal.valueOf →
+    Double.toString), while DuckDB's CAST to HUGEINT or DECIMAL(38,0)
+    converts the EXACT binary value — at 1e21 the two differ by
+    ~1.6e8.  Both are defensible readings of an inexact double; the
+    repo convention is therefore to never round-trip a wide exact
+    carrier through double (C259 replaced its seasonal-mean double
+    ROUND with an exact truncating integer division in both
+    engines)."""
+    import duckdb
+
+    v = -2777777777777777836032.0  # exactly representable binary double
+    s = spark.sql(
+        f"SELECT CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(38,0)) AS d"
+    ).first()["d"]
+    d = duckdb.sql(
+        f"SELECT CAST(CAST({v!r} AS DOUBLE) AS HUGEINT) AS d"
+    ).fetchone()[0]
+    assert int(d) == int(v)  # DuckDB: the exact binary value
+    assert int(s) == -2777777777777778000000  # Spark: shortest repr
+    assert int(s) != int(d)
