@@ -527,14 +527,18 @@ def _compact(result: dict) -> str:
         )
     if scale:  # probe-off smoke runs don't (re)write the artifact
         out["full"] = "BENCH_FULL.json"
+    # Degrade ladder, least-informative first: the loadavg (fr is the
+    # decision variable and the full artifact keeps both), then the
+    # spread columns, then absolute times (ratios + floors + floor
+    # ratios carry the story), so a budget overrun sheds detail
+    # gradually instead of dropping every absolute time at once.
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # degrade: ratios + floors carry the story
+    for field in ("ld", "sp", "s"):
+        if len(line) <= 1900:
+            break
         for b in scale.values():
-            b.pop("s", None)
-        line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        for b in scale.values():
-            b.pop("sp", None)
+            if isinstance(b, dict):
+                b.pop(field, None)
         line = json.dumps(out, separators=(",", ":"))
     return line
 
