@@ -285,3 +285,72 @@ def test_ahash_bmp_roundtrip_pure(pixels):
     want = sum(1 << i for i, p in enumerate(pixels) if 15 * p > s)
     assert int(dec["ahash"][0]) == want
     assert (int(dec["width"][0]), int(dec["height"][0])) == (5, 3)
+
+
+# --- two-pass prefix vs pure-Python reference (r10) -------------------
+
+_prefix_rows = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_prefix_rows, npart=st.sampled_from([1, 2, 3, 7, 32]))
+def test_ordered_running_matches_python_prefix(spark, vals, npart):
+    """ordered_running over a random signed series (duplicates and
+    negatives included) must reproduce the pure-Python inclusive
+    prefix and 1-based rank under the (v, id) total order — at every
+    partition count, including npart > |rows| and npart = 1."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stellarsql_spark.functions.prefix import ordered_running
+
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals}).astype("int64")
+    sdf = spark.createDataFrame(pdf, schema="id long, v long")
+    out = ordered_running(
+        sdf, [F.col("v"), F.col("id")], {"rs": F.col("v")},
+        npart=npart, row_number_as="rn",
+    )
+    got = {r["id"]: (r["rs"], r["rn"]) for r in out.collect()}
+    acc = 0
+    want = {}
+    for i, (vid, v) in enumerate(
+        sorted(((r.id, r.v) for r in pdf.itertuples(index=False)),
+               key=lambda p: (p[1], p[0])),
+        start=1,
+    ):
+        acc += v
+        want[vid] = (acc, i)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_prefix_rows, k=st.integers(min_value=1, max_value=9))
+def test_ordered_ntile_matches_sql_standard_rule(spark, vals, k):
+    """ordered_ntile must reproduce the SQL-standard NTILE rule (first
+    n % k buckets take one extra row) for any n, k — including n < k
+    and n = 0."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stellarsql_spark.functions.prefix import ordered_ntile
+
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals}).astype("int64")
+    sdf = spark.createDataFrame(pdf, schema="id long, v long")
+    out = ordered_ntile(sdf, [F.col("v"), F.col("id")], k, "q", npart=7)
+    got = {r["id"]: r["q"] for r in out.collect()}
+    n = len(vals)
+    order = sorted(((r.id, r.v) for r in pdf.itertuples(index=False)),
+                   key=lambda p: (p[1], p[0]))
+    q_, r_ = divmod(n, k)
+    want = {}
+    pos = 0
+    for b in range(1, k + 1):
+        take = q_ + (1 if b <= r_ else 0)
+        for _ in range(take):
+            want[order[pos][0]] = b
+            pos += 1
+    assert got == want
