@@ -1152,3 +1152,92 @@ def b_mm_format_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
     )
+
+
+# --- Audio resample: box-filtered 2:1 downsample (C262) ----------------------
+
+# The brief's multimodal list names resample as a first-class op; this
+# is the exact-integer form of it: after the REAL WAV round trip, each
+# output sample is the SUM of an adjacent input pair (a 2-tap box
+# filter at ratio 2:1 — the anti-aliased decimation kernel, kept as
+# the undivided pair sum so both engines' integer arithmetic is
+# trivially identical; dividing by 2 would need a floor-vs-trunc
+# convention on negative sums).  A trailing odd sample is dropped —
+# n_out = n_in div 2 by contract.  The checksum is ORDER-WEIGHTED
+# (Σ (i+1)·out[i]) so a one-sample framing shift from a codec bug
+# fails the hash, not just a reordering.  The oracle predicts
+# everything arithmetically from the md5 byte pairs, exactly like
+# the trim key.
+_RESAMPLE_SCHEMA = (
+    "doc_id bigint, n_in int, n_out int, "
+    "checksum bigint, out_min int, out_max int"
+)
+
+
+def _audio_resample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_in", "n_out", "checksum", "out_min", "out_max")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = _wav_decode(_wav_encode(_pcm_samples(payload)))
+            pairs = [
+                samples[2 * i] + samples[2 * i + 1]
+                for i in range(len(samples) // 2)
+            ]
+            out["doc_id"].append(doc_id)
+            out["n_in"].append(len(samples))
+            out["n_out"].append(len(pairs))
+            out["checksum"].append(sum((i + 1) * v for i, v in enumerate(pairs)))
+            out["out_min"].append(min(pairs))
+            out["out_max"].append(max(pairs))
+        yield pd.DataFrame(out).astype(
+            {"n_in": "int32", "n_out": "int32", "checksum": "int64",
+             "out_min": "int32", "out_max": "int32"}
+        )
+
+
+_RESAMPLE_ORACLE = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         32 + (CAST(concat('0x', substring(md5(text), 11, 2)) AS INT) % 32) * 2 AS n
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, n, i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT doc_id, n, t.i,
+           CAST(concat('0x',
+                       substring(h, 4 * (t.i % 8) + 3, 2),
+                       substring(h, 4 * (t.i % 8) + 1, 2)) AS INT) AS v
+    FROM m, UNNEST(range(n)) AS t(i)
+  )
+),
+pairs AS (
+  SELECT a.doc_id, a.n, a.i // 2 AS j, a.s + b.s AS o
+  FROM samples a JOIN samples b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.i % 2 = 0
+)
+SELECT doc_id,
+       CAST(MAX(n) AS INT) AS n_in,
+       CAST(COUNT(*) AS INT) AS n_out,
+       CAST(SUM((j + 1) * o) AS BIGINT) AS checksum,
+       CAST(MIN(o) AS INT) AS out_min,
+       CAST(MAX(o) AS INT) AS out_max
+FROM pairs GROUP BY doc_id
+"""
+
+
+@register(
+    "b_mm_audio_resample",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("pipeline", "multimodal", "audio"),
+)
+def b_mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C262: box-filtered 2:1 audio downsample after a REAL WAV round
+    trip — see the block comment above.  Scale shape: Arrow-batched
+    map-only (the b_mm_audio_trim plumbing with a resample head); no
+    shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    return with_payload.mapInPandas(_audio_resample_batch, schema=_RESAMPLE_SCHEMA)
