@@ -53,8 +53,28 @@ def b_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 2.0 s → 1.25 s over 10M rows at the 100× probe (DuckDB:
     0.79 s). The streaming twin (``b_stream_run_tumbling``) keeps
     ``window()``, which the micro-batch engine requires for
-    watermark-based state eviction."""
-    e = load_table(spark, sf_dir, "events")
+    watermark-based state eviction.
+
+    Session shape (r10): the aggregate's OUTPUT is keyed by
+    (hour, type) — bounded small at any input scale by contract — so
+    the reducer count follows the output cardinality, not the input
+    bytes, and AQE's stage re-optimization latency buys nothing a
+    3.6k-row shuffle needs.  The corpus-level tune sizes both by
+    TOTAL corpus bytes (right for the exchange-heavy joins sharing
+    the directory, wrong for this shape): measured at the 300× tier,
+    corpus-tuned AQE-on/64 runs 1.09 s where AQE-off/8 runs ~0.3 s —
+    the mid-tier 'weak' letter was conf overhead, not kernel cost.
+    The clone shares the SparkContext, so CacheManager still serves
+    the base tier's cached table by plan equality; _read_table (not
+    load_table) avoids handing back a parent-session-bound frame
+    (the skew.py lesson)."""
+    from stellarsql_spark.catalog import _read_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _read_table(s2, sf_dir, "events")
     us_per_hour = 3_600_000_000
     h = F.unix_micros("ts")
     return (
