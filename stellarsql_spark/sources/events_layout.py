@@ -199,10 +199,14 @@ def b_stream_tumbling_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured at 1000×: 0.44 s without AQE vs 0.69-0.85 s with, on an
     # identical physical plan. On a cluster the same reasoning holds:
     # AQE earns its latency on data-sized shuffles, not on rollups of
-    # pre-aggregated partials.
+    # pre-aggregated partials.  Reducer count follows the OUTPUT
+    # cardinality too (r10, same rule as the plain form): 8 reducers
+    # for a ~3.6k-row shuffle, not 32 — the extra 24 near-empty tasks
+    # were pure launch overhead (measured 0.76 s → 0.39 s at 300×,
+    # 0.49 s → 0.33 s at 1000×).
     s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2.conf.set("spark.sql.session.timeZone", "UTC")
     f = s2.read.parquet(fact_dir).select("event_hour", "type_id", "cts")
     d = s2.read.parquet(dim_dir)
