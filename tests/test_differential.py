@@ -90,8 +90,35 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(20)
+    kind = rng.randrange(22)
     where = _pred(rng, t)
+    if kind == 20:  # correlated LATERAL aggregate subquery (r10):
+        # Spark 4 and DuckDB share the ANSI spelling exactly
+        # (comma-join + LATERAL(...)); the aggregate subquery always
+        # yields one row, so zero-match customers surface as
+        # (n=0, s=NULL) in BOTH engines — parity verified before
+        # landing.  ORDER BY the unique key makes the LIMIT total.
+        e = _int_expr(rng, TABLES["orders"]["int"])
+        return (
+            f"SELECT c.c_custkey AS k, l.n, l.s FROM customer c, LATERAL ("
+            f"SELECT COUNT(*) AS n, CAST(SUM({e}) AS BIGINT) AS s "
+            f"FROM orders o WHERE o.o_custkey = c.c_custkey "
+            f"AND {_pred(rng, 'orders')}) l "
+            f"ORDER BY k LIMIT {rng.randrange(30, 90)}"
+        )
+    if kind == 21:  # GROUP BY ALL + ORDER BY ALL (r10): the
+        # DuckDB-originated shorthand Spark 4 adopted — every
+        # non-aggregate projection becomes a group key, then the full
+        # projection becomes the sort key, so the result is totally
+        # ordered by construction.
+        g = rng.choice(strs)
+        e = _int_expr(rng, ints)
+        m = rng.randrange(3, 12)
+        return (
+            f"SELECT {g} AS g, ({e}) % {m} AS v, COUNT(*) AS n, "
+            f"CAST(SUM({e}) AS BIGINT) AS s "
+            f"FROM {t} WHERE {where} GROUP BY ALL ORDER BY ALL"
+        )
     if kind == 18:  # array HOFs (r10): split → lambda filter →
         # array_sort → cast-to-varchar, the higher-order surface the
         # scalar branch never touches.  Everything here is spelled and
