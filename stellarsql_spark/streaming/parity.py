@@ -792,3 +792,86 @@ def b_stream_run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
     return run_to_memory(streamed, output_mode="complete")
+
+
+# --- Multi-batch engine run (C263) ------------------------------------------
+
+# Every other run_* key drains ONE source file = one micro-batch, so
+# the state store is written once and never folded.  This key splits
+# events into four TIME-QUARTILE files (equal ts-range intervals —
+# deterministic arithmetic on min/max, no sampling) with strictly
+# increasing mtimes, streams them at maxFilesPerTrigger=1, and drains
+# the watermarked tumbling aggregate in complete mode: four genuine
+# micro-batches, the watermark advancing between them, cross-batch
+# (window, type) state FOLDING — and because the splits are
+# time-ordered, no row ever falls behind the advancing watermark, so
+# the final sink must still equal the batch SQL bit-for-bit.  (The
+# late-drop semantics themselves are certified separately by
+# b_stream_late_drop, where rows DO fall behind.)
+
+
+def _multibatch_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    import glob
+
+    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+    from stellarsql_spark.sources.io import SCRATCH_ROOT
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    d = os.path.join(SCRATCH_ROOT, f"stream_events_mb{tag}")
+    marker = os.path.join(d, "_MB_DONE")
+    src = table_path(sf_dir, "events")
+    st = os.stat(src if os.path.isfile(src) else os.path.join(src))
+    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_files}"
+    if _marker_ok(marker, fp):
+        return d
+
+    def _build() -> None:
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(
+            F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+        ).first()
+        span = max(1, hi - lo + 1)
+        for i in range(n_files):
+            cut_lo = lo + (span * i) // n_files
+            cut_hi = lo + (span * (i + 1)) // n_files
+            part = ev.where(
+                (F.unix_micros("ts") >= cut_lo) & (F.unix_micros("ts") < cut_hi)
+            )
+            tmp = os.path.join(d, f"_tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src_file = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{i:02d}.parquet")
+            shutil.move(src_file, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # FileStreamSource orders new files by modification time:
+            # pin strictly increasing mtimes so batch i really carries
+            # quartile i and the watermark only ever advances.
+            os.utime(dst, ns=(st.st_mtime_ns + i, st.st_mtime_ns + i))
+
+    _build_serialized(d, marker, fp, _build)
+    return d
+
+
+@register(
+    "b_stream_run_multibatch",
+    oracle=_RUN_TUMBLING_ORACLE,
+    tags=("streaming", "runtime", "multibatch"),
+)
+def b_stream_run_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C263: the tumbling aggregate through FOUR real micro-batches —
+    see the block comment above.  Result contract identical to
+    b_stream_run_tumbling (shared oracle): state folding across
+    batches must be invisible in the final answer."""
+    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.streaming.runtime import events_stream_from_dir, run_to_memory
+
+    d = _multibatch_dir(spark, sf_dir)
+    src = events_stream_from_dir(
+        spark,
+        d,
+        schema_src=table_path(sf_dir, "events"),
+        max_files_per_trigger=1,
+    )
+    streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
+    return run_to_memory(streamed, output_mode="complete")

@@ -390,3 +390,53 @@ class TestKeyskewAudit:
         assert rs["gini_m"] > 700_000  # one key owns 80%
         assert rs["max_share_m"] == 800_000
         assert ru["max_share_m"] == 2_000
+
+
+class TestMultibatchRun:
+    def test_four_real_microbatches_fold_to_batch_answer(self, spark):
+        """The multibatch key must (a) really split into 4 time-ordered
+        files, (b) really run ≥4 micro-batches at mf=1, and (c) fold
+        cross-batch state to exactly the batch aggregate."""
+        import glob
+        import os
+
+        from stellarsql_spark.catalog import load_table, table_path
+        from stellarsql_spark.streaming.parity import _multibatch_dir
+        from stellarsql_spark.streaming.runtime import events_stream_from_dir
+        from stellarsql_spark.streaming.windows import tumbling_hourly
+
+        d = _multibatch_dir(spark, SF)
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        assert len(files) == 4
+        mtimes = [os.stat(f).st_mtime_ns for f in files]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+
+        src = events_stream_from_dir(
+            spark, d, schema_src=table_path(SF, "events"), max_files_per_trigger=1
+        )
+        streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        name = "mb_sink_test"
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+            got = sorted(
+                tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+            )
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert n_batches >= 4  # one per quartile file
+
+        want = sorted(
+            tuple(r)
+            for r in tumbling_hourly(load_table(spark, SF, "events")).collect()
+        )
+        assert got == want
