@@ -181,32 +181,41 @@ def b_join_inner_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the honest answer is the LAYOUT: a warehouse keeps its fact
     tables bucketed on the dominant join key, so the exchange never
     happens at query time. With orders and customer co-bucketed on
-    custkey (hash(key) mod N at rest), the custkey pre-aggregation is
-    bucket-local (HashPartitioning already satisfies the group-by
-    distribution) and the orders⋈customer join is a co-partitioned
-    ShuffledHashJoin with NO Exchange on either side — the only
-    shuffle left in the whole plan is the 25-row final rollup
-    (asserted in tests/test_round7.py). The DuckDB oracle reads the
-    ordinary un-bucketed parquet: the layout IS the Spark-side
-    optimization being measured."""
+    custkey (hash(key) mod N at rest), the orders⋈customer join is a
+    co-partitioned ShuffledHashJoin with NO Exchange on either side —
+    the only shuffle left in the whole plan is the 25-row final
+    rollup (asserted in tests/test_round7.py). The DuckDB oracle
+    reads the ordinary un-bucketed parquet: the layout IS the
+    Spark-side optimization being measured.
+
+    r10 measured change: the plain form's custkey PRE-aggregation is
+    dropped here.  That rewrite exists to slim the plain form's
+    EXCHANGE (fact rows → |customer| partials before the shuffle);
+    on the bucketed layout there is no fact exchange to slim, so the
+    |customer|-cardinality hash aggregate was pure overhead ahead of
+    a join whose probe work it barely reduced — A/B at 1000×:
+    pre-agg-first 2.38 s vs direct 1.84 s; at 300×: 1.62 vs 1.24 s.
+    The 25-group final aggregate collapses map-side regardless.  The
+    general rule (now applied in both directions): eager aggregation
+    is an EXCHANGE optimization, not a join optimization — apply it
+    exactly when it feeds a shuffle."""
     to, tc = ensure_custkey_bucketed(spark, sf_dir)
-    o = spark.table(to).where(F.col("o_orderstatus") == "F")
+    o = (
+        spark.table(to)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey", cents("o_totalprice").alias("cts"))
+    )
     c = spark.table(tc).select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    pre = (
-        o.select("o_custkey", cents("o_totalprice").alias("cts"))
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders_p"), F.sum("cts").alias("rev_p"))
-    )
     return (
-        pre.join(c.hint("shuffle_hash"), pre.o_custkey == c.c_custkey)
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("n_orders_p").alias("n_orders"),
-            (F.sum("rev_p") / 100.0).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+            (F.sum("cts") / 100.0).cast("double").alias("revenue"),
         )
     )
 
