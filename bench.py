@@ -381,7 +381,12 @@ def _socket_throughput(spark, n_rows: int = 200_000) -> dict:
 
     t = threading.Thread(target=serve, daemon=True)
     t.start()
-    ready.wait(timeout=10)
+    if not ready.wait(timeout=10) or not ports:
+        # feeder failed to bind (or died before listen) — this probe is
+        # optional; report it skipped instead of crashing the whole
+        # bench artifact on ports[0] (r10 ADVICE)
+        done.set()
+        return {"skipped": "socket feeder failed to bind within 10s"}
 
     src = socket_stream(spark, "127.0.0.1", ports[0])
     agg = (

@@ -77,11 +77,19 @@ def ordered_running(
     reserved = {_PID, _LRN, "__rn_off", "__cnt"}
     reserved |= {f"__l_{n}" for n in sums} | {f"__t_{n}" for n in sums}
     reserved |= {f"__off_{n}" for n in sums}
-    requested = set(sums)
+    requested_list = list(sums)
     if row_number_as:
-        requested.add(row_number_as)
+        requested_list.append(row_number_as)
     if total_count_as:
-        requested.add(total_count_as)
+        requested_list.append(total_count_as)
+    if len(requested_list) != len(set(requested_list)):
+        # duplicates AMONG the requested names would collapse in a set
+        # and then emit an ambiguous duplicate column (r10 ADVICE)
+        dupes = sorted({n for n in requested_list if requested_list.count(n) > 1})
+        raise ValueError(
+            f"ordered_running: duplicate requested output name(s): {dupes}"
+        )
+    requested = set(requested_list)
     clash = (requested | reserved) & set(df.columns)
     clash |= requested & reserved
     if clash:

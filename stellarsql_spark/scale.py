@@ -64,6 +64,9 @@ def _base_fingerprint(
     # unconditional form is the stable one (r8 ADVICE adjudication).
     parts = ["v3", str(factor), ",".join(sorted(tables or ()))]
     for t in TABLES:
+        # driver base tables are single read-only files, so size+mtime
+        # is exact here; keeping the historical format preserves every
+        # cached .scale corpus (format changes force full rebuilds)
         st = os.stat(table_path(base_sf_dir, t))
         parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)

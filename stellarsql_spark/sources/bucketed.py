@@ -111,8 +111,9 @@ N_CK_BUCKETS = 32
 
 
 def _bucket_fingerprint(src: str, n_buckets: int) -> str:
-    st = os.stat(src)
-    return f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_buckets}"
+    from stellarsql_spark.catalog import content_fingerprint
+
+    return f"{content_fingerprint(src)}:{n_buckets}"
 
 
 def _recreate_over_location(spark: SparkSession, name: str, df: DataFrame,

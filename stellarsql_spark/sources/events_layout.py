@@ -98,9 +98,12 @@ GROUP BY 1, 2
 
 
 def _layout_fingerprint(src: str) -> str:
-    st = os.stat(src)
-    # v2: day-dir layout (hour dirs A/B'd and rejected, see module doc)
-    return f"{src}:{st.st_size}:{st.st_mtime_ns}:v2"
+    from stellarsql_spark.catalog import content_fingerprint
+
+    # v2: day-dir layout (hour dirs A/B'd and rejected, see module doc).
+    # content_fingerprint handles directory corpora correctly (sorted
+    # member listing, not the directory inode — r10 ADVICE).
+    return f"{content_fingerprint(src)}:v2"
 
 
 def ensure_hour_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

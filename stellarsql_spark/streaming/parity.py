@@ -813,7 +813,7 @@ def b_stream_run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multibatch_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     import glob
 
-    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.catalog import content_fingerprint, table_path
     from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
     from stellarsql_spark.sources.io import SCRATCH_ROOT
 
@@ -821,8 +821,12 @@ def _multibatch_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     d = os.path.join(SCRATCH_ROOT, f"stream_events_mb{tag}")
     marker = os.path.join(d, "_MB_DONE")
     src = table_path(sf_dir, "events")
-    st = os.stat(src if os.path.isfile(src) else os.path.join(src))
-    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_files}"
+    # st only seeds the strictly-increasing utime base below; the
+    # rebuild marker keys on the content listing (file corpora: size +
+    # mtime; directory corpora: sorted member-file listing, so an
+    # in-place rewrite of a same-named part file invalidates it too)
+    st = os.stat(src)
+    fp = f"{content_fingerprint(src)}:{n_files}"
     if _marker_ok(marker, fp):
         return d
 

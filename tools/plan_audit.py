@@ -135,11 +135,16 @@ def main() -> int:
     lines = ["| query | exchanges | 1part | why | BHJ | SMJ | BNLJ | py(arrow) | codegen | flags |",
              "|---|---|---|---|---|---|---|---|---|---|"]
     any_flag = False
+    skipped: list[str] = []
     for name in keys:
         try:
             counts, flags = audit_one(name, specs[name], spark, args.sf, allow=allow)
         except Exception as e:
+            # a registered key that fails to even COMPILE is a red, not
+            # a silent skip — otherwise a plan-build-time crash escapes
+            # both the ONEPART gate and preflight (r10 ADVICE, medium)
             print(f"SKIP {name}: {str(e)[:100]}")
+            skipped.append(name)
             continue
         if flags:
             any_flag = True
@@ -174,8 +179,10 @@ def main() -> int:
                 "the declared parity op).\n\n" + "\n".join(lines) + "\n"
             )
         print(f"wrote {args.write_md}")
-    print("flags found" if any_flag else "no red flags")
-    return 1 if any_flag else 0
+    if skipped:
+        print(f"BUILD-FAIL ({len(skipped)}): {', '.join(skipped)}")
+    print("flags found" if any_flag or skipped else "no red flags")
+    return 1 if any_flag or skipped else 0
 
 
 if __name__ == "__main__":
