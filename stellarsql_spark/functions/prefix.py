@@ -45,6 +45,7 @@ def ordered_running(
     npart: int = 32,
     row_number_as: str | None = None,
     total_count_as: str | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Append inclusive global running SUM column(s) (and optionally a
     global ROW_NUMBER) over a total order, without a single-partition
@@ -69,6 +70,18 @@ def ordered_running(
                 per-partition totals — npart rows — NOT by re-scanning
                 df's lineage; ordered_ntile uses this to avoid a
                 second input pass).
+
+    ``reliable``  pin the partitioned frame with a RELIABLE
+                checkpoint (cluster-FS, survives executor loss)
+                instead of localCheckpoint (executor-local blocks,
+                loss is a loud job failure).  The right setting for
+                multi-tenant clusters where executor churn is routine;
+                local is the right cost point for a single-app
+                deployment.  Requires a checkpoint dir — if the
+                SparkContext has none set, one is created under the
+                engine scratch root (on a real cluster, set it to a
+                durable DFS path first via
+                ``sc.setCheckpointDir('hdfs://...')``).
 
     Returns df's columns + the requested prefix columns.  Row order of
     the RESULT is unspecified (as with any DataFrame); the prefix
@@ -127,11 +140,30 @@ def ordered_running(
     # releases checkpoint blocks once the returned DataFrame is
     # garbage-collected, so repeated invocations (bench trials, gate
     # reruns) do not accumulate live storage unboundedly.
-    local = with_pid.select(
+    staged = with_pid.select(
         "*",
         F.row_number().over(w_rank).alias(_LRN),
         *[F.sum(v).over(w_run).alias(f"__l_{name}") for name, v in sums.items()],
-    ).localCheckpoint(eager=False)
+    )
+    if reliable:
+        # reliable checkpoint = same lineage cut, but the pinned blocks
+        # live on the (cluster) filesystem and survive executor loss —
+        # the graduation of the multi-tenant note above into an option
+        # (r10 VERDICT #6).  eager=False keeps the no-extra-job
+        # property; RDD checkpointing materializes on the first action
+        # either way.
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import os
+
+            from stellarsql_spark.sources.io import SCRATCH_ROOT
+
+            ckpt = os.path.join(SCRATCH_ROOT, "prefix_ckpt")
+            os.makedirs(ckpt, exist_ok=True)
+            sc.setCheckpointDir(ckpt)
+        local = staged.checkpoint(eager=False)
+    else:
+        local = staged.localCheckpoint(eager=False)
     # npart-row pass 2: each partition's row count and value total
     # (F.sum of the value expr, NOT max of the running column — a
     # signed series' running sum is not monotone), then the EXCLUSIVE
@@ -184,6 +216,7 @@ def ordered_ntile(
     out: str,
     *,
     npart: int = 32,
+    reliable: bool = False,
 ) -> DataFrame:
     """NTILE(k) over a total order without a single-partition window.
 
@@ -210,6 +243,7 @@ def ordered_ntile(
         npart=npart,
         row_number_as="__ntile_rn",
         total_count_as="__ntile_n",
+        reliable=reliable,
     )
     # exact integer arithmetic throughout (div, not double /): bucket
     # boundaries must never ride a float truncation

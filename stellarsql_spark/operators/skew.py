@@ -498,3 +498,72 @@ def b_join_skew_coldagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gross_d").cast("double").alias("gross"),
         )
     )
+
+
+# --- Audit-driven strategy chooser (r10 VERDICT #7) --------------------------
+
+# C261 (b_quality_keyskew) computes the EXACT key distribution audit
+# that this family's sampled detector approximates.  This helper is
+# the documented decision table that turns the two shipped artifacts —
+# the audit and the five measured join forms — into one operating
+# procedure: run the audit once per (table, key), then pick the form
+# its verdict names.  Thresholds and rationale:
+#
+# | verdict     | rule                              | why (measured)        |
+# |-------------|-----------------------------------|-----------------------|
+# | 'plain'     | max_n ≤ 4·(n_rows/n_shuffle)      | even the hottest key  |
+# |             |                                   | stays under AQE's 5×- |
+# |             |                                   | median skew bar in the|
+# |             |                                   | worst placement; any  |
+# |             |                                   | mitigation only adds  |
+# |             |                                   | cost (blanket salt and|
+# |             |                                   | cold-lane eager-agg   |
+# |             |                                   | are kept measured     |
+# |             |                                   | NEGATIVES, SCALE.md   |
+# |             |                                   | rounds 8/10)          |
+# | 'bypass'    | not plain AND top8_share ≥ 25%    | a bounded hot head    |
+# |             |                                   | owns the table — the  |
+# |             |                                   | hot lane pre-aggs map-|
+# |             |                                   | side and BROADCASTs,  |
+# |             |                                   | removing the hot rows |
+# |             |                                   | from the exchange     |
+# |             |                                   | entirely (fastest     |
+# |             |                                   | skew form at 300×z,   |
+# |             |                                   | SCALE.md round-9)     |
+# | 'aqe_split' | otherwise (heavy tail)            | hot keys too many to  |
+# |             |                                   | enumerate/broadcast;  |
+# |             |                                   | AQE splits oversized  |
+# |             |                                   | partitions at runtime |
+# |             |                                   | (b_join_skew_aqe)     |
+#
+# The 4× bar is deliberately under AQE's default 5×-median factor:
+# hashing can stack ~n_shuffle/|hot| keys per partition, so a key at
+# 4× fair share is the conservative edge of "no partition overflows".
+# The 25% top-8 bar marks where one extra columnar scan (the bypass's
+# hot/cold double read) is provably cheaper than shuffling that share
+# of the table (the round-9 decomposition: the hot half's exchange
+# materialization alone cost more than the full second scan).
+
+
+def choose_join_strategy(
+    audit_row,
+    *,
+    shuffle_partitions: int = 32,
+) -> str:
+    """Pick the join form for a fact-table key from C261's exact audit.
+
+    ``audit_row``: a Row (or mapping) with b_quality_keyskew's columns
+    — n_rows, max_n, top8_share_m (shares in millionths).  Returns
+    'plain' | 'bypass' | 'aqe_split', the registry keys' suffixes
+    (b_join_inner / b_join_skew_bypass / b_join_skew_aqe)."""
+    n_rows = int(audit_row["n_rows"])
+    max_n = int(audit_row["max_n"])
+    top8_share_m = int(audit_row["top8_share_m"])
+    if n_rows <= 0:
+        return "plain"
+    fair = n_rows / shuffle_partitions
+    if max_n <= 4 * fair:
+        return "plain"
+    if top8_share_m >= 250_000:
+        return "bypass"
+    return "aqe_split"

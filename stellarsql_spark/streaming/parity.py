@@ -826,7 +826,10 @@ def _multibatch_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     # mtime; directory corpora: sorted member-file listing, so an
     # in-place rewrite of a same-named part file invalidates it too)
     st = os.stat(src)
-    fp = f"{content_fingerprint(src)}:{n_files}"
+    # :v2 = the second-granular mtime spacing below (the ns-spaced v1
+    # splits tied within one JVM millisecond and streamed in arbitrary
+    # listing order — caught by the r11 engine-drain window fuzz)
+    fp = f"{content_fingerprint(src)}:{n_files}:v2"
     if _marker_ok(marker, fp):
         return d
 
@@ -850,8 +853,14 @@ def _multibatch_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
             shutil.rmtree(tmp, ignore_errors=True)
             # FileStreamSource orders new files by modification time:
             # pin strictly increasing mtimes so batch i really carries
-            # quartile i and the watermark only ever advances.
-            os.utime(dst, ns=(st.st_mtime_ns + i, st.st_mtime_ns + i))
+            # quartile i and the watermark only ever advances.  The
+            # spacing must be ≥1ms — the JVM reads mtimes at MILLISECOND
+            # granularity, so ns-apart stamps tie and the tie-break is
+            # arbitrary listing order (a quartile carrying the global
+            # max ts could then stream FIRST, advancing the watermark
+            # past every later batch).  Whole seconds for margin.
+            t_ns = st.st_mtime_ns + (i + 1) * 1_000_000_000
+            os.utime(dst, ns=(t_ns, t_ns))
 
     _build_serialized(d, marker, fp, _build)
     return d
@@ -879,3 +888,102 @@ def b_stream_run_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
     return run_to_memory(streamed, output_mode="complete")
+
+
+# --- Kill-and-restart recovery (C264) ---------------------------------------
+
+# b_stream_exactly_once certifies replay-idempotence and C263 certifies
+# cross-batch state FOLDING; the leg neither covers is recovery across
+# a PROCESS boundary: stop the query mid-stream, then restart a brand
+# new query object against the same checkpoint with the remaining
+# files.  This key stages the four time-quartile files (C263's split)
+# into a fresh source dir two at a time: phase 1 drains quartiles 0-1
+# (two micro-batches at maxFilesPerTrigger=1) and STOPS; phase 2 adds
+# quartiles 2-3 and starts a NEW query on the SAME checkpoint — the
+# offset log must skip the consumed files and the state store must
+# restore the (window, type) aggregates, or the complete-mode sink
+# cannot equal the batch SQL over all four quartiles.  Fresh
+# checkpoint + staging dir per invocation (uuid-suffixed, removed in a
+# finally) so re-runs always exercise the restart, never a warm no-op
+# checkpoint whose drain would emit nothing.
+
+
+@register(
+    "b_stream_restart_recovery",
+    oracle=_RUN_TUMBLING_ORACLE,
+    tags=("streaming", "runtime", "recovery"),
+)
+def b_stream_restart_recovery(
+    spark: SparkSession, sf_dir: str, _probe=None
+) -> DataFrame:
+    """C264: tumbling aggregate killed after batch 2 and restarted from
+    its checkpoint — see the block comment above.  Result contract
+    identical to b_stream_run_tumbling (shared oracle): crash recovery
+    must be invisible in the final answer.
+
+    ``_probe`` (tests only): callback ``(phase, ckpt_dir)`` invoked
+    after each drain while the checkpoint still exists, so a test can
+    assert the offset log really shows 2 committed batches at the kill
+    point and 4 after recovery."""
+    import uuid
+
+    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.sources.io import SCRATCH_ROOT
+    from stellarsql_spark.streaming.runtime import events_stream_from_dir
+
+    mb = _multibatch_dir(spark, sf_dir)
+    files = sorted(
+        f for f in os.listdir(mb) if f.endswith(".parquet")
+    )
+    work = os.path.join(SCRATCH_ROOT, f"stream_restart_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    sink = f"restart_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def _stage(names) -> None:
+        # hardlinks share the quartile files' pinned strictly-increasing
+        # mtimes, so FileStreamSource's mtime ordering is preserved
+        for n in names:
+            os.link(os.path.join(mb, n), os.path.join(src_dir, n))
+
+    def _drain() -> None:
+        src = events_stream_from_dir(
+            spark,
+            src_dir,
+            schema_src=table_path(sf_dir, "events"),
+            max_files_per_trigger=1,
+        )
+        streamed = tumbling_hourly(src.withWatermark("ts", "2 hours"))
+        q = (
+            streamed.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        _stage(files[:2])
+        _drain()  # phase 1: two micro-batches, then the query DIES
+        if _probe is not None:
+            _probe(1, ckpt)
+        _stage(files[2:])
+        _drain()  # phase 2: new query object, same checkpoint
+        if _probe is not None:
+            _probe(2, ckpt)
+        # the memory sink table outlives the stopped query and does not
+        # depend on the checkpoint, so the finally's rmtree is safe
+        return spark.table(sink)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(work, ignore_errors=True)

@@ -742,3 +742,82 @@ def test_double_to_decimal_shortest_repr_divergence_documented(spark):
     assert int(d) == int(v)  # DuckDB: the exact binary value
     assert int(s) == -2777777777777778000000  # Spark: shortest repr
     assert int(s) != int(d)
+
+
+# --- streaming-ENGINE window fuzz branch (r10 VERDICT #8) -------------
+
+# The batch-SQL branches above fuzz window shapes through both engines'
+# BATCH paths; this branch fuzzes the real Structured Streaming engine:
+# random tumbling/sliding widths and watermark offsets drained through
+# FOUR genuine micro-batches (the C263 time-quartile split — time-
+# ordered, so the advancing watermark never drops a row) must equal the
+# batch aggregate over the same events.  Complete mode checks full
+# cross-batch state folding for arbitrary window geometry; append mode
+# additionally checks the emission rule (a window is emitted iff its
+# END ≤ the final watermark = max event time − delay, the empirical
+# rule parity.py's late-drop oracle established).
+
+
+def test_differential_stream_engine_windows(spark):
+    from pyspark.sql import functions as F
+
+    from stellarsql_spark.catalog import load_table, table_path
+    from stellarsql_spark.streaming.parity import _multibatch_dir
+    from stellarsql_spark.streaming.runtime import (
+        events_stream_from_dir,
+        run_to_memory,
+    )
+
+    d = _multibatch_dir(spark, SF)
+    ev = load_table(spark, SF, "events")
+    seed = _round_seed(20260819)
+    rng = random.Random(seed)
+    mismatches = []
+    for i in range(8):
+        width_min = rng.choice([7, 13, 30, 45, 60, 90, 120])
+        slide_min = width_min // rng.choice(
+            [k for k in (1, 2, 3, 4) if width_min % k == 0]
+        )
+        wm_min = rng.choice([1, 30, 120, 360])
+        mode = rng.choice(["complete", "append"])
+        width, slide = f"{width_min} minutes", f"{slide_min} minutes"
+
+        def agg(src):
+            return (
+                src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("tv"),
+                )
+                .select(
+                    F.col("w.start").alias("ws"),
+                    F.col("w.end").alias("we"),
+                    "event_type",
+                    "n",
+                    "tv",
+                )
+            )
+
+        src = events_stream_from_dir(
+            spark,
+            d,
+            schema_src=table_path(SF, "events"),
+            max_files_per_trigger=1,
+        )
+        got = run_to_memory(
+            agg(src.withWatermark("ts", f"{wm_min} minutes")), output_mode=mode
+        )
+        want = agg(ev)
+        if mode == "append":
+            # final-watermark emission rule: only closed windows emit
+            wm_row = ev.agg(F.max("ts").alias("mx"))
+            want = want.crossJoin(F.broadcast(wm_row)).where(
+                F.col("we") <= F.col("mx") - F.expr(f"INTERVAL {wm_min} MINUTES")
+            ).drop("mx")
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        if g != w:
+            mismatches.append((i, seed, width, slide, wm_min, mode, len(g), len(w)))
+    assert not mismatches, mismatches
