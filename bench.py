@@ -425,6 +425,13 @@ def _socket_throughput(spark, n_rows: int = 200_000) -> dict:
     }
 
 
+# Block contention-rejection bar: a deep-tier block whose one-exchange
+# floor exceeds the headline session's by more than this is re-probed
+# once after a settle pause, then marked "contended" (see probe()).
+# 1.5 since r11 (was 2.0 — too loose, see the probe() comment).
+_FR_BAR = 1.5
+
+
 def _plan_floors(spark) -> dict[str, float]:
     """Fixed Spark latency floors at this session's settings, measured
     on trivially small data: ``noop`` = one stage, no exchange;
@@ -644,15 +651,21 @@ def main() -> None:
             # the 1-min loadavg at probe time and the block-floor /
             # headline-floor ratio, so a reader can adjudicate
             # contention vs regression from the artifact alone.
-            # Rejection rule (SCALE.md): floor_ratio > 2.0 ⇒ the block
-            # is re-probed once after a settle pause; if still > 2.0 it
+            # Rejection rule (SCALE.md): floor_ratio > 1.5 ⇒ the block
+            # is re-probed once after a settle pause; if still > 1.5 it
             # is recorded with "contended": true and SCALE.md's
-            # contract line must not cite it.
+            # contract line must not cite it.  The bar was 2.0 through
+            # r10; the r10 driver artifact showed blocks at fr
+            # 1.83–1.93 whose ratios idle re-measures contradicted by
+            # 2-3× (tumB 10.12 vs 3.0 at 300×), so 2.0 was too loose to
+            # protect round-over-round comparison (r10 VERDICT #2).
+            # Idle-host runs measure fr 0.87–1.19, so 1.5 keeps honest
+            # blocks while rejecting the contaminated band.
             block_floor = _plan_floors(spark)
             base_shuffle = result["floor"]["shuffle"]
             floor_ratio = round(block_floor["shuffle"] / max(base_shuffle, 1e-4), 2)
-            if floor_ratio > 2.0:
-                time.sleep(5)
+            if floor_ratio > _FR_BAR:
+                time.sleep(15)
                 block_floor = _plan_floors(spark)
                 floor_ratio = round(
                     block_floor["shuffle"] / max(base_shuffle, 1e-4), 2
@@ -682,7 +695,7 @@ def main() -> None:
                     k: round(scaled[k] / duck[k], 2) for k in duck if duck[k] > 0
                 },
             }
-            if floor_ratio > 2.0:
+            if floor_ratio > _FR_BAR:
                 blk["contended"] = True
             return blk
 
