@@ -81,6 +81,11 @@ SCALE3_MATCHED = (
     "b_stream_tumbling_bucketed",
     "b_stream_tumbling_served",
     "b_llm_cosine_topk",
+    # r11 (VERDICT #3): the two headline shapes that had no deep-tier
+    # story — the WindowGroupLimit top-k and the exact-dedup
+    # sha2+keep-first window — now re-measured every round.
+    "b_topk_per_group",
+    "b_llm_dedup_exact",
 )
 SCALE3_FACTOR = 300
 
@@ -106,10 +111,16 @@ SCALE4_MATCHED = (
     "b_stream_tumbling_bucketed",
     "b_stream_tumbling_served",
     "b_llm_cosine_topk",
+    "b_topk_per_group",
+    "b_llm_dedup_exact",
 )
 SCALE4_FACTOR = 1000
-# Only these five tables replicate at 1000×; the rest stay base-size.
-SCALE4_TABLES = ("lineitem", "orders", "customer", "events", "embeddings")
+# Only these six tables replicate at 1000×; the rest stay base-size.
+# documents joined the set in r11 so b_llm_dedup_exact has a deepest
+# datapoint (VERDICT #3); it adds ~1.5 GiB to the one-off build.
+SCALE4_TABLES = (
+    "lineitem", "orders", "customer", "events", "embeddings", "documents"
+)
 
 # Tables each probe query touches — deep tiers cache ONLY these (at
 # 300× the full ten-table corpus no longer fits the bench heap
@@ -474,6 +485,7 @@ _SHORT = {
     "b_join_skew_bypass": "skByp",
     "b_join_skew_coldagg": "skCold",
     "b_topk_per_group": "topk",
+    "b_llm_dedup_exact": "dedup",
 }
 
 _TIER_TAGS = {

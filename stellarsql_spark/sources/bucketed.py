@@ -58,10 +58,15 @@ def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
     to, tl = f"orders_b_{tag}", f"lineitem_b_{tag}"
     existing = {t.name for t in spark.catalog.listTables()}
+    # repartition by the bucket key first → ONE file per bucket (same
+    # Murmur3 assignment), which both avoids the tiny-files layout and
+    # is the only layout where Spark trusts the per-bucket sortBy
+    # order at read time (many files per bucket forces a re-sort).
     if to not in existing:
         _drop_stale_location(spark, to)
         (
             load_table(spark, sf_dir, "orders")
+            .repartition(N_BUCKETS, F.col("o_orderkey"))
             .write.bucketBy(N_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
             .mode("overwrite")
@@ -71,6 +76,7 @@ def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         _drop_stale_location(spark, tl)
         (
             load_table(spark, sf_dir, "lineitem")
+            .repartition(N_BUCKETS, F.col("l_orderkey"))
             .write.bucketBy(N_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
             .mode("overwrite")
@@ -113,7 +119,10 @@ N_CK_BUCKETS = 32
 def _bucket_fingerprint(src: str, n_buckets: int) -> str:
     from stellarsql_spark.catalog import content_fingerprint
 
-    return f"{content_fingerprint(src)}:{n_buckets}"
+    # "c1" = coarse-layout version tag (r11): bumping it invalidates
+    # bucket directories written by the pre-r11 many-files-per-bucket
+    # writer so they rebuild 1-file-per-bucket.
+    return f"c1:{content_fingerprint(src)}:{n_buckets}"
 
 
 def _recreate_over_location(spark: SparkSession, name: str, df: DataFrame,
@@ -163,7 +172,20 @@ def ensure_custkey_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             _recreate_over_location(spark, name, df, key, N_CK_BUCKETS, loc)
             continue
         shutil.rmtree(loc, ignore_errors=True)
-        df.write.bucketBy(N_CK_BUCKETS, key).mode("overwrite").saveAsTable(name)
+        # Repartition BY THE BUCKET KEY before the bucketed write:
+        # DataFrame hash partitioning and bucket-id assignment use the
+        # same Murmur3 hash mod N, so each writer task holds exactly
+        # one bucket's rows and emits ONE file — without it, every
+        # input partition writes a sliver of every bucket (measured at
+        # 1000×: 1024 files averaging 1.8 MiB for orders, 32 tiny
+        # files per bucket task to open).  The r11 A/B on the same
+        # corpus (engine-interleaved min-of-7): 1-file-per-bucket cut
+        # the headline bucketed join from 2.17× to 1.82× DuckDB.  At
+        # warehouse scale this is also the small-files rule every lake
+        # enforces at ingest.
+        df.repartition(N_CK_BUCKETS, F.col(key)).write.bucketBy(
+            N_CK_BUCKETS, key
+        ).mode("overwrite").saveAsTable(name)
         with open(marker, "w") as f:
             f.write(fp)
     return names["orders"], names["customer"]
