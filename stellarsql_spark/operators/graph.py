@@ -1170,3 +1170,101 @@ def b_graph_assortativity_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxx").cast("string").alias("sxx"),
         F.round(1_000_000 * num / den).cast("bigint").alias("assort_m"),
     )
+
+
+# --- label propagation communities (C266) -----------------------------
+
+LP_ITERS = 2
+
+_LABELPROP_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m FROM events
+),
+edges AS (
+  SELECT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+  WHERE a.user_id < c.user_id
+  GROUP BY 1, 2
+),
+bidir AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+i1 AS (SELECT u AS node, v AS lbl FROM bidir),
+m1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM i1 GROUP BY node, lbl
+  ) WHERE rn = 1
+),
+i2 AS (SELECT bd.u AS node, m.lbl FROM bidir bd JOIN m1 m ON bd.v = m.node),
+m2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM i2 GROUP BY node, lbl
+  ) WHERE rn = 1
+)
+SELECT lbl AS community, COUNT(*) AS n_members
+FROM m2 GROUP BY lbl
+"""
+
+
+@register("b_graph_label_prop", oracle=_LABELPROP_ORACLE,
+          tags=("graph", "communities", "iterative"))
+def b_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C266: synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) — LP_ITERS rounds of "adopt the most
+    frequent label among your neighbors", ties broken to the smallest
+    label, over the co-occurrence graph; returns community sizes.
+
+    Synchronous + deterministic tie-break makes the trajectory
+    engine-independent (classic LPA randomizes update order; that
+    variant cannot be hash-checked), so the full trajectory carries a
+    hash oracle that unrolls the same rounds as chained CTEs. Runs
+    on the MINUTE-granular co-occurrence graph (the components keys'
+    edge set): the hourly graph is so dense the whole corpus collapses
+    to one community by round 2, which would make the hash vacuous.
+
+    Scale shape: per round, ONE shuffle join keyed by neighbor id
+    (labels onto the bidirectional edge list — same stage geometry as
+    a PageRank step, operators/graph.py b_graph_pagerank) and one
+    (node, lbl) count + per-node argmax window. Everything is keyed
+    by node id: |edges|-sized shuffles, never quadratic. Fixed
+    iteration count bounds the lineage (no localCheckpoint needed at
+    2 rounds; the components keys document the iterate-to-fixpoint
+    variant)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "m"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    bidir = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # round 1: a node's neighbor labels ARE the neighbor ids
+    votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+    for it in range(LP_ITERS):
+        mode = (
+            votes.groupBy("node", "lbl")
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        if it == LP_ITERS - 1:
+            labels = mode
+            break
+        votes = bidir.join(
+            mode.select(F.col("node").alias("v"), "lbl"), "v"
+        ).select(F.col("u").alias("node"), "lbl")
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )

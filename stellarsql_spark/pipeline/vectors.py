@@ -988,3 +988,203 @@ def b_llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l2sq",
         "nnz",
     )
+
+
+# --- product quantization + ADC top-k (C265) --------------------------
+
+M_SUB = 4       # subspaces
+SUBDIM = 16     # dims per subspace (embeddings are 64-d)
+K_CODE = 16     # centroids per subspace codebook
+
+# All arithmetic is on the int8-quantized grid (b_llm_quant_int8's
+# scheme), so every distance is an exact BIGINT in both engines:
+# L2²(a,b) = dot(a,a) + dot(b,b) - 2·dot(a,b) with |q_i| ≤ 127,
+# per-subvector terms ≤ 127²·16 ≈ 2.6e5 — order-independent integer
+# sums, bit-identical cross-engine.
+_PQ_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(127.0 * x / maxabs) AS BIGINT)) AS qv
+  FROM base
+),
+sub AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+         qv[j * {SUBDIM} + 1 : (j + 1) * {SUBDIM}] AS sv
+  FROM q CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS j)
+),
+code_book AS (
+  SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {K_CODE}
+),
+assign AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT s.vec_id, s.j, cb.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY CAST(list_dot_product(s.sv, s.sv)
+                           + list_dot_product(cb.cv, cb.cv)
+                           - 2 * list_dot_product(s.sv, cb.cv) AS BIGINT),
+                      cb.cid
+           ) AS rn
+    FROM sub s JOIN code_book cb ON s.j = cb.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.j, cb.cid,
+         CAST(list_dot_product(qs.sv, qs.sv)
+              + list_dot_product(cb.cv, cb.cv)
+              - 2 * list_dot_product(qs.sv, cb.cv) AS BIGINT) AS ld
+  FROM sub qs JOIN code_book cb ON qs.j = cb.j
+  WHERE qs.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.ld) AS adc_dist
+  FROM assign a JOIN lut l ON a.j = l.j AND a.code = l.cid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS rn
+  FROM adc
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY CAST(list_dot_product(a.qv, a.qv)
+                           + list_dot_product(b.qv, b.qv)
+                           - 2 * list_dot_product(a.qv, b.qv) AS BIGINT),
+                      b.vec_id
+           ) AS ern
+    FROM q a JOIN q b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE ern <= {TOP_K}
+)
+SELECT r.query_id, r.neighbor_id, CAST(r.adc_dist AS BIGINT) AS adc_dist,
+       CAST(r.rn AS INT) AS rn,
+       (e.neighbor_id IS NOT NULL) AS in_exact_topk
+FROM ranked r LEFT JOIN exact e
+  ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+WHERE r.rn <= {TOP_K}
+"""
+
+
+def _int8_grid(e: DataFrame) -> DataFrame:
+    """(vec_id, qv): the symmetric int8 quantization of each embedding
+    (b_llm_quant_int8's scheme) as exact longs."""
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(ed, F.abs))
+    return e.select(
+        "vec_id",
+        F.transform(ed, lambda x: F.round(127.0 * x / maxabs).cast("long")).alias("qv"),
+    )
+
+
+def _l2sq(a, b):
+    """Exact integer squared-L2 via three exact dots (order-independent)."""
+    from stellarsql_spark.pipeline.vectors import _int_dot  # self, for clarity
+
+    return _int_dot(a, a) + _int_dot(b, b) - 2 * _int_dot(a, b)
+
+
+@register("b_llm_pq_adc", oracle=_PQ_ORACLE,
+          tags=("pipeline", "vectors", "quantization", "pq"))
+def b_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C265: product quantization + asymmetric-distance (ADC) top-k —
+    the compression tier below int8 (b_llm_quant_int8).
+
+    PQ splits each vector into M_SUB subvectors and stores only a
+    per-subspace centroid CODE (4 small ints ≈ 4 B/vector here vs
+    64 B int8 / 256 B fp32): the layout every billion-vector ANN
+    system serves from (IVF-PQ). Query time never touches vectors:
+    the query builds an M_SUB×K_CODE lookup table of exact subvector→
+    centroid distances, and each database vector's ADC distance is
+    the SUM of M_SUB table lookups selected by its stored codes.
+
+    Spark shape (the 100 TB story): the corpus-sized tables are the
+    code assignments (M_SUB rows of 3 small ints per vector — built
+    once at rest by a broadcast-codebook argmin, no shuffle wider
+    than the codes themselves); the per-query LUT is queries×M_SUB×
+    K_CODE rows, broadcast into the final lookup join; the only
+    corpus-sized aggregation is the M_SUB-row-per-(query, vector)
+    sum. No vector ever crosses a shuffle after the one-time encode.
+
+    Codebook here is seeded (subvectors of the K_CODE lowest vec_ids
+    — same convention as b_llm_kmeans' seeded init) so both engines
+    derive identical codes; a production encoder would k-means each
+    subspace, which only changes how the codebook table is built.
+    All distances are exact BIGINTs on the int8 grid, so codes, ADC
+    distances, and the `in_exact_topk` recall annotation (vs the
+    exact int8-grid L2 top-k) are hash-stable cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _int8_grid(e)
+    slices = F.array(
+        *[F.slice("qv", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
+    )
+    sub = q.select("vec_id", F.posexplode(slices).alias("j", "sv"))
+    code_book = sub.where(F.col("vec_id") < K_CODE).select(
+        F.col("j").alias("cj"), F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id", "j").orderBy("d", "cid")
+    assign = (
+        sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+        .select("vec_id", "j", "cid", _l2sq(F.col("sv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("cid").alias("code"))
+    )
+    lut = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("j").alias("lj"),
+            "cid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
+        )
+    )
+    adc = (
+        assign.join(
+            F.broadcast(lut),
+            (F.col("j") == F.col("lj")) & (F.col("code") == F.col("cid")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    ranked = (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= TOP_K)
+    )
+    qq = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy("xd", "neighbor_id")
+    exact = (
+        q.select(F.col("vec_id").alias("neighbor_id"), "qv")
+        .crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _l2sq(F.col("qe"), F.col("qv")).alias("xd"))
+        .withColumn("ern", F.row_number().over(w_exact))
+        .where(F.col("ern") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    )
+    return (
+        ranked.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )

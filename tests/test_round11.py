@@ -202,3 +202,130 @@ class TestAdviceHardenings:
         # _SUCCESS / dotfiles are not data and must not perturb it
         (d / "_SUCCESS").write_bytes(b"")
         assert content_fingerprint(str(d)) == fp2
+
+
+class TestLabelProp:
+    def test_partition_of_nodes(self, spark):
+        """Every graph node lands in exactly one community, and sizes
+        sum to the node count of the minute-granular edge set."""
+        from stellarsql_spark.operators.graph import b_graph_label_prop
+
+        out = b_graph_label_prop(spark, SF)
+        rows = out.collect()
+        assert all(r["n_members"] >= 1 for r in rows)
+
+        from stellarsql_spark.catalog import load_table
+
+        ev = load_table(spark, SF, "events")
+        b = ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        ).distinct()
+        nodes = (
+            b.alias("l")
+            .join(b.alias("r"), ["event_type", "m"])
+            .where(F.col("l.user_id") != F.col("r.user_id"))
+            .select(F.col("l.user_id").alias("n"))
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_members"] for r in rows) == nodes
+
+    def test_two_cliques_bridge(self, spark):
+        """Hand graph: two 3-cliques joined by one bridge edge resolve
+        to two communities labeled by each clique's min member."""
+        from pyspark.sql import Window
+
+        from stellarsql_spark.operators.graph import LP_ITERS
+
+        assert LP_ITERS == 2  # the hand-trace below is for 2 rounds
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+            "u long, v long",
+        )
+        bidir = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+        for it in range(2):
+            mode = (
+                votes.groupBy("node", "lbl")
+                .agg(F.count("*").alias("n"))
+                .withColumn("rn", F.row_number().over(w))
+                .where("rn = 1")
+                .select("node", "lbl")
+            )
+            if it == 1:
+                break
+            votes = bidir.join(
+                mode.select(F.col("node").alias("v"), "lbl"), "v"
+            ).select(F.col("u").alias("node"), "lbl")
+        got = {r["node"]: r["lbl"] for r in mode.collect()}
+        # round 1: every node adopts its min neighbor; round 2 the
+        # cliques agree on 1 and (3 or 4)-side labels respectively
+        assert got[1] == got[2] == got[3]
+        assert got[5] == got[6]
+        assert got[1] != got[5]
+
+
+class TestPqAdc:
+    def test_codes_compress_and_recall_positive(self, spark):
+        """Each vector gets M_SUB codes in [0, K_CODE); ADC top-k is a
+        permutation-free exact ranking with some overlap vs the exact
+        int8 top-k (seeded codebook keeps recall imperfect but
+        non-zero)."""
+        from stellarsql_spark.pipeline.similarity import N_QUERIES, TOP_K
+        from stellarsql_spark.pipeline.vectors import b_llm_pq_adc
+
+        out = b_llm_pq_adc(spark, SF).collect()
+        assert len(out) == N_QUERIES * TOP_K
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in by_q.items():
+            rns = sorted(r["rn"] for r in rows)
+            assert rns == list(range(1, TOP_K + 1))
+            dists = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rn"])]
+            assert dists == sorted(dists)
+            assert all(r["neighbor_id"] != q for r in rows)
+        # the approximation must be better than random: some exact
+        # top-k members appear in the ADC top-k
+        assert sum(1 for r in out if r["in_exact_topk"]) > 0
+
+    def test_adc_equals_reconstructed_distance(self, spark):
+        """ADC(query, x) must equal the exact L2² between the query's
+        int8 subvectors and x's RECONSTRUCTED (codebook) subvectors —
+        i.e. the LUT-sum really is distance-to-reconstruction, computed
+        here for one (query, neighbor) pair via numpy."""
+        import numpy as np
+
+        from stellarsql_spark.pipeline.vectors import (
+            K_CODE,
+            M_SUB,
+            SUBDIM,
+            b_llm_pq_adc,
+            _int8_grid,
+        )
+        from stellarsql_spark.catalog import load_table
+
+        out = b_llm_pq_adc(spark, SF)
+        row = out.where("query_id = 0").orderBy("rn").first()
+        q = {
+            r["vec_id"]: np.array(r["qv"], dtype=np.int64)
+            for r in _int8_grid(load_table(spark, SF, "embeddings")).collect()
+        }
+        qv, xv = q[0], q[row["neighbor_id"]]
+        # reconstruct xv subspace-by-subspace from the seeded codebook
+        dist = 0
+        for j in range(M_SUB):
+            xs = xv[j * SUBDIM : (j + 1) * SUBDIM]
+            best = min(
+                range(K_CODE),
+                key=lambda c: (
+                    int(((xs - q[c][j * SUBDIM : (j + 1) * SUBDIM]) ** 2).sum()),
+                    c,
+                ),
+            )
+            rec = q[best][j * SUBDIM : (j + 1) * SUBDIM]
+            dist += int(((qv[j * SUBDIM : (j + 1) * SUBDIM] - rec) ** 2).sum())
+        assert dist == row["adc_dist"]
