@@ -329,3 +329,20 @@ class TestPqAdc:
             rec = q[best][j * SUBDIM : (j + 1) * SUBDIM]
             dist += int(((qv[j * SUBDIM : (j + 1) * SUBDIM] - rec) ** 2).sum())
         assert dist == row["adc_dist"]
+
+
+class TestTopkBucketed:
+    def test_same_result_and_no_shuffle_exchange(self, spark):
+        """C267: bucketed twin == plain headline result, with no
+        shuffle Exchange in the executed plan (broadcast exchange for
+        the tiny-SF customer side is fine — it is not a shuffle; at
+        depth the co-partitioned bucket join replaces it)."""
+        from stellarsql_spark.operators.sorts import b_topk_per_group
+        from stellarsql_spark.sources.bucketed import b_topk_per_group_bucketed
+
+        plain = sorted(tuple(r) for r in b_topk_per_group(spark, SF).collect())
+        buck_df = b_topk_per_group_bucketed(spark, SF)
+        buck = sorted(tuple(r) for r in buck_df.collect())
+        assert buck == plain
+        plan = buck_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
