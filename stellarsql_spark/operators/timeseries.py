@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stellarsql_spark.catalog import load_table
+from stellarsql_spark.functions.exact import cents
 from stellarsql_spark.registry import register
 
 _GAPFILL_ORACLE = """
@@ -1986,4 +1987,93 @@ def b_ts_stl_anomaly_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("med").alias("med_m"),
             F.round("mad").alias("mad_m"),
         )
+    )
+
+
+# --- Holt linear (double-exponential) smoothing (C268) -----------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM (
+    SELECT event_type, DATE_TRUNC('day', ts) AS day,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+  )
+),
+h AS (
+  SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS b FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         0.5 * d.x + 0.5 * (h.l + h.b) AS l,
+         0.5 * ((0.5 * d.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b AS b
+  FROM h JOIN daily d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+),
+last AS (
+  SELECT event_type, MAX(rn) AS n_days FROM daily GROUP BY 1
+)
+SELECT h.event_type, CAST(last.n_days AS BIGINT) AS n_days,
+       h.l AS level_cents, h.b AS trend_cents,
+       h.l + 7 * h.b AS forecast7_cents
+FROM h JOIN last ON h.event_type = last.event_type AND h.rn = last.n_days
+"""
+
+
+@register("b_ts_holt", oracle=_HOLT_ORACLE, tags=("timeseries", "forecast", "fold"))
+def b_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C268: Holt linear-trend (double-exponential) smoothing over the
+    per-type daily revenue series, α = β = 1/2, plus a 7-day-ahead
+    forecast — the trend-aware upgrade of b_ts_ewma's level-only
+    smoothing and b_ts_seasonal_naive's lag forecast.
+
+    Unlike the truncated-EWMA trick (8 lags), the Holt recurrence
+    needs the WHOLE series — which is exactly what a higher-order
+    array fold gives: per event_type, sort the bounded daily series
+    (|days| rows/key, from the corpus-sized daily pre-aggregate) and
+    run the recurrence as one F.aggregate left fold with a
+    (level, trend) struct accumulator. Map-side after the daily
+    rollup's shuffle; no window, no iteration, no Python. α = β = 1/2
+    keeps every step an exact IEEE halving-and-add of integer-cent
+    doubles — both engines execute the identical op sequence (fold
+    order IS the series order), so level/trend/forecast are
+    bit-identical and fully hash-oracled: DuckDB runs the same
+    recurrence as a linear recursive CTE stepping rn → rn+1.
+
+    Scale shape: the only corpus-sized stage is the (day, type) daily
+    rollup; the fold input is |days| structs per key. For
+    multi-year × million-key panels the fold stays map-side per key;
+    a per-day-output variant would emit the accumulator trajectory
+    (array) instead of its last element — same plan."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents("value")).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+
+    def step(acc, ev):
+        l_new = 0.5 * ev.x + 0.5 * (acc.l + acc.b)
+        return F.struct(
+            l_new.alias("l"), (0.5 * (l_new - acc.l) + 0.5 * acc.b).alias("b")
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("s").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice("s", F.lit(2), F.size("s") - 1),
+            F.struct(
+                F.element_at("s", 1)["x"].alias("l"), F.lit(0.0).alias("b")
+            ),
+            step,
+        ).alias("hb"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("hb.l").alias("level_cents"),
+        F.col("hb.b").alias("trend_cents"),
+        (F.col("hb.l") + 7 * F.col("hb.b")).alias("forecast7_cents"),
     )

@@ -565,3 +565,56 @@ def b_llm_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc1", "doc2", hamming.alias("hamming"))
         .where(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
     )
+
+
+# --- incremental (cross-corpus) dedup (C269) ---------------------------
+
+_INCR_DEDUP_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents
+),
+newb AS (SELECT * FROM hashed WHERE doc_id % 3 = 0),
+oldb AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 3 <> 0),
+batch AS (
+  SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_in_batch
+  FROM newb GROUP BY text_hash
+)
+SELECT b.doc_id, b.text_hash, b.n_in_batch
+FROM batch b LEFT JOIN oldb o ON b.text_hash = o.text_hash
+WHERE o.text_hash IS NULL
+"""
+
+
+@register("b_llm_dedup_incremental", oracle=_INCR_DEDUP_ORACLE,
+          tags=("pipeline", "dedup", "incremental"))
+def b_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C269: incremental dedup — the production shape b_llm_dedup_exact
+    doesn't cover: dedup a NEW BATCH against an ALREADY-INGESTED corpus
+    (here: doc_id % 3 == 0 plays the new crawl, the rest the standing
+    corpus). Two stages, both on 16 B hashes:
+
+    1. within-batch exact dedup (keep-min per normalized hash — the
+       B50 rule applied to the batch alone);
+    2. cross-corpus LEFT ANTI join of the surviving batch hashes
+       against the standing corpus's hash set.
+
+    At 100 TB the standing corpus's hash set is itself a maintained
+    artifact (append survivors per batch — the same fold discipline as
+    C260's rollup maintenance), and step 2 is a broadcast Bloom
+    pre-filter (the b_join_bloom_prune pattern) in front of the anti
+    join, so each new batch costs one batch-sized shuffle + one
+    bloom-pruned probe — never a standing-corpus rescan. Here both
+    sides derive from one table so the plan shows the honest anti-join
+    core; the survivors (min doc_id, batch multiplicity) are the
+    exact rows a shard writer would append."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    newb = d.where(F.col("doc_id") % 3 == 0)
+    oldb = d.where(F.col("doc_id") % 3 != 0).select("text_hash").distinct()
+    batch = newb.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch")
+    )
+    return batch.join(oldb, "text_hash", "left_anti").select(
+        "doc_id", "text_hash", "n_in_batch"
+    )

@@ -346,3 +346,98 @@ class TestTopkBucketed:
         assert buck == plain
         plan = buck_df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan, plan
+
+
+class TestHolt:
+    def test_fold_matches_python_recurrence(self, spark):
+        """The F.aggregate fold must equal a literal Python replay of
+        the Holt recurrence over the same sorted daily series."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.timeseries import b_ts_holt
+
+        out = {r["event_type"]: r for r in b_ts_holt(spark, SF).collect()}
+        ev = load_table(spark, SF, "events")
+        daily = (
+            ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("double")
+                .alias("x")
+            )
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+        for et, pts in series.items():
+            xs = [x for _, x in sorted(pts)]
+            l, b = xs[0], 0.0
+            for x in xs[1:]:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            row = out[et]
+            assert row["n_days"] == len(xs)
+            assert row["level_cents"] == l  # bit-exact, not approx
+            assert row["trend_cents"] == b
+            assert row["forecast7_cents"] == l + 7 * b
+
+    def test_trend_sign_on_synthetic_ramp(self, spark):
+        """A strictly increasing series must fold to a positive trend."""
+        from pyspark.sql import Row
+
+        import stellarsql_spark.operators.timeseries as ts
+
+        df = spark.createDataFrame(
+            [Row(event_type="ramp", day=d, x=float(100 * d)) for d in range(1, 31)]
+        )
+        series = df.groupBy("event_type").agg(
+            F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+        )
+
+        def step(acc, ev):
+            l_new = 0.5 * ev.x + 0.5 * (acc.l + acc.b)
+            return F.struct(
+                l_new.alias("l"), (0.5 * (l_new - acc.l) + 0.5 * acc.b).alias("b")
+            )
+
+        hb = series.select(
+            F.aggregate(
+                F.slice("s", F.lit(2), F.size("s") - 1),
+                F.struct(F.element_at("s", 1)["x"].alias("l"), F.lit(0.0).alias("b")),
+                step,
+            ).alias("hb")
+        ).first()["hb"]
+        assert hb["b"] > 0
+        # steady +100/day ramp: trend converges toward 100
+        assert 50 < hb["b"] < 150
+
+
+class TestIncrementalDedup:
+    def test_survivors_are_novel_and_batch_unique(self, spark):
+        """Every survivor's hash must be absent from the standing
+        corpus and unique within the output; survivors + cross-corpus
+        drops must account for every distinct batch hash."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.pipeline.dedup import b_llm_dedup_incremental
+
+        out = b_llm_dedup_incremental(spark, SF).collect()
+        d = load_table(spark, SF, "documents").withColumn(
+            "h", F.md5(F.lower(F.trim(F.col("text"))))
+        )
+        old_hashes = {
+            r["h"] for r in d.where(F.col("doc_id") % 3 != 0).select("h").collect()
+        }
+        batch = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "h").collect()
+        batch_hashes = {r["h"] for r in batch}
+        got_hashes = [r["text_hash"] for r in out]
+        assert len(got_hashes) == len(set(got_hashes))
+        assert all(h not in old_hashes for h in got_hashes)
+        assert set(got_hashes) == batch_hashes - old_hashes
+        # keep-min rule within the batch
+        by_hash = {}
+        for r in batch:
+            by_hash.setdefault(r["h"], []).append(r["doc_id"])
+        for r in out:
+            assert r["doc_id"] == min(by_hash[r["text_hash"]])
+            assert r["n_in_batch"] == len(by_hash[r["text_hash"]])
