@@ -169,12 +169,10 @@ _R02_CHECKED = frozenset(
 # re-stamped green in CORRECTNESS_r08 and are dropped per the removal
 # rule above.)
 _RESTAMP: tuple[str, ...] = (
-    # r8: b_sample_seeded gained a brand-new HASH oracle (the
-    # engine-RNG draw was replaced by a seed-keyed md5 draw,
-    # operators/reshape.py) after its r07 stamp, which certified the
-    # OLD rows-only contract — the stale stamp is misleading evidence
-    # until the driver re-stamps the hash contract.
-    "b_sample_seeded",
+    # (r8's b_sample_seeded hash-oracle upgrade was re-stamped green
+    # in CORRECTNESS_r10 and is dropped per the removal rule above.
+    # Empty as of round 11 — the r11 bucketed-layout change altered
+    # only the at-rest file layout, not any key's result contract.)
 )
 
 
