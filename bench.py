@@ -89,6 +89,7 @@ SCALE3_MATCHED = (
     # as the join family): groupBy satisfied at rest, zero shuffle.
     "b_topk_per_group",
     "b_topk_per_group_bucketed",
+    "b_topk_per_group_served",
     "b_llm_dedup_exact",
 )
 SCALE3_FACTOR = 300
@@ -117,6 +118,7 @@ SCALE4_MATCHED = (
     "b_llm_cosine_topk",
     "b_topk_per_group",
     "b_topk_per_group_bucketed",
+    "b_topk_per_group_served",
     "b_llm_dedup_exact",
 )
 SCALE4_FACTOR = 1000
@@ -138,6 +140,7 @@ _PROBE_TABLES = {
     "b_join_inner_served": ("orders", "customer", "nation", "region"),
     "b_topk_per_group": ("orders", "customer"),
     "b_topk_per_group_bucketed": ("orders", "customer"),
+    "b_topk_per_group_served": ("orders", "customer"),
     "b_stream_tumbling": ("events",),
     "b_stream_tumbling_bucketed": ("events",),
     "b_stream_tumbling_served": ("events",),
@@ -186,7 +189,11 @@ RETRIEVAL_FACTOR = 300
 # "fully execute, return a scalar" on BOTH engines (the Spark side's
 # timed action is already .count()). Without the wrap, fetchall()
 # times Python tuple construction of millions of rows, not the query.
-_COUNT_WRAPPED = {"b_topk_per_group", "b_topk_per_group_bucketed"}
+_COUNT_WRAPPED = {
+    "b_topk_per_group",
+    "b_topk_per_group_bucketed",
+    "b_topk_per_group_served",
+}
 
 
 def _oracle_sql_for_timing(spec) -> str | None:
@@ -511,6 +518,7 @@ _SHORT = {
     "b_join_skew_coldagg": "skCold",
     "b_topk_per_group": "topk",
     "b_topk_per_group_bucketed": "topkB",
+    "b_topk_per_group_served": "topkS",
     "b_llm_dedup_exact": "dedup",
 }
 
@@ -681,6 +689,10 @@ def main() -> None:
                 from stellarsql_spark.sources.bucketed import ensure_custkey_bucketed
 
                 ensure_custkey_bucketed(spark, scaled_dir)
+            if "b_topk_per_group_served" in names:
+                from stellarsql_spark.sources.bucketed import ensure_topk_rollup
+
+                ensure_topk_rollup(spark, scaled_dir)
             # Per-block floor probe (r8 VERDICT #6): the no-exchange /
             # one-exchange latency floors at THIS tier's confs, emitted
             # inside the block so a contended driver run is self-evident

@@ -484,3 +484,63 @@ class TestModularity:
         # Q ~= 0 (slightly negative) - the metric reporting honestly,
         # which is exactly what the key certifies
         assert abs(row["q_num"]) <= row["q_den"]
+
+
+class TestTopkServed:
+    def test_three_forms_agree(self, spark):
+        """plain == bucketed == served on the same corpus."""
+        from stellarsql_spark.operators.sorts import b_topk_per_group
+        from stellarsql_spark.sources.bucketed import (
+            b_topk_per_group_bucketed,
+            b_topk_per_group_served,
+        )
+
+        plain = sorted(tuple(r) for r in b_topk_per_group(spark, SF).collect())
+        buck = sorted(
+            tuple(r) for r in b_topk_per_group_bucketed(spark, SF).collect()
+        )
+        served = sorted(
+            tuple(r) for r in b_topk_per_group_served(spark, SF).collect()
+        )
+        assert plain == buck == served
+
+    def test_merge_property(self, spark):
+        """Delta maintenance soundness: top3(merge(top3(A), top3(B)))
+        == top3(A ∪ B) — fold a batch split of orders through the
+        artifact's own top-3 rule and compare with the full recompute."""
+        from stellarsql_spark.catalog import load_table
+
+        o = load_table(spark, SF, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        )
+        top3 = F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_totalprice").alias("p"),
+                        (-F.col("o_orderkey")).alias("nk"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            3,
+        )
+
+        def topk(df):
+            return (
+                df.groupBy("o_custkey")
+                .agg(top3.alias("top"))
+                .select("o_custkey", F.explode("top").alias("t"))
+                .select(
+                    "o_custkey",
+                    (-F.col("t.nk")).alias("o_orderkey"),
+                    F.col("t.p").alias("o_totalprice"),
+                )
+            )
+
+        a = topk(o.where(F.col("o_orderkey") % 2 == 0))
+        b = topk(o.where(F.col("o_orderkey") % 2 == 1))
+        merged = sorted(tuple(r) for r in topk(a.unionAll(b)).collect())
+        full = sorted(tuple(r) for r in topk(o).collect())
+        assert merged == full
