@@ -714,8 +714,16 @@ def main() -> None:
             block_floor = _plan_floors(spark)
             base_shuffle = result["floor"]["shuffle"]
             floor_ratio = round(block_floor["shuffle"] / max(base_shuffle, 1e-4), 2)
-            if floor_ratio > _FR_BAR:
-                time.sleep(15)
+            # The host-VM contention arrives in multi-minute waves (r11:
+            # two consecutive full runs caught one at the deepest tier,
+            # fr 1.64/1.86, while the same tier re-measured fr ≤1.2
+            # minutes later) — a single 15 s resettle cannot outlast a
+            # wave, so wait it out: up to three 60 s pauses before
+            # accepting the contended stamp.
+            for _ in range(3):
+                if floor_ratio <= _FR_BAR:
+                    break
+                time.sleep(60)
                 block_floor = _plan_floors(spark)
                 floor_ratio = round(
                     block_floor["shuffle"] / max(base_shuffle, 1e-4), 2
@@ -785,7 +793,10 @@ def main() -> None:
         # Skew tier: same interleaved protocol, zipfian corpus. Runs
         # after the uniform tiers so a blown budget drops the newest
         # block first-but-one.
-        if time.perf_counter() - _T0 < 1380:
+        # Guards widened r11 (+180 s): the topk family joined the two
+        # deep tiers, adding ~3 min of timed trials ahead of these
+        # blocks — the old cutoffs silently dropped the retrieval tier.
+        if time.perf_counter() - _T0 < 1500:
             from stellarsql_spark.scale import ensure_skewed_corpus
 
             result["scale_probe_skew"] = probe(
@@ -798,7 +809,7 @@ def main() -> None:
         # Retrieval tier: BM25 over the 300× documents replica —
         # reuses the sf0.1_x300 corpus the 300× tier just ensured,
         # so the incremental cost is only the timed trials.
-        if time.perf_counter() - _T0 < 1440:
+        if time.perf_counter() - _T0 < 1620:
             result["scale_probe_retrieval"] = probe(RETRIEVAL_FACTOR, RETRIEVAL_MATCHED)
         else:
             result["scale_probe_retrieval"] = {"skipped": "time budget"}
@@ -808,7 +819,7 @@ def main() -> None:
         # plan) over the 100× events corpus through the file source,
         # one file per trigger, so the run is genuinely incremental
         # (~6 micro-batches updating (window, type) state).
-        if time.perf_counter() - _T0 < 1500:
+        if time.perf_counter() - _T0 < 1740:
             result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.
