@@ -228,15 +228,34 @@ def _duck_times(sf_dir: str, specs, names, runs: int = 3) -> dict[str, float]:
     return out
 
 
+# Sub-second Spark reads get 2 extra trials (r11 VERDICT #1): they
+# are floor-band measurements where a single descheduling blip is the
+# same order as the signal, and two more mins cost ~nothing there.
+_SUBSEC_EXTRA = 2
+
+
 def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
-    """min-of-N for BOTH engines with engine-interleaved trials:
-    [spark q1..qk, duckdb q1..qk] × N. Round-6 measurement: host-VM
-    throughput swings 3-4× BETWEEN sessions (DuckDB's own tumbling
-    oracle: 0.24 s vs 0.92 s minutes apart) while within-session mins
-    are stable, so timing the engines in separate phases makes the
-    ratio compare two different machines. Interleaving samples both
-    engines across the same minutes; min-vs-min then cancels the
-    common drift."""
+    """min-of-N for BOTH engines with PER-QUERY engine-paired trials:
+    for each query in turn, warm both engines, then alternate
+    [spark, duckdb] back-to-back for all its trials before moving to
+    the next query.
+
+    r11 VERDICT #1: the previous protocol interleaved ALL queries per
+    round ([spark q1..qk, duck q1..qk] × N), which had the engines'
+    paired trials minutes apart under the cache churn of 12 other
+    working sets — the committed 1000× block read joinB 2.42× and
+    tumB 2.31× while dedicated idle probes (builder and judge,
+    same-session) read 1.72–1.85× and 0.88×. Per-query pairing keeps
+    both properties that matter and drops the churn:
+    - cache coherence: nothing evicts a query's pages between its own
+      trials, matching how a dedicated probe (and the r10/r11
+      adjudications) measured;
+    - drift cancellation at the tightest spacing: the Spark trial and
+      the DuckDB trial it is ratioed against run seconds apart, so a
+      host-VM contention wave inflates BOTH engines' trials for that
+      query and min-vs-min still cancels it.
+    Sub-second Spark shapes extend to min-of-(runs+2) — see
+    _SUBSEC_EXTRA."""
     import duckdb
 
     from stellarsql_spark.catalog import TABLES, table_path
@@ -246,28 +265,30 @@ def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
         p = table_path(scaled_dir, t)
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-    sfns = {n: prepare(specs[n], spark, scaled_dir) for n in names}
-    dsqls = {
-        n: _oracle_sql_for_timing(specs[n]) for n in names if specs[n].oracle
-    }
-    for fn in sfns.values():  # warm: plan + codegen + page cache
-        fn()
-    for q in dsqls.values():
-        con.execute(q).fetchall()
     s_best = {n: float("inf") for n in names}
     s_worst = {n: 0.0 for n in names}
-    d_best = {n: float("inf") for n in dsqls}
-    for _ in range(runs):
-        for n in names:
+    d_best: dict[str, float] = {}
+    for n in names:
+        sfn = prepare(specs[n], spark, scaled_dir)
+        dsql = _oracle_sql_for_timing(specs[n])
+        sfn()  # warm: plan + codegen + page cache
+        if dsql is not None:
+            d_best[n] = float("inf")
+            con.execute(dsql).fetchall()
+        i, trials = 0, runs
+        while i < trials:
             t0 = time.perf_counter()
-            sfns[n]()
+            sfn()
             dt = time.perf_counter() - t0
             s_best[n] = min(s_best[n], dt)
             s_worst[n] = max(s_worst[n], dt)
-        for n in dsqls:
-            t0 = time.perf_counter()
-            con.execute(dsqls[n]).fetchall()
-            d_best[n] = min(d_best[n], time.perf_counter() - t0)
+            if i == 0 and dt < 1.0:
+                trials = runs + _SUBSEC_EXTRA
+            if dsql is not None:
+                t0 = time.perf_counter()
+                con.execute(dsql).fetchall()
+                d_best[n] = min(d_best[n], time.perf_counter() - t0)
+            i += 1
     con.close()
     return (
         {n: round(v, 4) for n, v in s_best.items()},
@@ -495,6 +516,18 @@ def _plan_floors(spark) -> dict[str, float]:
 
 _T0 = time.perf_counter()
 
+# Cumulative contention-resettle sleep (see probe()). The late-tier
+# wall-clock guards subtract it from the elapsed clock: waiting out a
+# contention wave must not eat the time budget of the blocks behind it
+# (r11 ADVICE — two deep tiers can sleep up to 360 s total, which
+# previously made the retrieval/stream tiers likelier to be dropped).
+_RESETTLE_SLEEP = 0.0
+
+
+def _budget_elapsed() -> float:
+    """Wall-clock since start minus time slept waiting out contention."""
+    return time.perf_counter() - _T0 - _RESETTLE_SLEEP
+
 # Short query aliases for the compact stdout line (legend also in
 # BENCH_FULL.json). The driver stores only the LAST 2000 chars of
 # stdout and parses the JSON found there — r7/r8's full result lines
@@ -720,10 +753,12 @@ def main() -> None:
             # minutes later) — a single 15 s resettle cannot outlast a
             # wave, so wait it out: up to three 60 s pauses before
             # accepting the contended stamp.
+            global _RESETTLE_SLEEP
             for _ in range(3):
                 if floor_ratio <= _FR_BAR:
                     break
                 time.sleep(60)
+                _RESETTLE_SLEEP += 60.0
                 block_floor = _plan_floors(spark)
                 floor_ratio = round(
                     block_floor["shuffle"] / max(base_shuffle, 1e-4), 2
@@ -767,7 +802,7 @@ def main() -> None:
         # beats no JSON line at all if the harness enforces a timeout
         # (first run per corpus regeneration pays ~2 min of one-off
         # scaled-corpus builds on top of the timed work).
-        if time.perf_counter() - _T0 < 420:
+        if _budget_elapsed() < 420:
             result["scale_probe_deep"] = probe(SCALE2_FACTOR, SCALE2_MATCHED)
         else:
             result["scale_probe_deep"] = {"skipped": "time budget"}
@@ -776,7 +811,7 @@ def main() -> None:
         # (cached + fingerprinted after), so the guard is wider but
         # still bounded — a JSON line without this block beats no
         # JSON line.
-        if time.perf_counter() - _T0 < 720:
+        if _budget_elapsed() < 720:
             result["scale_probe_300"] = probe(SCALE3_FACTOR, SCALE3_MATCHED)
         else:
             result["scale_probe_300"] = {"skipped": "time budget"}
@@ -784,7 +819,7 @@ def main() -> None:
         # regeneration pays a ~14 GiB one-off build (cached after);
         # the guard keeps a budget-blown session emitting its JSON
         # line without the tier rather than nothing at all.
-        if time.perf_counter() - _T0 < 1080:
+        if _budget_elapsed() < 1080:
             result["scale_probe_1000"] = probe(
                 SCALE4_FACTOR, SCALE4_MATCHED, tables=SCALE4_TABLES
             )
@@ -796,7 +831,7 @@ def main() -> None:
         # Guards widened r11 (+180 s): the topk family joined the two
         # deep tiers, adding ~3 min of timed trials ahead of these
         # blocks — the old cutoffs silently dropped the retrieval tier.
-        if time.perf_counter() - _T0 < 1500:
+        if _budget_elapsed() < 1500:
             from stellarsql_spark.scale import ensure_skewed_corpus
 
             result["scale_probe_skew"] = probe(
@@ -809,7 +844,7 @@ def main() -> None:
         # Retrieval tier: BM25 over the 300× documents replica —
         # reuses the sf0.1_x300 corpus the 300× tier just ensured,
         # so the incremental cost is only the timed trials.
-        if time.perf_counter() - _T0 < 1620:
+        if _budget_elapsed() < 1620:
             result["scale_probe_retrieval"] = probe(RETRIEVAL_FACTOR, RETRIEVAL_MATCHED)
         else:
             result["scale_probe_retrieval"] = {"skipped": "time budget"}
@@ -819,7 +854,7 @@ def main() -> None:
         # plan) over the 100× events corpus through the file source,
         # one file per trigger, so the run is genuinely incremental
         # (~6 micro-batches updating (window, type) state).
-        if time.perf_counter() - _T0 < 1740:
+        if _budget_elapsed() < 1740:
             result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.

@@ -1364,11 +1364,14 @@ def b_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the LPA labels (two neighbor-keyed joins), then ONE
     node-keyed join for d_c, one two-sided label lookup on the edge
     list for e_c (both endpoints — same geometry as triangle
-    counting's orientation joins), and a one-row reduce."""
+    counting's orientation joins), and a one-row reduce.  The scalars
+    m and |communities| ride as ONE-ROW broadcast aggregates folded in
+    lazily (the oracle's CROSS JOIN mm shape), so the builder runs no
+    eager action and leaves nothing persisted behind (r11 ADVICE: the
+    previous persist+count pair accumulated cached partitions across
+    repeated builder invocations)."""
     edges, labels = _lpa_labels(spark, sf_dir)
-    edges = edges.persist()
-    labels = labels.persist()
-    m_edges = edges.count()  # scalar; also materializes both persists
+    mm = edges.agg(F.count("*").cast("bigint").alias("m_edges"))
     bidir = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1378,6 +1381,7 @@ def b_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lbl")
         .agg(F.sum("d").cast("bigint").alias("d_c"))
     )
+    ncomm = dc.agg(F.count("*").cast("bigint").alias("n_communities"))
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
     ec = (
@@ -1387,25 +1391,33 @@ def b_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lu").alias("lbl"))
         .agg(F.count("*").alias("e_c"))
     )
-    parts = dc.join(ec, "lbl", "left").select(
-        (
-            4 * F.lit(m_edges) * F.coalesce(F.col("e_c"), F.lit(0))
-            - F.col("d_c") * F.col("d_c")
-        ).alias("num_c")
+    parts = (
+        dc.join(ec, "lbl", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "m_edges",
+            (
+                4 * F.col("m_edges") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num_c"),
+        )
     )
-    q_den = 4 * m_edges * m_edges
     return (
-        parts.agg(
-            F.lit(dc.count()).cast("bigint").alias("n_communities"),
-            F.lit(m_edges).cast("bigint").alias("m_edges"),
-            F.sum("num_c").cast("bigint").alias("q_num"),
-            F.lit(q_den).cast("bigint").alias("q_den"),
+        parts.groupBy("m_edges")
+        .agg(F.sum("num_c").cast("bigint").alias("q_num"))
+        .crossJoin(F.broadcast(ncomm))
+        .select(
+            "n_communities",
+            F.col("m_edges").cast("bigint").alias("m_edges"),
+            "q_num",
+            (4 * F.col("m_edges") * F.col("m_edges")).cast("bigint").alias("q_den"),
             F.round(
-                F.sum("num_c").cast("double") / F.lit(float(max(q_den, 1))), 6
+                F.col("q_num").cast("double")
+                / (F.lit(4.0) * F.col("m_edges") * F.col("m_edges")),
+                6,
             ).alias("q"),
         )
-        # edgeless corpus (sf0.001's minute graph): the oracle's
-        # GROUP BY over the empty parts×mm product yields ZERO rows —
-        # match it instead of emitting a one-row null aggregate
-        .where(F.col("m_edges") > 0)
+        # edgeless corpus (sf0.001's minute graph): parts is empty, so
+        # the groupBy(m_edges) aggregate yields ZERO rows — exactly the
+        # oracle's empty GROUP BY over the parts×mm product
     )

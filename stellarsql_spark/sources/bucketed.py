@@ -40,49 +40,59 @@ GROUP BY o_orderstatus
 """
 
 
-def _drop_stale_location(spark: SparkSession, table: str) -> None:
-    """A fresh session's in-memory catalog doesn't know tables a prior
-    session wrote; remove the orphaned warehouse dir so saveAsTable
-    can re-create it."""
+def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persist orders+lineitem bucketed (and sorted) by order key;
+    idempotent per (sf_dir, corpus fingerprint, layout version).
+
+    Same versioned-marker protocol as ensure_custkey_bucketed (r11
+    ADVICE): the catalog-existence check alone would keep serving a
+    stale layout if the corpus regenerated mid-session or a persistent
+    metastore survived a layout-version bump (e.g. the r11
+    1-file-per-bucket rewrite), so the on-disk fingerprint is checked
+    on every call and a marker-valid directory is re-registered
+    metadata-only across sessions instead of rewritten.
+    """
     import shutil
     from urllib.parse import urlparse
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(warehouse, table)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-
-
-def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Persist orders+lineitem bucketed by order key; idempotent per SF."""
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
-    to, tl = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     existing = {t.name for t in spark.catalog.listTables()}
+    names: dict[str, str] = {}
     # repartition by the bucket key first → ONE file per bucket (same
     # Murmur3 assignment), which both avoids the tiny-files layout and
     # is the only layout where Spark trusts the per-bucket sortBy
     # order at read time (many files per bucket forces a re-sort).
-    if to not in existing:
-        _drop_stale_location(spark, to)
+    for t, key, name in (
+        ("orders", "o_orderkey", f"orders_b_{tag}"),
+        ("lineitem", "l_orderkey", f"lineitem_b_{tag}"),
+    ):
+        names[t] = name
+        loc = os.path.join(warehouse, name)
+        marker = os.path.join(loc, "_BUCKETS_DONE")
+        fp = _bucket_fingerprint(table_path(sf_dir, t), N_BUCKETS)
+        marker_ok = os.path.exists(marker) and open(marker).read() == fp
+        if name in existing:
+            if marker_ok:
+                continue
+            spark.sql(f"DROP TABLE {name}")
+        df = load_table(spark, sf_dir, t)
+        if marker_ok:
+            _recreate_over_location(
+                spark, name, df, key, N_BUCKETS, loc, sorted_by=key
+            )
+            continue
+        shutil.rmtree(loc, ignore_errors=True)
         (
-            load_table(spark, sf_dir, "orders")
-            .repartition(N_BUCKETS, F.col("o_orderkey"))
-            .write.bucketBy(N_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
+            df.repartition(N_BUCKETS, F.col(key))
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
             .mode("overwrite")
-            .saveAsTable(to)
+            .saveAsTable(name)
         )
-    if tl not in existing:
-        _drop_stale_location(spark, tl)
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .repartition(N_BUCKETS, F.col("l_orderkey"))
-            .write.bucketBy(N_BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .saveAsTable(tl)
-        )
-    return to, tl
+        with open(marker, "w") as f:
+            f.write(fp)
+    return names["orders"], names["lineitem"]
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,17 +136,20 @@ def _bucket_fingerprint(src: str, n_buckets: int) -> str:
 
 
 def _recreate_over_location(spark: SparkSession, name: str, df: DataFrame,
-                            key: str, n_buckets: int, location: str) -> None:
+                            key: str, n_buckets: int, location: str,
+                            sorted_by: str | None = None) -> None:
     """Re-register an existing bucketed directory as a catalog table
     WITHOUT rewriting the data. The in-memory catalog forgets tables
     between sessions while the warehouse files persist; re-declaring
-    the same CLUSTERED BY spec over the same files restores the
-    bucket metadata — at a GiB-scale corpus this turns a per-session
-    multi-GiB rewrite into a metadata-only CREATE."""
+    the same CLUSTERED BY (and SORTED BY, when the writer sortBy'd)
+    spec over the same files restores the bucket metadata — at a
+    GiB-scale corpus this turns a per-session multi-GiB rewrite into a
+    metadata-only CREATE."""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    sort_clause = f"SORTED BY ({sorted_by}) " if sorted_by else ""
     spark.sql(
         f"CREATE TABLE {name} ({cols}) USING PARQUET "
-        f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"CLUSTERED BY ({key}) {sort_clause}INTO {n_buckets} BUCKETS "
         f"LOCATION '{location}'"
     )
 
