@@ -1421,3 +1421,119 @@ def b_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the groupBy(m_edges) aggregate yields ZERO rows — exactly the
         # oracle's empty GROUP BY over the parts×mm product
     )
+
+
+# --- LPA to convergence (C274, r11 VERDICT #8) --------------------------------
+
+# Iterate-to-fixpoint round cap, pinned in BOTH engines: the oracle
+# unrolls exactly this many synchronous rounds, and the Spark loop
+# stops at the cap OR at the first round that changes no label.  Both
+# stop rules give the SAME answer: synchronous LPA with the smallest-
+# label tie-break is a deterministic function, so a round that changes
+# nothing is a fixpoint and every later round — including the oracle's
+# remaining unrolled CTEs — reproduces it verbatim.  (Synchronous LPA
+# can also 2-cycle; then no early exit fires and both engines stop at
+# the cap on the same round — equal either way.)
+LP_CONV_CAP = 4
+
+
+def _lpa_conv_oracle(cap: int = LP_CONV_CAP) -> str:
+    """The C266 oracle generalized: cap chained argmax CTEs."""
+    ctes = [
+        "b AS (\n"
+        "  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m"
+        " FROM events\n)",
+        "edges AS (\n"
+        "  SELECT a.user_id AS u, c.user_id AS v\n"
+        "  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m\n"
+        "  WHERE a.user_id < c.user_id\n  GROUP BY 1, 2\n)",
+        "bidir AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges)",
+        "i1 AS (SELECT u AS node, v AS lbl FROM bidir)",
+    ]
+    for k in range(1, cap + 1):
+        if k > 1:
+            ctes.append(
+                f"i{k} AS (SELECT bd.u AS node, m.lbl"
+                f" FROM bidir bd JOIN m{k - 1} m ON bd.v = m.node)"
+            )
+        ctes.append(
+            f"m{k} AS (\n"
+            f"  SELECT node, lbl FROM (\n"
+            f"    SELECT node, lbl,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY COUNT(*) DESC, lbl) AS rn\n"
+            f"    FROM i{k} GROUP BY node, lbl\n"
+            f"  ) WHERE rn = 1\n)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT lbl AS community, COUNT(*) AS n_members\n"
+        f"FROM m{cap} GROUP BY lbl"
+    )
+
+
+@register("b_graph_label_prop_converged", oracle=_lpa_conv_oracle(),
+          tags=("graph", "communities", "iterative"))
+def b_graph_label_prop_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C274: synchronous LPA iterated to FIXPOINT under a pinned round
+    cap (LP_CONV_CAP) — the production loop shape C266's fixed 2-round
+    key deliberately avoided, now with the same full hash oracle (the
+    cap is what makes the unrolled-SQL twin finite; see the cap's
+    block comment for why early exit and the cap agree).
+
+    Scale shape per round: one neighbor-keyed shuffle join (labels
+    onto the bidirectional edge list) + one (node, lbl) count + the
+    per-node argmax window — identical stage geometry to C266.  The
+    loop discipline is b_graph_components': every round's label frame
+    is localCheckpoint-ed (eager) so the logical plan does not nest
+    one join deeper per round, the superseded round's blocks are
+    unpersisted once the convergence count consumed them, and the
+    convergence check is a driver-side scalar (count of changed
+    labels), never a data collect."""
+    labels, _ = _lpa_converged(spark, sf_dir)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
+def _lpa_converged(
+    spark: SparkSession, sf_dir: str, cap: int = LP_CONV_CAP
+) -> tuple[DataFrame, int]:
+    """(final labels, rounds actually run) of synchronous LPA iterated
+    to fixpoint under ``cap`` — the C274 loop, exposed so tests can
+    assert the early-exit/fixpoint contract directly."""
+    from pyspark.sql import Window
+
+    edges = _minute_edges(spark, sf_dir)
+    bidir = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+    votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+    labels, rounds = None, 0
+    for _ in range(cap):
+        mode = (
+            votes.groupBy("node", "lbl")
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+        rounds += 1
+        if labels is not None:
+            changed = (
+                mode.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .where(F.col("lbl") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            if changed == 0:
+                labels = mode
+                break
+        labels = mode
+        votes = bidir.join(
+            mode.select(F.col("node").alias("v"), "lbl"), "v"
+        ).select(F.col("u").alias("node"), "lbl")
+    bidir.unpersist()
+    return labels, rounds

@@ -567,3 +567,121 @@ def choose_join_strategy(
     if top8_share_m >= 250_000:
         return "bypass"
     return "aqe_split"
+
+
+# --- Audit-driven join, end to end (C272, r11 VERDICT #4) --------------------
+
+# The chooser's bars, replayed in SQL so the oracle derives the SAME
+# verdict from the same exact audit: 32 is pinned (the decision-table
+# default, independent of the session conf) so the verdict is a
+# corpus property, not a session property, and both engines agree by
+# construction.  The result block is _SALTED_ORACLE verbatim — every
+# lane of the dispatch is result-identical to the plain join, which is
+# the whole point of certifying the dispatch with one oracle.
+_AUTO_ORACLE = f"""
+WITH k AS (
+  SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(MAX(n) AS BIGINT) AS max_n
+  FROM k
+),
+t8 AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS top8_n
+  FROM (SELECT n FROM k ORDER BY n DESC, key LIMIT 8) s
+),
+v AS (
+  SELECT CASE
+    WHEN CAST(max_n AS DOUBLE) <= 4.0 * CAST(n_rows AS DOUBLE) / 32.0
+      THEN 'plain'
+    WHEN CAST(ROUND(1000000.0 * top8_n / n_rows) AS BIGINT) >= 250000
+      THEN 'bypass'
+    ELSE 'aqe_split' END AS verdict
+  FROM tot, t8
+)
+SELECT v.verdict, q.o_orderstatus, q.n_items, q.gross
+FROM v CROSS JOIN (
+  SELECT o_orderstatus,
+         COUNT(*) AS n_items,
+         {sql_dsum('l_extendedprice')} AS gross
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderstatus
+) q
+"""
+
+
+@register("b_join_auto", oracle=_AUTO_ORACLE,
+          tags=("join", "skew", "auto", "eager"))
+def b_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C272: the operating procedure as a certified operator (r11
+    VERDICT #4) — run the C261 exact key audit on lineitem.l_orderkey,
+    let ``choose_join_strategy`` pick the join form, EXECUTE that form,
+    and emit the verdict beside the result rows.  The oracle recomputes
+    the same audit + decision rule in SQL and the plain join, so the
+    hash certifies BOTH that the chooser picked what the decision table
+    says for this corpus AND that the dispatched form is
+    result-identical to the plain join (every skew form's founding
+    contract).
+
+    Dispatch targets (all share _SALTED_ORACLE's result block):
+    - 'plain'     → direct shuffle-hash join + aggregate (no
+                    mitigation: the audit proved no partition can
+                    overflow, so any mitigation only adds cost);
+    - 'bypass'    → b_join_skew_bypass (bounded hot head: pre-agg
+                    map-side + broadcast, hot rows never shuffle);
+    - 'aqe_split' → b_join_skew_split (heavy tail: AQE splits
+                    oversized partitions at runtime).
+
+    Cost shape: the audit is one |keys|-row count shuffle + two 1-row
+    reduces — the same stats pass a warehouse runs once per (table,
+    key) and caches; here it runs per call, which is the honest
+    uncached form.  The 1-row collect is the bounded driver-side
+    scalar the skew family already uses for its hot-key lists.
+    tests/test_round12.py asserts the zipfian corpus dispatches to
+    'bypass' and the uniform corpus to 'plain' THROUGH this key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    t8 = (
+        k.orderBy(F.desc("n"), "key")
+        .limit(8)
+        .agg(F.sum("n").cast("bigint").alias("top8_n"))
+    )
+    audit = (
+        tot.crossJoin(F.broadcast(t8))
+        .select(
+            "n_rows",
+            "max_n",
+            F.round(F.lit(1000000.0) * F.col("top8_n") / F.col("n_rows"))
+            .cast("bigint")
+            .alias("top8_share_m"),
+        )
+        .first()
+    )
+    verdict = choose_join_strategy(audit, shuffle_partitions=32)
+    if verdict == "bypass":
+        lane = b_join_skew_bypass(spark, sf_dir)
+    elif verdict == "aqe_split":
+        lane = b_join_skew_split(spark, sf_dir)
+    else:
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        lane = (
+            li.select("l_orderkey", "l_extendedprice")
+            .join(o.hint("shuffle_hash"), F.col("l_orderkey") == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("gross"),
+            )
+        )
+    return lane.select(
+        F.lit(verdict).alias("verdict"), "o_orderstatus", "n_items", "gross"
+    )

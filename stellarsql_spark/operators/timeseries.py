@@ -2077,3 +2077,142 @@ def b_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hb.b").alias("trend_cents"),
         (F.col("hb.l") + 7 * F.col("hb.b")).alias("forecast7_cents"),
     )
+
+
+# --- Holt-Winters additive seasonal smoothing (C277) --------------------
+
+# Weekly period; α = β = γ = 1/2 keeps every update a halving-and-add
+# of integer-cent doubles (C268's trick extended to the seasonal
+# recurrence), and the level init is (exact integer sum of the first
+# 7 days) / 7.0 — one deterministic IEEE division both engines compute
+# from the same exact operand.  The seasonal state rides the fold as a
+# 7-slot rotating queue; DuckDB mirrors it as a LIST column in the
+# recursive CTE (head = s_{t-7}, append the fresh seasonal at the
+# tail).  Position-based seasonality: the recurrence consumes the
+# series in row order (gap handling is b_ts_gapfill's separate job),
+# identically in both engines.
+_HW_L = "0.5 * (d.x - h.s[1]) + 0.5 * (h.l + h.b)"
+
+_HOLT_WINTERS_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM (
+    SELECT event_type, DATE_TRUNC('day', ts) AS day,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+  )
+),
+init_l AS (
+  SELECT event_type, SUM(x) / 7.0 AS l0 FROM daily WHERE rn <= 7 GROUP BY 1
+),
+init_s AS (
+  SELECT d.event_type, list(d.x - i.l0 ORDER BY d.rn) AS s0
+  FROM daily d JOIN init_l i USING (event_type)
+  WHERE d.rn <= 7 GROUP BY 1
+),
+h AS (
+  SELECT i.event_type, 7 AS rn, i.l0 AS l, CAST(0.0 AS DOUBLE) AS b, s.s0 AS s
+  FROM init_l i JOIN init_s s USING (event_type)
+  UNION ALL
+  SELECT h.event_type, d.rn,
+         {_HW_L} AS l,
+         0.5 * (({_HW_L}) - h.l) + 0.5 * h.b AS b,
+         list_append(h.s[2:7],
+                     0.5 * (d.x - ({_HW_L})) + 0.5 * h.s[1]) AS s
+  FROM h JOIN daily d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+),
+last AS (
+  SELECT event_type, MAX(rn) AS n_days FROM daily GROUP BY 1
+  HAVING MAX(rn) > 7
+)
+SELECT h.event_type, CAST(last.n_days AS BIGINT) AS n_days,
+       h.l AS level_cents, h.b AS trend_cents,
+       h.s[7] AS seasonal_cents,
+       h.l + 7 * h.b + h.s[7] AS forecast7_cents
+FROM h JOIN last ON h.event_type = last.event_type AND h.rn = last.n_days
+"""
+
+
+@register("b_ts_holt_winters", oracle=_HOLT_WINTERS_ORACLE,
+          tags=("timeseries", "forecast", "fold", "seasonal"))
+def b_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C277: additive Holt-Winters (triple-exponential) smoothing over
+    the per-type daily revenue series, weekly period, α = β = γ = 1/2,
+    plus the 7-day-ahead forecast ŷ = l + 7b + s_tail — the seasonal
+    upgrade of C268's Holt fold, same execution shape: ONE F.aggregate
+    left fold per key, map-side after the (day, type) daily rollup, no
+    window, no iteration, no Python.
+
+    The accumulator is (level, trend, 7-slot seasonal queue): each
+    step reads the head (s_{t−7}), emits the three halving-exact
+    updates, and rotates the fresh seasonal onto the tail via
+    slice+concat — DuckDB runs the identical recurrence as a linear
+    recursive CTE whose state row carries the queue as a LIST.  Level
+    init = mean of the first 7 days (exact integer sum, one shared
+    IEEE division); seasonal init = those days' deviations from it;
+    types with ≤7 days are filtered in BOTH engines (no seasonal
+    cycle to estimate).
+
+    Scale shape: identical to C268 — the only corpus-sized stage is
+    the daily rollup shuffle; the fold input is |days| structs per
+    key, so a million-key panel folds embarrassingly parallel with
+    zero extra exchanges."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents("value")).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    ).where(F.size("s") > 7)
+
+    first7_sum = F.aggregate(
+        F.slice("s", 1, 7), F.lit(0.0), lambda a, ev: a + ev["x"]
+    )
+    l0 = (first7_sum / 7.0).alias("l0")
+
+    def step(acc, ev):
+        s_head = F.element_at(acc["s"], 1)
+        l_new = 0.5 * (ev["x"] - s_head) + 0.5 * (acc["l"] + acc["b"])
+        b_new = 0.5 * (l_new - acc["l"]) + 0.5 * acc["b"]
+        s_new = 0.5 * (ev["x"] - l_new) + 0.5 * s_head
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(acc["s"], 2, 6), F.array(s_new)).alias("s"),
+        )
+
+    with_init = series.select(
+        "event_type",
+        F.size("s").cast("bigint").alias("n_days"),
+        "s",
+        l0,
+    ).select(
+        "event_type",
+        "n_days",
+        "s",
+        F.struct(
+            F.col("l0").alias("l"),
+            F.lit(0.0).alias("b"),
+            F.transform(
+                F.slice("s", 1, 7), lambda ev: ev["x"] - F.col("l0")
+            ).alias("s"),
+        ).alias("acc0"),
+    )
+    folded = with_init.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.slice("s", F.lit(8), F.size("s") - 7), F.col("acc0"), step
+        ).alias("hw"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("hw.l").alias("level_cents"),
+        F.col("hw.b").alias("trend_cents"),
+        F.element_at("hw.s", 7).alias("seasonal_cents"),
+        (F.col("hw.l") + 7 * F.col("hw.b") + F.element_at("hw.s", 7)).alias(
+            "forecast7_cents"
+        ),
+    )

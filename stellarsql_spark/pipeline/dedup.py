@@ -16,6 +16,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -618,3 +620,260 @@ def b_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(oldb, "text_hash", "left_anti").select(
         "doc_id", "text_hash", "n_in_batch"
     )
+
+
+# --- standing-corpus fold certification (C273, r11 VERDICT #6) ----------------
+
+# C269 claims the standing hash set is a MAINTAINED ARTIFACT (C260's
+# fold discipline), but derives both sides from one table per run.
+# This key runs the actual maintenance loop: the corpus arrives as
+# three batches (doc_id % 3 == 0, 1, 2, ingested in that order), and
+# for each batch the pipeline (a) keep-min dedups within the batch,
+# (b) anti-joins the survivors against the standing hash-set artifact
+# ON DISK, (c) appends the survivors' hashes to produce the next
+# standing artifact — survivors and hash sets are parquet files under
+# the warehouse, fingerprint-markered like every layout artifact.  The
+# oracle recomputes the keeper set from the FULL table in one shot
+# (first batch containing a hash wins, min doc_id within it), so a
+# hash match proves fold == full recompute — the merge property that
+# makes incremental ingest safe, certified exactly how C260 certified
+# C257's rollup.
+_DEDUP_FOLD_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_id,
+         md5(lower(trim(text))) AS text_hash
+  FROM documents
+),
+grp AS (
+  SELECT text_hash, batch_id, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_in_batch
+  FROM hashed GROUP BY 1, 2
+)
+SELECT batch_id, doc_id, text_hash, n_in_batch FROM (
+  SELECT grp.*,
+         ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY batch_id) AS rn
+  FROM grp
+) WHERE rn = 1
+"""
+
+
+def ensure_dedup_hashset(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus fingerprint) the three-batch
+    incremental-dedup run: per batch b ∈ {0,1,2},
+    ``<root>/surv_b{b}/`` holds that batch's cross-corpus survivors
+    and ``<root>/hashset_b{b}/`` the standing hash set AFTER folding
+    batch b in.  Serialized + markered like the serving rollups.
+    Returns the artifact root directory."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = os.path.join(warehouse, f"dedup_fold_{tag}")
+    marker = os.path.join(root, "_FOLD_DONE")
+    from stellarsql_spark.catalog import content_fingerprint
+
+    fp = content_fingerprint(table_path(sf_dir, "documents"))
+    if _marker_ok(marker, fp):
+        return root
+
+    def _build() -> None:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 3).cast("int").alias("batch_id"),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        )
+        for b in range(3):
+            batch = (
+                d.where(F.col("batch_id") == b)
+                .groupBy("text_hash")
+                .agg(
+                    F.min("doc_id").alias("doc_id"),
+                    F.count("*").cast("bigint").alias("n_in_batch"),
+                )
+                .select(
+                    F.lit(b).cast("int").alias("batch_id"),
+                    "doc_id",
+                    "text_hash",
+                    "n_in_batch",
+                )
+            )
+            if b == 0:
+                surv = batch
+            else:
+                standing = spark.read.parquet(
+                    os.path.join(root, f"hashset_b{b - 1}")
+                )
+                surv = batch.join(standing, "text_hash", "left_anti").select(
+                    "batch_id", "doc_id", "text_hash", "n_in_batch"
+                )
+            surv.write.mode("overwrite").parquet(os.path.join(root, f"surv_b{b}"))
+            # fold: standing set ∪ this batch's surviving hashes.  The
+            # append touches |batch survivors| rows — never a rescan of
+            # the standing set's SOURCE data (it reads only the 16 B/doc
+            # hash artifact, which at 100 TB is the slim side).
+            folded = spark.read.parquet(os.path.join(root, f"surv_b{b}")).select(
+                "text_hash"
+            )
+            if b > 0:
+                folded = (
+                    spark.read.parquet(os.path.join(root, f"hashset_b{b - 1}"))
+                    .select("text_hash")
+                    .unionByName(folded)
+                )
+            folded.write.mode("overwrite").parquet(
+                os.path.join(root, f"hashset_b{b}")
+            )
+
+    _build_serialized(root, marker, fp, _build)
+    return root
+
+
+# --- Bloom-prefiltered incremental dedup (C278) -------------------------------
+
+# C269's docstring names a broadcast Bloom pre-filter in front of the
+# anti join as the 100 TB probe shape; this key SHIPS that filter as
+# exact, engine-portable arithmetic so the whole pipeline (including
+# which survivors were Bloom false positives) carries a hash oracle.
+# The Bloom is the classic k=2 probes into m=2^16 bits; a bit
+# position is 4 hex chars of md5(probe_index:hash) — the same
+# digit-lookup idiom as the Count-Min sketch (aggregates._cms_bucket),
+# so Spark (instr) and DuckDB (strpos) derive identical positions.
+# Relationally the bitmap IS the ≤m-row DISTINCT position set of the
+# standing corpus — bounded by m regardless of corpus size, which is
+# exactly why it broadcasts where the unbounded standing hash set
+# cannot.
+_BLOOM_M = 65536
+_BLOOM_K = 2
+
+
+def _bloom_pos(fn: str, expr: str) -> str:
+    """4-hex-char md5 prefix of ``expr`` → 0..65535, engine-portably
+    (``fn`` = Spark ``instr`` / DuckDB ``strpos``)."""
+    h = f"md5({expr})"
+    terms = [
+        f"(({fn}('0123456789abcdef', substring({h}, {c + 1}, 1)) - 1)"
+        f" * {16 ** (3 - c)})"
+        for c in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BLOOM_VALS = ", ".join(f"({i})" for i in range(_BLOOM_K))
+
+_DEDUP_BLOOM_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents
+),
+newb AS (SELECT * FROM hashed WHERE doc_id % 3 = 0),
+oldb AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 3 <> 0),
+batch AS (
+  SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_in_batch
+  FROM newb GROUP BY text_hash
+),
+standing_pos AS (
+  SELECT DISTINCT {_bloom_pos("strpos", "i || ':' || text_hash")} AS p
+  FROM oldb CROSS JOIN (VALUES {_BLOOM_VALS}) s(i)
+),
+bp AS (
+  SELECT text_hash, {_bloom_pos("strpos", "i || ':' || text_hash")} AS p
+  FROM batch CROSS JOIN (VALUES {_BLOOM_VALS}) s(i)
+),
+pass AS (
+  SELECT bp.text_hash, COUNT(sp.p) = {_BLOOM_K} AS maybe
+  FROM bp LEFT JOIN standing_pos sp ON bp.p = sp.p
+  GROUP BY bp.text_hash
+)
+SELECT b.doc_id, b.text_hash, b.n_in_batch, pass.maybe AS bloom_hit
+FROM batch b JOIN pass USING (text_hash)
+LEFT JOIN oldb o ON b.text_hash = o.text_hash
+WHERE o.text_hash IS NULL
+"""
+
+
+@register("b_llm_dedup_bloom", oracle=_DEDUP_BLOOM_ORACLE,
+          tags=("pipeline", "dedup", "incremental", "bloom"))
+def b_llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C278: C269's incremental dedup with the claimed broadcast Bloom
+    pre-filter actually in the plan — see the block comment above.
+
+    Candidate routing (visible in the physical plan, which is the
+    point): batch survivors whose k probe positions are NOT all set in
+    the broadcast position table are DEFINITELY new — they skip the
+    anti join entirely (a Bloom has no false negatives, by
+    construction); only the `maybe` candidates probe the standing
+    hash set, and the survivors among them are the Bloom's false
+    positives, emitted as `bloom_hit` so the FP rate is pinned by the
+    hash (engine-identical md5 position arithmetic), not sampled.
+    Result rows = exactly C269's survivors (the Bloom only ever
+    short-circuits rows the anti join would pass) — asserted in
+    tests/test_round12.py.
+
+    At 100 TB: the position table is ≤ 2^16 rows NO MATTER how large
+    the standing corpus grows (a real deployment sizes m to the
+    corpus; the bound-by-m broadcastability is the structural point),
+    so each new batch pays one broadcast + map-side filter, and the
+    expensive standing-set probe runs only on the ~FP-rate fraction
+    that passes."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    newb = d.where(F.col("doc_id") % 3 == 0)
+    oldb = d.where(F.col("doc_id") % 3 != 0).select("text_hash").distinct()
+    batch = newb.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch")
+    )
+    probes = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    pos_expr = _bloom_pos("instr", "i || ':' || text_hash")
+    standing_pos = (
+        oldb.select("text_hash", probes)
+        .selectExpr(f"{pos_expr} AS p")
+        .distinct()
+    )
+    bp = batch.select("text_hash", probes).selectExpr(
+        "text_hash", f"{pos_expr} AS p"
+    )
+    passes = (
+        bp.join(F.broadcast(standing_pos.withColumnRenamed("p", "sp")),
+                F.col("p") == F.col("sp"), "left")
+        .groupBy("text_hash")
+        .agg((F.count("sp") == _BLOOM_K).alias("maybe"))
+    )
+    routed = batch.join(passes, "text_hash")
+    definite_new = routed.where(~F.col("maybe"))
+    fp_survivors = routed.where(F.col("maybe")).join(
+        oldb, "text_hash", "left_anti"
+    )
+    return definite_new.unionByName(fp_survivors).select(
+        "doc_id", "text_hash", "n_in_batch", F.col("maybe").alias("bloom_hit")
+    )
+
+
+@register("b_llm_dedup_fold", oracle=_DEDUP_FOLD_ORACLE,
+          tags=("pipeline", "dedup", "incremental", "served"))
+def b_llm_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C273: the standing-corpus fold, certified — see the block
+    comment above ensure_dedup_hashset.  The returned frame is the
+    union of the three batches' ON-DISK survivor artifacts; the oracle
+    is the one-shot full recompute, so the driver hash certifies
+    fold == full recompute (first batch containing a hash wins,
+    keep-min within it).
+
+    At 100 TB: each fold costs one batch-sized hash shuffle + one
+    anti-join probe whose build side is the standing 16 B/doc hash
+    artifact (broadcast-Bloom-prefiltered in the C269 plan); the
+    standing artifact grows append-only by the survivors.  Nothing
+    ever rescans previously-ingested text.
+    tests/test_round12.py additionally asserts the final standing
+    hash set equals the distinct hash set of the whole corpus and
+    that the build is a fingerprinted no-op on re-call."""
+    root = ensure_dedup_hashset(spark, sf_dir)
+    parts = [
+        spark.read.parquet(os.path.join(root, f"surv_b{b}")) for b in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("batch_id", "doc_id", "text_hash", "n_in_batch")

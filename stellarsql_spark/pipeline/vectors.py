@@ -1095,6 +1095,59 @@ def _l2sq(a, b):
     return _int_dot(a, a) + _int_dot(b, b) - 2 * _int_dot(a, b)
 
 
+def _pq_parts(q: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(assign, lut, sub) of the C265 PQ scheme over the int8 grid
+    ``q``: per-vector subspace codes (broadcast-codebook argmin), the
+    per-query M_SUB×K_CODE exact-distance lookup table, and the raw
+    subvector frame.  Shared by b_llm_pq_adc and the composed
+    b_llm_ivfpq — identical construction, one definition."""
+    slices = F.array(
+        *[F.slice("qv", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
+    )
+    sub = q.select("vec_id", F.posexplode(slices).alias("j", "sv"))
+    code_book = sub.where(F.col("vec_id") < K_CODE).select(
+        F.col("j").alias("cj"), F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id", "j").orderBy("d", "cid")
+    assign = (
+        sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+        .select("vec_id", "j", "cid", _l2sq(F.col("sv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("cid").alias("code"))
+    )
+    lut = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("j").alias("lj"),
+            "cid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
+        )
+    )
+    return assign, lut, sub
+
+
+def _exact_int8_topk(q: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, hit=True) rows of the EXACT int8-grid
+    L2 top-k per query — the recall reference both PQ keys annotate
+    against (query-bounded crossJoin: corpus × broadcast(queries))."""
+    qq = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy("xd", "neighbor_id")
+    return (
+        q.select(F.col("vec_id").alias("neighbor_id"), "qv")
+        .crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _l2sq(F.col("qe"), F.col("qv")).alias("xd"))
+        .withColumn("ern", F.row_number().over(w_exact))
+        .where(F.col("ern") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    )
+
+
 @register("b_llm_pq_adc", oracle=_PQ_ORACLE,
           tags=("pipeline", "vectors", "quantization", "pq"))
 def b_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,31 +1179,7 @@ def b_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int8-grid L2 top-k) are hash-stable cross-engine."""
     e = load_table(spark, sf_dir, "embeddings")
     q = _int8_grid(e)
-    slices = F.array(
-        *[F.slice("qv", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
-    )
-    sub = q.select("vec_id", F.posexplode(slices).alias("j", "sv"))
-    code_book = sub.where(F.col("vec_id") < K_CODE).select(
-        F.col("j").alias("cj"), F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
-    )
-    w_assign = Window.partitionBy("vec_id", "j").orderBy("d", "cid")
-    assign = (
-        sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
-        .select("vec_id", "j", "cid", _l2sq(F.col("sv"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "j", F.col("cid").alias("code"))
-    )
-    lut = (
-        sub.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(code_book), F.col("j") == F.col("cj"))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("j").alias("lj"),
-            "cid",
-            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
-        )
-    )
+    assign, lut, _ = _pq_parts(q)
     adc = (
         assign.join(
             F.broadcast(lut),
@@ -1165,21 +1194,277 @@ def b_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= TOP_K)
     )
-    qq = q.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    return (
+        ranked.join(_exact_int8_topk(q), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
     )
-    w_exact = Window.partitionBy("query_id").orderBy("xd", "neighbor_id")
-    exact = (
-        q.select(F.col("vec_id").alias("neighbor_id"), "qv")
-        .crossJoin(F.broadcast(qq))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _l2sq(F.col("qe"), F.col("qv")).alias("xd"))
-        .withColumn("ern", F.row_number().over(w_exact))
-        .where(F.col("ern") <= TOP_K)
-        .select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+
+
+# --- composed IVF-PQ (C276, r11 VERDICT #3) ---------------------------
+
+# Coarse quantizer: K_COARSE cells, seeded from the lowest vec_ids'
+# int8 vectors (the b_llm_kmeans seeding convention) and refined by
+# COARSE_ITERS Lloyd rounds ON THE INTEGER GRID — assignment by exact
+# BIGINT squared-L2, centroid recompute as ROUND(SUM/COUNT) per
+# dimension with both engines dividing the same exact integer-valued
+# doubles, so centroids, cells, and probes are bit-identical
+# cross-engine and (unlike the float-cosine quantizer of
+# b_llm_ann_ivf, rows-only by design) the WHOLE composed pipeline
+# carries a full hash oracle.
+K_COARSE = 8
+COARSE_ITERS = 1
+
+
+def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
+    """The C265 PQ oracle with the IVF pruning CTEs composed in front;
+    the Lloyd refinement unrolls ``iters`` rounds of chained CTEs."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2 * list_dot_product({a}, {b}) AS BIGINT)"
+        )
+
+    ctes = [
+        "base AS (\n"
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,\n"
+        "         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        " AS maxabs\n"
+        "  FROM embeddings\n)",
+        "q AS (\n"
+        "  SELECT vec_id,\n"
+        "         list_transform(e, x -> CAST(ROUND(127.0 * x / maxabs) AS BIGINT))"
+        " AS qv\n"
+        "  FROM base\n)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q WHERE vec_id < {K_COARSE})",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"a{r} AS (\n"
+            f"  SELECT vec_id, cid AS cell FROM (\n"
+            f"    SELECT q.vec_id, c.cid,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+            f" ORDER BY {l2('q.qv', 'c.cvec')}, c.cid) AS rn\n"
+            f"    FROM q CROSS JOIN c{r - 1} c\n"
+            f"  ) WHERE rn = 1\n)"
+        )
+        ctes.append(
+            f"e{r} AS (\n"
+            f"  SELECT ar.cell, unnest(range(0, len(q.qv))) AS pos,"
+            f" unnest(q.qv) AS v\n"
+            f"  FROM a{r} ar JOIN q ON ar.vec_id = q.vec_id\n)"
+        )
+        ctes.append(
+            f"m{r} AS (\n"
+            f"  SELECT cell, pos,\n"
+            f"         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            f" AS cv\n"
+            f"  FROM e{r} GROUP BY cell, pos\n)"
+        )
+        ctes.append(
+            f"c{r} AS (\n"
+            f"  SELECT cell AS cid, list(cv ORDER BY pos) AS cvec"
+            f" FROM m{r} GROUP BY cell\n)"
+        )
+    last = f"c{iters}"
+    ctes.append(
+        f"af AS (\n"
+        f"  SELECT vec_id, cid AS cell FROM (\n"
+        f"    SELECT q.vec_id, c.cid,\n"
+        f"           ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+        f" ORDER BY {l2('q.qv', 'c.cvec')}, c.cid) AS rn\n"
+        f"    FROM q CROSS JOIN {last} c\n"
+        f"  ) WHERE rn = 1\n)"
+    )
+    ctes.append(
+        f"probe AS (\n"
+        f"  SELECT query_id, cell FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.cid AS cell,\n"
+        f"           ROW_NUMBER() OVER (PARTITION BY q.vec_id"
+        f" ORDER BY {l2('q.qv', 'c.cvec')}, c.cid) AS rn\n"
+        f"    FROM q CROSS JOIN {last} c\n"
+        f"    WHERE q.vec_id < {N_QUERIES}\n"
+        f"  ) WHERE rn <= {NPROBE}\n)"
+    )
+    ctes.append(
+        f"sub AS (\n"
+        f"  SELECT vec_id, CAST(j AS INT) AS j,\n"
+        f"         qv[j * {SUBDIM} + 1 : (j + 1) * {SUBDIM}] AS sv\n"
+        f"  FROM q CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS j)\n)"
+    )
+    ctes.append(
+        f"code_book AS (SELECT j, vec_id AS cid, sv AS cv FROM sub"
+        f" WHERE vec_id < {K_CODE})"
+    )
+    ctes.append(
+        f"assign AS (\n"
+        f"  SELECT vec_id, j, cid AS code FROM (\n"
+        f"    SELECT s.vec_id, s.j, cb.cid,\n"
+        f"           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j"
+        f" ORDER BY {l2('s.sv', 'cb.cv')}, cb.cid) AS rn\n"
+        f"    FROM sub s JOIN code_book cb ON s.j = cb.j\n"
+        f"  ) WHERE rn = 1\n)"
+    )
+    ctes.append(
+        f"lut AS (\n"
+        f"  SELECT qs.vec_id AS query_id, qs.j, cb.cid, {l2('qs.sv', 'cb.cv')}"
+        f" AS ld\n"
+        f"  FROM sub qs JOIN code_book cb ON qs.j = cb.j\n"
+        f"  WHERE qs.vec_id < {N_QUERIES}\n)"
+    )
+    ctes.append(
+        "adc AS (\n"
+        "  SELECT p.query_id, f.vec_id AS neighbor_id, SUM(l.ld) AS adc_dist\n"
+        "  FROM af f\n"
+        "  JOIN probe p ON f.cell = p.cell\n"
+        "  JOIN assign a ON a.vec_id = f.vec_id\n"
+        "  JOIN lut l ON a.j = l.j AND a.code = l.cid"
+        " AND l.query_id = p.query_id\n"
+        "  WHERE f.vec_id <> p.query_id\n"
+        "  GROUP BY 1, 2\n)"
+    )
+    ctes.append(
+        "ranked AS (\n"
+        "  SELECT query_id, neighbor_id, adc_dist,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, neighbor_id) AS rn\n"
+        "  FROM adc\n)"
+    )
+    ctes.append(
+        f"exact AS (\n"
+        f"  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,\n"
+        f"           ROW_NUMBER() OVER (PARTITION BY a.vec_id"
+        f" ORDER BY {l2('a.qv', 'b.qv')}, b.vec_id) AS ern\n"
+        f"    FROM q a JOIN q b ON a.vec_id <> b.vec_id\n"
+        f"    WHERE a.vec_id < {N_QUERIES}\n"
+        f"  ) WHERE ern <= {TOP_K}\n)"
     )
     return (
-        ranked.join(exact, ["query_id", "neighbor_id"], "left")
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT r.query_id, r.neighbor_id,"
+        f" CAST(r.adc_dist AS BIGINT) AS adc_dist,\n"
+        f"       CAST(r.rn AS INT) AS rn,\n"
+        f"       (e.neighbor_id IS NOT NULL) AS in_exact_topk\n"
+        f"FROM ranked r LEFT JOIN exact e\n"
+        f"  ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id\n"
+        f"WHERE r.rn <= {TOP_K}"
+    )
+
+
+@register("b_llm_ivfpq", oracle=_ivfpq_oracle(),
+          tags=("pipeline", "vectors", "quantization", "pq", "approx"))
+def b_llm_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C276: composed IVF-PQ — coarse-assign every vector to an IVF
+    cell, probe each query's NPROBE nearest cells, and score ONLY the
+    candidates in those cells by PQ-code ADC lookups; annotate recall
+    vs the exact int8-grid top-k.  This is the serving layout every
+    billion-vector ANN system actually runs (probe a cell subset, scan
+    4 B/vector codes within it); the two halves were certified
+    separately in r11 (`b_llm_ann_ivf` = coarse cells, `b_llm_pq_adc`
+    = codes + ADC) and this key closes the family by composing them
+    under ONE full hash oracle — reachable because every distance
+    (coarse assignment, probe ranking, ADC) is an exact BIGINT on the
+    int8 grid (see the K_COARSE block comment; b_llm_ann_ivf's float
+    k-means stays rows-only by design).
+
+    Candidate-count comparison (the compression × pruning trade):
+    - plain ADC (b_llm_pq_adc): every query scores ALL N−1 corpus
+      codes — no pruning, 4 B/vector;
+    - plain IVF (b_llm_ann_ivf): ~N·NPROBE/K_COARSE candidates/query
+      (3/8 of the corpus here) but each costs a FULL int8-vector
+      distance — pruned, 64 B/vector;
+    - IVF-PQ (this key): the same ~NPROBE/K_COARSE candidate fraction
+      at 4 B/vector codes — pruned AND compressed, which is why it is
+      the layout that fits a billion vectors in RAM.
+    tests/test_round12.py measures the actual candidate counts on the
+    test corpus and asserts the ordering above.
+
+    Spark shape (the 100 TB story): corpus-sized frames are the cell
+    assignment (3 small ints/vector) and the PQ codes (M_SUB rows of
+    3 small ints/vector), both built once at rest by broadcast-argmin
+    against the K_COARSE-row / codebook tables; the per-query probe
+    list and LUT are broadcast; the only corpus-sized aggregation is
+    the M_SUB-row-per-(query, candidate) ADC sum over the PRUNED
+    candidate set.  At rest the corpus would be partitioned by cell id
+    so a probe is a partition-pruned scan (b_llm_ann_ivf's layout
+    note); residual encoding (PQ on vector − centroid) is the
+    production refinement and changes only how `sub` is derived.
+    Recall here is coarse-seeded-quantizer recall, annotated honestly
+    in `in_exact_topk` — the contract, as for the other ANN keys, is
+    pinned by the recall column, not assumed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _int8_grid(e)
+
+    def nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "cid", _l2sq(F.col("qv"), F.col("cvec")).alias("d")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n)
+            .select("vec_id", F.col("cid").alias("cell"))
+        )
+
+    cents = q.where(F.col("vec_id") < K_COARSE).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cvec")
+    )
+    for _ in range(COARSE_ITERS):
+        a = nearest_cells(q.select("vec_id", "qv"), cents, 1)
+        cents = (
+            a.join(q, "vec_id")
+            .select("cell", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("cv")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cvec")
+            )
+            .select(F.col("cell").alias("cid"), "cvec")
+        )
+    af = nearest_cells(q.select("vec_id", "qv"), cents, 1)
+    probe = nearest_cells(
+        q.where(F.col("vec_id") < N_QUERIES).select("vec_id", "qv"), cents, NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    assign, lut, _ = _pq_parts(q)
+    cand = (
+        af.join(F.broadcast(probe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("vec_id", "query_id")
+    )
+    lut2 = lut.withColumnRenamed("query_id", "lq")
+    adc = (
+        cand.join(assign, "vec_id")
+        .join(
+            F.broadcast(lut2),
+            (F.col("j") == F.col("lj"))
+            & (F.col("code") == F.col("cid"))
+            & (F.col("query_id") == F.col("lq")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    ranked = adc.withColumn("rn", F.row_number().over(w_rank)).where(
+        F.col("rn") <= TOP_K
+    )
+    return (
+        ranked.join(_exact_int8_topk(q), ["query_id", "neighbor_id"], "left")
         .select(
             "query_id",
             "neighbor_id",

@@ -987,3 +987,122 @@ def b_stream_restart_recovery(
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- Concurrent multi-query isolation (C275, r11 VERDICT #7) ------------------
+
+# The runtime certifies single-query recovery (C264), replay-
+# idempotence (C232), and cross-batch state folding (C263); this key
+# certifies the remaining leg: TWO streaming queries running
+# SIMULTANEOUSLY on one session — separate checkpoints, separate state
+# stores, one shared file source directory — draining to independent
+# sinks, with BOTH final answers equal to their batch SQL.  Both are
+# started before either drains, so their micro-batches interleave on
+# the shared scheduler: state isolation is exercised, not narrated.
+# The two results union under a qtag with a harmonized schema so one
+# hash covers both sinks.
+_CONCURRENT_ORACLE = f"""
+SELECT 'tumbling' AS qtag,
+       epoch_us(DATE_TRUNC('hour', ts)) AS k_num,
+       event_type AS k_str,
+       COUNT(*) AS n_events,
+       {_VAL_SUM} AS total_value
+FROM events
+GROUP BY 2, 3
+UNION ALL
+SELECT 'peruser' AS qtag,
+       CAST(user_id AS BIGINT) AS k_num,
+       CAST(NULL AS VARCHAR) AS k_str,
+       COUNT(*) AS n_events,
+       CAST(NULL AS DOUBLE) AS total_value
+FROM events
+GROUP BY 2
+"""
+
+
+@register(
+    "b_stream_concurrent",
+    oracle=_CONCURRENT_ORACLE,
+    tags=("streaming", "runtime", "concurrent"),
+)
+def b_stream_concurrent(
+    spark: SparkSession, sf_dir: str, _probe=None
+) -> DataFrame:
+    """C275: two simultaneous streaming queries on one session — the
+    watermarked hourly tumbling aggregate and the per-user running
+    count — each with its own checkpoint/state store, both fed by the
+    SAME four-quartile multibatch source dir at maxFilesPerTrigger=1
+    (four interleaving micro-batches per query).  See the block
+    comment above for what this certifies.
+
+    ``_probe`` (tests only): callback ``(ckpt_a, ckpt_b)`` invoked
+    after both drains while the checkpoints still exist, so a test can
+    assert each commit log independently recorded its 4 batches.
+
+    At 100 TB this is the standard multi-tenancy shape: N independent
+    streaming jobs share a source (bus topic / landing dir) and the
+    isolation contract is per-query checkpoints + state stores —
+    exactly what Structured Streaming scopes per query id."""
+    import uuid
+
+    from stellarsql_spark.catalog import table_path
+    from stellarsql_spark.sources.io import SCRATCH_ROOT
+    from stellarsql_spark.streaming.runtime import events_stream_from_dir
+
+    mb = _multibatch_dir(spark, sf_dir)
+    work = os.path.join(SCRATCH_ROOT, f"stream_conc_{uuid.uuid4().hex[:12]}")
+    ckpt_a, ckpt_b = os.path.join(work, "ckpt_a"), os.path.join(work, "ckpt_b")
+    sink_a = f"conc_tumbling_{uuid.uuid4().hex[:8]}"
+    sink_b = f"conc_peruser_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def _start(df, sink, ckpt):
+        return (
+            df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    src = events_stream_from_dir(
+        spark, mb, schema_src=table_path(sf_dir, "events"), max_files_per_trigger=1
+    )
+    qa = qb = None
+    try:
+        qa = _start(tumbling_hourly(src.withWatermark("ts", "2 hours")), sink_a, ckpt_a)
+        qb = _start(
+            src.groupBy("user_id").agg(F.count("*").alias("n_events")),
+            sink_b,
+            ckpt_b,
+        )
+        # both queries are live before either drain begins
+        qa.processAllAvailable()
+        qb.processAllAvailable()
+        if _probe is not None:
+            _probe(ckpt_a, ckpt_b)
+        a = spark.table(sink_a).select(
+            F.lit("tumbling").alias("qtag"),
+            F.unix_micros("window_start").alias("k_num"),
+            F.col("event_type").alias("k_str"),
+            "n_events",
+            "total_value",
+        )
+        b = spark.table(sink_b).select(
+            F.lit("peruser").alias("qtag"),
+            F.col("user_id").cast("bigint").alias("k_num"),
+            F.lit(None).cast("string").alias("k_str"),
+            "n_events",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+        return a.unionByName(b)
+    finally:
+        for q in (qa, qb):
+            if q is not None:
+                q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(work, ignore_errors=True)
