@@ -367,3 +367,22 @@ class TestIvfpq:
         assert set(cand) == {0, 1, 2, 3, 4}
         for q, n in cand.items():
             assert 10 <= n < n_total - 1  # pruned, but top-k still fillable
+
+    def test_residual_training_beats_plain(self, spark):
+        """C279: residual encoding + the trained codebook must beat the
+        plain seeded-codebook IVF-PQ's recall on this corpus (measured
+        0.26 vs 0.18; the CB_ITERS ablation showed residuals WITHOUT
+        training are a wash, so the > relation is the certified claim
+        for the composed refinement)."""
+        from stellarsql_spark.pipeline.vectors import (
+            b_llm_ivfpq,
+            b_llm_ivfpq_residual,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        plain = [r["in_exact_topk"] for r in b_llm_ivfpq(spark, sf).collect()]
+        resid = [
+            r["in_exact_topk"] for r in b_llm_ivfpq_residual(spark, sf).collect()
+        ]
+        assert len(plain) == len(resid) == 50
+        assert sum(resid) > sum(plain)
