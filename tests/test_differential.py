@@ -90,8 +90,53 @@ _UNIQUE_KEY_TABLES = ("orders", "customer", "part")
 def gen_query(rng) -> str:
     t = rng.choice(list(TABLES))
     ints, strs, key = TABLES[t]["int"], TABLES[t]["str"], TABLES[t]["key"]
-    kind = rng.randrange(22)
+    kind = rng.randrange(23)
     where = _pred(rng, t)
+    if kind == 22:  # two-sided window frames (r12): the full frame
+        # geometry the single-sided kinds (10/15) never touch — ROWS
+        # and integer-offset RANGE with [UNBOUNDED] PRECEDING/
+        # FOLLOWING ends on both sides.  Determinism rules: a ROWS
+        # frame's content depends on tie order, so its ORDER BY always
+        # ends with the unique key (total order) and FIRST_VALUE rides
+        # only this leg; a RANGE frame is peer-based (value-defined),
+        # so plain aggregates over it are deterministic with the bare
+        # numeric ORDER BY.  Final ORDER BY covers every projected
+        # column: rows tying on all of them are interchangeable under
+        # LIMIT.
+        g = rng.choice(strs)
+        e = _int_expr(rng, ints)
+        agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        if rng.randrange(2):  # ROWS leg
+            lo = rng.choice(
+                ["UNBOUNDED PRECEDING", f"{rng.randrange(0, 6)} PRECEDING",
+                 "CURRENT ROW"]
+            )
+            hi = rng.choice(
+                ["UNBOUNDED FOLLOWING", f"{rng.randrange(0, 6)} FOLLOWING",
+                 "CURRENT ROW"]
+            )
+            frame, order = f"ROWS BETWEEN {lo} AND {hi}", f"{e}, {key}"
+            extra = (
+                f", FIRST_VALUE({e}) OVER (PARTITION BY {g} "
+                f"ORDER BY {order} {frame}) AS fv"
+            )
+            tail = "ORDER BY k, w, fv"
+        else:  # RANGE leg (integer offsets)
+            lo = rng.choice(
+                ["UNBOUNDED PRECEDING", f"{rng.randrange(0, 500)} PRECEDING"]
+            )
+            hi = rng.choice(
+                ["UNBOUNDED FOLLOWING", f"{rng.randrange(0, 500)} FOLLOWING",
+                 "CURRENT ROW"]
+            )
+            frame, order, extra = f"RANGE BETWEEN {lo} AND {hi}", e, ""
+            tail = "ORDER BY k, w"
+        return (
+            f"SELECT {key} AS k, "
+            f"CAST({agg}({e}) OVER (PARTITION BY {g} ORDER BY {order} "
+            f"{frame}) AS BIGINT) AS w{extra} "
+            f"FROM {t} WHERE {where} {tail} LIMIT {rng.randrange(30, 80)}"
+        )
     if kind == 20:  # correlated LATERAL aggregate subquery (r10):
         # Spark 4 and DuckDB share the ANSI spelling exactly
         # (comma-join + LATERAL(...)); the aggregate subquery always
