@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1202,6 +1204,171 @@ def b_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_dist").cast("bigint").alias("adc_dist"),
             F.col("rn").cast("int").alias("rn"),
             F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# --- SERVED PQ-ADC: codes materialized at rest (C280) -------------------
+
+# The r12 depth probe measured the plain PQ-ADC key at 68-71 s on 1.5M
+# vectors (300×) with warm == cold — compute-bound on the ENCODE
+# (the |corpus|×M_SUB×K_CODE argmin), which in production is a
+# ONE-TIME at-rest build, not a per-query cost.  This key lands the
+# codes + codebook as fingerprint-markered parquet artifacts (the same
+# lineage step as every served twin) so query time pays only the ADC:
+# broadcast LUT → code-lookup join → M_SUB-row sum → top-k.
+_PQ_SERVED_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(127.0 * x / maxabs) AS BIGINT)) AS qv
+  FROM base
+),
+sub AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+         qv[j * {SUBDIM} + 1 : (j + 1) * {SUBDIM}] AS sv
+  FROM q CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS j)
+),
+code_book AS (
+  SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {K_CODE}
+),
+assign AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT s.vec_id, s.j, cb.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY CAST(list_dot_product(s.sv, s.sv)
+                           + list_dot_product(cb.cv, cb.cv)
+                           - 2 * list_dot_product(s.sv, cb.cv) AS BIGINT),
+                      cb.cid
+           ) AS rn
+    FROM sub s JOIN code_book cb ON s.j = cb.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.j, cb.cid,
+         CAST(list_dot_product(qs.sv, qs.sv)
+              + list_dot_product(cb.cv, cb.cv)
+              - 2 * list_dot_product(qs.sv, cb.cv) AS BIGINT) AS ld
+  FROM sub qs JOIN code_book cb ON qs.j = cb.j
+  WHERE qs.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, SUM(l.ld) AS adc_dist
+  FROM assign a JOIN lut l ON a.j = l.j AND a.code = l.cid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS rn
+  FROM adc
+)
+WHERE rn <= {TOP_K}
+"""
+
+
+def ensure_pq_codes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per corpus fingerprint) the C265 PQ encode:
+    ``<warehouse>/pq_codes_<tag>/`` (vec_id, j, code — ≈4 B/vector of
+    payload) and ``<warehouse>/pq_codebook_<tag>/`` (M_SUB×K_CODE
+    centroid subvectors).  Same fingerprint-marker + exclusive-lock
+    protocol as the other serving artifacts."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.catalog import content_fingerprint, table_path
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    codes_dir = os.path.join(warehouse, f"pq_codes_{tag}")
+    cb_dir = os.path.join(warehouse, f"pq_codebook_{tag}")
+    marker = os.path.join(codes_dir, "_PQ_DONE")
+    fp = content_fingerprint(table_path(sf_dir, "embeddings"))
+    if _marker_ok(marker, fp):
+        return codes_dir, cb_dir
+
+    def _build() -> None:
+        q = _int8_grid(load_table(spark, sf_dir, "embeddings"))
+        assign, _, sub = _pq_parts(q)
+        code_book = sub.where(F.col("vec_id") < K_CODE).select(
+            F.col("j").alias("cj"),
+            F.col("vec_id").alias("cid"),
+            F.col("sv").alias("cv"),
+        )
+        code_book.write.mode("overwrite").parquet(cb_dir)
+        assign.write.mode("overwrite").parquet(codes_dir)
+
+    _build_serialized(codes_dir, marker, fp, _build)
+    return codes_dir, cb_dir
+
+
+@register("b_llm_pq_adc_served", oracle=_PQ_SERVED_ORACLE,
+          tags=("pipeline", "vectors", "quantization", "pq", "served"))
+def b_llm_pq_adc_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C280: the SERVED form of PQ-ADC — read the materialized code +
+    codebook artifacts and pay ONLY the query-time work: int8-quantize
+    the queries, build the M_SUB×K_CODE LUT against the stored
+    codebook, one code-lookup join over the 4 B/vector codes, an
+    M_SUB-row sum, top-k.  The r12 depth probe motivates it: the plain
+    key reads 68–71 s at 1.5M vectors with warm == cold because the
+    |corpus|-sized encode argmin dominates — and encode is a ONE-TIME
+    at-rest build in any real deployment (this is precisely what a
+    faiss index file is).  Same lineage step as every other served
+    twin; the DuckDB oracle still recomputes encode + ADC from the raw
+    parquet, which is the point being measured.  The exact-recall
+    annotation stays on the plain key (it needs a corpus-sized exact
+    pass — an offline quality audit, not a serving-time column).
+
+    Result contract: identical ranked ADC top-k as b_llm_pq_adc minus
+    the annotation column (equality asserted in tests/test_round12.py).
+    Scale shape at query time: artifact scan of M_SUB rows/vector of
+    small ints, broadcast LUT join, the grouped sum — zero corpus-
+    sized windows, zero vector arithmetic over the corpus."""
+    codes_dir, cb_dir = ensure_pq_codes(spark, sf_dir)
+    codes = spark.read.parquet(codes_dir)
+    cb = spark.read.parquet(cb_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _int8_grid(e.where(F.col("vec_id") < N_QUERIES))
+    slices = F.array(
+        *[F.slice("qv", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
+    )
+    qsub = q.select("vec_id", F.posexplode(slices).alias("j", "sv"))
+    lut = (
+        qsub.join(F.broadcast(cb), F.col("j") == F.col("cj"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("j").alias("lj"),
+            "cid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("j") == F.col("lj")) & (F.col("code") == F.col("cid")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
         )
     )
 

@@ -368,6 +368,33 @@ class TestIvfpq:
         for q, n in cand.items():
             assert 10 <= n < n_total - 1  # pruned, but top-k still fillable
 
+    def test_served_equals_plain_minus_annotation(self, spark):
+        """C280: the served form (codes read from the materialized
+        artifact) must return exactly the plain PQ-ADC ranking minus
+        the recall-annotation column, and the artifact build must be a
+        fingerprinted no-op on re-call."""
+        from stellarsql_spark.pipeline.vectors import (
+            b_llm_pq_adc,
+            b_llm_pq_adc_served,
+            ensure_pq_codes,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        served = {
+            (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+            for r in b_llm_pq_adc_served(spark, sf).collect()
+        }
+        plain = {
+            (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+            for r in b_llm_pq_adc(spark, sf).collect()
+        }
+        assert served == plain and len(served) == 50
+        codes_dir, _ = ensure_pq_codes(spark, sf)
+        marker = os.path.join(codes_dir, "_PQ_DONE")
+        mtime = os.stat(marker).st_mtime_ns
+        ensure_pq_codes(spark, sf)
+        assert os.stat(marker).st_mtime_ns == mtime
+
     def test_residual_training_beats_plain(self, spark):
         """C279: residual encoding + the trained codebook must beat the
         plain seeded-codebook IVF-PQ's recall on this corpus (measured
