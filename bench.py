@@ -282,7 +282,11 @@ def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
             dt = time.perf_counter() - t0
             s_best[n] = min(s_best[n], dt)
             s_worst[n] = max(s_worst[n], dt)
-            if i == 0 and dt < 1.0:
+            # Extend whenever the running min is sub-second (not just
+            # trial 0): a contention blip on the first trial must not
+            # deny a genuinely sub-second shape its extra trials —
+            # precisely the floor-band case this targets (r12 ADVICE).
+            if trials == runs and s_best[n] < 1.0:
                 trials = runs + _SUBSEC_EXTRA
             if dsql is not None:
                 t0 = time.perf_counter()

@@ -1486,10 +1486,12 @@ def b_graph_label_prop_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmax window — identical stage geometry to C266.  The
     loop discipline is b_graph_components': every round's label frame
     is localCheckpoint-ed (eager) so the logical plan does not nest
-    one join deeper per round, the superseded round's blocks are
-    unpersisted once the convergence count consumed them, and the
-    convergence check is a driver-side scalar (count of changed
-    labels), never a data collect."""
+    one join deeper per round; superseded rounds' checkpoint RDD
+    blocks are reclaimed by Spark's ContextCleaner once the loop's
+    last reference drops (checkpoint blocks are not CacheManager
+    entries, so an explicit unpersist cannot release them — r12
+    ADVICE), and the convergence check is a driver-side scalar
+    (count of changed labels), never a data collect."""
     labels, _ = _lpa_converged(spark, sf_dir)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").alias("n_members")
@@ -1511,29 +1513,36 @@ def _lpa_converged(
     w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
     votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
     labels, rounds = None, 0
-    for _ in range(cap):
-        mode = (
-            votes.groupBy("node", "lbl")
-            .agg(F.count("*").alias("n"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint()
-        )
-        rounds += 1
-        if labels is not None:
-            changed = (
-                mode.join(labels.withColumnRenamed("lbl", "old"), "node")
-                .where(F.col("lbl") != F.col("old"))
-                .count()
+    # Superseded rounds' localCheckpoint blocks are NOT CacheManager
+    # entries, so there is no unpersist() that releases them; dropping
+    # the Python reference each round lets Spark's ContextCleaner
+    # reclaim the orphaned checkpoint RDDs (r12 ADVICE).  bidir IS a
+    # cache entry, so its unpersist sits in a finally — a mid-round
+    # failure must not leak the cached edge list for the session.
+    try:
+        for _ in range(cap):
+            mode = (
+                votes.groupBy("node", "lbl")
+                .agg(F.count("*").alias("n"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "lbl")
+                .localCheckpoint()
             )
-            labels.unpersist()
-            if changed == 0:
-                labels = mode
-                break
-        labels = mode
-        votes = bidir.join(
-            mode.select(F.col("node").alias("v"), "lbl"), "v"
-        ).select(F.col("u").alias("node"), "lbl")
-    bidir.unpersist()
+            rounds += 1
+            if labels is not None:
+                changed = (
+                    mode.join(labels.withColumnRenamed("lbl", "old"), "node")
+                    .where(F.col("lbl") != F.col("old"))
+                    .count()
+                )
+                if changed == 0:
+                    labels = mode
+                    break
+            labels = mode
+            votes = bidir.join(
+                mode.select(F.col("node").alias("v"), "lbl"), "v"
+            ).select(F.col("u").alias("node"), "lbl")
+    finally:
+        bidir.unpersist()
     return labels, rounds

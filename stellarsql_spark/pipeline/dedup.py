@@ -667,7 +667,11 @@ def ensure_dedup_hashset(spark: SparkSession, sf_dir: str) -> str:
     from urllib.parse import urlparse
 
     from stellarsql_spark.catalog import table_path
-    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+    from stellarsql_spark.sources.events_layout import (
+        _build_serialized,
+        _marker_ok,
+        _published_ok,
+    )
 
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -676,7 +680,15 @@ def ensure_dedup_hashset(spark: SparkSession, sf_dir: str) -> str:
     from stellarsql_spark.catalog import content_fingerprint
 
     fp = content_fingerprint(table_path(sf_dir, "documents"))
-    if _marker_ok(marker, fp):
+    # The marker vouches for all six published directories; verify
+    # each (not just the root) so a surv_b*/hashset_b* deleted
+    # independently of the marker triggers a rebuild (r12 ADVICE).
+    published = tuple(
+        os.path.join(root, f"{kind}_b{b}")
+        for b in range(3)
+        for kind in ("surv", "hashset")
+    )
+    if _marker_ok(marker, fp) and _published_ok(published):
         return root
 
     def _build() -> None:
@@ -727,7 +739,7 @@ def ensure_dedup_hashset(spark: SparkSession, sf_dir: str) -> str:
                 os.path.join(root, f"hashset_b{b}")
             )
 
-    _build_serialized(root, marker, fp, _build)
+    _build_serialized(root, marker, fp, _build, published=published)
     return root
 
 

@@ -1287,13 +1287,20 @@ def ensure_pq_codes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from stellarsql_spark.catalog import content_fingerprint, table_path
     from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
 
+    from stellarsql_spark.sources.events_layout import _published_ok
+
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     codes_dir = os.path.join(warehouse, f"pq_codes_{tag}")
     cb_dir = os.path.join(warehouse, f"pq_codebook_{tag}")
     marker = os.path.join(codes_dir, "_PQ_DONE")
     fp = content_fingerprint(table_path(sf_dir, "embeddings"))
-    if _marker_ok(marker, fp):
+    # The marker lives in codes_dir but vouches for BOTH published
+    # directories — the fast path must verify the companion codebook
+    # too, or a cb_dir deleted independently of the marker would serve
+    # a missing artifact (r12 ADVICE).
+    published = (codes_dir, cb_dir)
+    if _marker_ok(marker, fp) and _published_ok(published):
         return codes_dir, cb_dir
 
     def _build() -> None:
@@ -1307,7 +1314,7 @@ def ensure_pq_codes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         code_book.write.mode("overwrite").parquet(cb_dir)
         assign.write.mode("overwrite").parquet(codes_dir)
 
-    _build_serialized(codes_dir, marker, fp, _build)
+    _build_serialized(codes_dir, marker, fp, _build, published=published)
     return codes_dir, cb_dir
 
 
@@ -1388,15 +1395,23 @@ K_COARSE = 8
 COARSE_ITERS = 1
 
 
-def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
-    """The C265 PQ oracle with the IVF pruning CTEs composed in front;
-    the Lloyd refinement unrolls ``iters`` rounds of chained CTEs."""
+def _sql_l2(a: str, b: str) -> str:
+    """Exact BIGINT squared-L2 between two integer lists, DuckDB-side."""
+    return (
+        f"CAST(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        f" - 2 * list_dot_product({a}, {b}) AS BIGINT)"
+    )
 
-    def l2(a: str, b: str) -> str:
-        return (
-            f"CAST(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
-            f" - 2 * list_dot_product({a}, {b}) AS BIGINT)"
-        )
+
+def _ivfpq_head_ctes(iters: int = COARSE_ITERS) -> list[str]:
+    """The IVF head shared by the plain, residual, and served IVF-PQ
+    oracles: int8 grid → seeded coarse centroids → ``iters`` unrolled
+    Lloyd rounds → final cell assignment (``af``) + per-query probe
+    list (``probe``).  Exposed as a CTE list both oracles compose
+    (r12 ADVICE — the residual oracle previously recovered this head
+    by slicing the rendered SQL of the plain oracle, a brittle
+    textual coupling that raised at import on any formatting change)."""
+    l2 = _sql_l2
 
     ctes = [
         "base AS (\n"
@@ -1459,6 +1474,14 @@ def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
         f"    WHERE q.vec_id < {N_QUERIES}\n"
         f"  ) WHERE rn <= {NPROBE}\n)"
     )
+    return ctes
+
+
+def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
+    """The C265 PQ oracle with the IVF pruning CTEs composed in front;
+    the Lloyd refinement unrolls ``iters`` rounds of chained CTEs."""
+    l2 = _sql_l2
+    ctes = _ivfpq_head_ctes(iters)
     ctes.append(
         f"sub AS (\n"
         f"  SELECT vec_id, CAST(j AS INT) AS j,\n"
@@ -1539,17 +1562,10 @@ def _ivfpq_residual_oracle(iters: int = COARSE_ITERS) -> str:
     (vector − assigned coarse centroid), a CB_ITERS-round trained
     codebook, and the per-(query, probed cell) LUT — the faiss-default
     `by_residual` layout."""
-
-    def l2(a: str, b: str) -> str:
-        return (
-            f"CAST(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
-            f" - 2 * list_dot_product({a}, {b}) AS BIGINT)"
-        )
-
-    base = _ivfpq_oracle(iters)
-    # reuse everything up to (and including) the probe CTE, then swap
-    # the PQ chain for the residual one
-    head = base[: base.index(",\nsub AS (")]
+    l2 = _sql_l2
+    # everything up to (and including) the probe CTE is the shared IVF
+    # head; this oracle swaps the PQ chain for the residual one
+    head = "WITH " + ",\n".join(_ivfpq_head_ctes(iters))
     last = f"c{iters}"
     tail = f""",
 rv AS (

@@ -52,47 +52,72 @@ def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     on every call and a marker-valid directory is re-registered
     metadata-only across sessions instead of rewritten.
     """
-    import shutil
-    from urllib.parse import urlparse
-
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    existing = {t.name for t in spark.catalog.listTables()}
     names: dict[str, str] = {}
     # repartition by the bucket key first → ONE file per bucket (same
     # Murmur3 assignment), which both avoids the tiny-files layout and
     # is the only layout where Spark trusts the per-bucket sortBy
     # order at read time (many files per bucket forces a re-sort).
-    for t, key, name in (
-        ("orders", "o_orderkey", f"orders_b_{tag}"),
-        ("lineitem", "l_orderkey", f"lineitem_b_{tag}"),
+    for t, key, suffix in (
+        ("orders", "o_orderkey", "b"),
+        ("lineitem", "l_orderkey", "b"),
     ):
-        names[t] = name
-        loc = os.path.join(warehouse, name)
-        marker = os.path.join(loc, "_BUCKETS_DONE")
-        fp = _bucket_fingerprint(table_path(sf_dir, t), N_BUCKETS)
-        marker_ok = os.path.exists(marker) and open(marker).read() == fp
-        if name in existing:
-            if marker_ok:
-                continue
-            spark.sql(f"DROP TABLE {name}")
-        df = load_table(spark, sf_dir, t)
-        if marker_ok:
-            _recreate_over_location(
-                spark, name, df, key, N_BUCKETS, loc, sorted_by=key
-            )
-            continue
-        shutil.rmtree(loc, ignore_errors=True)
-        (
-            df.repartition(N_BUCKETS, F.col(key))
-            .write.bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(name)
+        names[t] = _ensure_bucketed_table(
+            spark, sf_dir, t, key, N_BUCKETS, suffix, sorted_by=key
         )
-        with open(marker, "w") as f:
-            f.write(fp)
     return names["orders"], names["lineitem"]
+
+
+def _ensure_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int,
+    suffix: str,
+    sorted_by: str | None = None,
+) -> str:
+    """Shared idempotent bucketed-table builder: fingerprint-marker
+    fast path, build serialized across sessions via the events-layout
+    flock protocol (r12 ADVICE — the inline saveAsTable+marker pair
+    could interleave with another session's, publishing a valid-
+    looking marker over a torn bucket directory), and metadata-only
+    re-registration when the files are valid but this session's
+    catalog has no entry."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    name = f"{table}_{suffix}_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, name)
+    marker = os.path.join(loc, "_BUCKETS_DONE")
+    fp = _bucket_fingerprint(table_path(sf_dir, table), n_buckets)
+    df = load_table(spark, sf_dir, table)
+    if not _marker_ok(marker, fp):
+        # Catalog hit is NOT sufficient: if the base corpus at sf_dir
+        # was regenerated mid-session the catalog would keep serving
+        # buckets built from the old data, so the on-disk fingerprint
+        # is checked on every call (r8 ADVICE).
+        def _build() -> None:
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE {name}")
+            shutil.rmtree(loc, ignore_errors=True)
+            w = df.repartition(n_buckets, F.col(key)).write.bucketBy(n_buckets, key)
+            if sorted_by:
+                w = w.sortBy(sorted_by)
+            w.mode("overwrite").saveAsTable(name)
+
+        _build_serialized(loc, marker, fp, _build)
+    if not spark.catalog.tableExists(name):
+        # Valid files on disk (we lost the build race, or a past
+        # session built them) but no entry in this session's
+        # in-memory catalog → metadata-only CREATE over the location.
+        _recreate_over_location(
+            spark, name, df, key, n_buckets, loc, sorted_by=sorted_by
+        )
+    return name
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,50 +182,23 @@ def _recreate_over_location(spark: SparkSession, name: str, df: DataFrame,
 def ensure_custkey_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """orders bucketed by o_custkey + customer bucketed by c_custkey
     (same bucket count → co-partitioned at rest). Idempotent per
-    (sf_dir, corpus mtime); reuses on-disk buckets across sessions."""
-    import shutil
-    from urllib.parse import urlparse
+    (sf_dir, corpus mtime); reuses on-disk buckets across sessions.
 
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    existing = {t.name for t in spark.catalog.listTables()}
+    Repartition BY THE BUCKET KEY before the bucketed write (inside
+    _ensure_bucketed_table): DataFrame hash partitioning and bucket-id
+    assignment use the same Murmur3 hash mod N, so each writer task
+    holds exactly one bucket's rows and emits ONE file — without it,
+    every input partition writes a sliver of every bucket (measured at
+    1000×: 1024 files averaging 1.8 MiB for orders, 32 tiny files per
+    bucket task to open).  The r11 A/B on the same corpus
+    (engine-interleaved min-of-7): 1-file-per-bucket cut the headline
+    bucketed join from 2.17× to 1.82× DuckDB.  At warehouse scale this
+    is also the small-files rule every lake enforces at ingest."""
     names: dict[str, str] = {}
     for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
-        name = f"{t}_ck_{tag}"
-        names[t] = name
-        loc = os.path.join(warehouse, name)
-        marker = os.path.join(loc, "_BUCKETS_DONE")
-        fp = _bucket_fingerprint(table_path(sf_dir, t), N_CK_BUCKETS)
-        marker_ok = os.path.exists(marker) and open(marker).read() == fp
-        if name in existing:
-            # Catalog hit is NOT sufficient: if the base corpus at
-            # sf_dir was regenerated mid-session the catalog would keep
-            # serving buckets built from the old data, so the on-disk
-            # fingerprint is checked on every call (r8 ADVICE).
-            if marker_ok:
-                continue
-            spark.sql(f"DROP TABLE {name}")
-        df = load_table(spark, sf_dir, t)
-        if marker_ok:
-            _recreate_over_location(spark, name, df, key, N_CK_BUCKETS, loc)
-            continue
-        shutil.rmtree(loc, ignore_errors=True)
-        # Repartition BY THE BUCKET KEY before the bucketed write:
-        # DataFrame hash partitioning and bucket-id assignment use the
-        # same Murmur3 hash mod N, so each writer task holds exactly
-        # one bucket's rows and emits ONE file — without it, every
-        # input partition writes a sliver of every bucket (measured at
-        # 1000×: 1024 files averaging 1.8 MiB for orders, 32 tiny
-        # files per bucket task to open).  The r11 A/B on the same
-        # corpus (engine-interleaved min-of-7): 1-file-per-bucket cut
-        # the headline bucketed join from 2.17× to 1.82× DuckDB.  At
-        # warehouse scale this is also the small-files rule every lake
-        # enforces at ingest.
-        df.repartition(N_CK_BUCKETS, F.col(key)).write.bucketBy(
-            N_CK_BUCKETS, key
-        ).mode("overwrite").saveAsTable(name)
-        with open(marker, "w") as f:
-            f.write(fp)
+        names[t] = _ensure_bucketed_table(
+            spark, sf_dir, t, key, N_CK_BUCKETS, "ck"
+        )
     return names["orders"], names["customer"]
 
 

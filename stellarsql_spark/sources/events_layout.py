@@ -59,7 +59,18 @@ def _marker_ok(marker: str, fp: str) -> bool:
         return False
 
 
-def _build_serialized(target_dir: str, marker: str, fp: str, build) -> None:
+def _published_ok(dirs) -> bool:
+    """True iff every directory a build publishes still holds a
+    completed parquet write (its ``_SUCCESS`` file).  A marker-gated
+    fast path must verify the companion artifacts the marker vouches
+    for, not just the marker's own directory (r12 ADVICE): a companion
+    deleted independently would otherwise pass the marker check and
+    serve a missing directory."""
+    return all(os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs)
+
+
+def _build_serialized(target_dir: str, marker: str, fp: str, build,
+                      published=()) -> None:
     """Run ``build()`` (an overwrite-write + marker publish) at most
     once per fingerprint, serialized across sessions via an exclusive
     lock file beside the target dir.
@@ -78,7 +89,7 @@ def _build_serialized(target_dir: str, marker: str, fp: str, build) -> None:
     os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
     with open(lock_path, "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
-        if _marker_ok(marker, fp):
+        if _marker_ok(marker, fp) and _published_ok(published):
             return
         build()
         with open(marker, "w") as f:
