@@ -889,3 +889,96 @@ def b_llm_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("batch_id", "doc_id", "text_hash", "n_in_batch")
+
+
+# --- audit-dispatched incremental dedup (C282, r12 VERDICT #3) ----------------
+
+# The decision bar, pinned like b_join_auto's 32 partitions: the
+# verdict must be a corpus property both engines derive identically,
+# not a session property.  The structural rule (SCALE.md round-12,
+# the measured 300× negative): the Bloom prefilter is pure added
+# latency while the standing hash set still BROADCASTS for the anti
+# join — it pays only past the broadcast crossover, where the
+# position table (≤ 2^16 rows forever) stays broadcastable after the
+# hash set (16 B/doc, unbounded) stops being so.  A production
+# deployment sizes this bar to spark.sql.autoBroadcastJoinThreshold
+# (10 MB ≈ ~300k md5 rows); here it is pinned at 1000 so the shipped
+# corpora exercise BOTH lanes through the key (sf0.01: 333 standing
+# hashes → 'plain'; sf0.1: 3330 → 'bloom').
+DEDUP_BLOOM_CROSSOVER = 1000
+
+
+def choose_dedup_strategy(n_standing: int,
+                          crossover: int = DEDUP_BLOOM_CROSSOVER) -> str:
+    """'plain' while the standing hash set is broadcast-sized, 'bloom'
+    once it outgrows the bar — the C278 crossover as a decision rule."""
+    return "plain" if n_standing <= crossover else "bloom"
+
+
+_DEDUP_AUTO_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents
+),
+newb AS (SELECT * FROM hashed WHERE doc_id % 3 = 0),
+oldb AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 3 <> 0),
+v AS (
+  SELECT CASE WHEN COUNT(*) <= {DEDUP_BLOOM_CROSSOVER}
+         THEN 'plain' ELSE 'bloom' END AS verdict
+  FROM oldb
+),
+batch AS (
+  SELECT text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_in_batch
+  FROM newb GROUP BY text_hash
+)
+SELECT v.verdict, s.doc_id, s.text_hash, s.n_in_batch
+FROM v CROSS JOIN (
+  SELECT b.doc_id, b.text_hash, b.n_in_batch
+  FROM batch b LEFT JOIN oldb o ON b.text_hash = o.text_hash
+  WHERE o.text_hash IS NULL
+) s
+"""
+
+
+@register("b_llm_dedup_auto", oracle=_DEDUP_AUTO_ORACLE,
+          tags=("pipeline", "dedup", "incremental", "auto", "eager"))
+def b_llm_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C282: b_join_auto's certified chooser pattern applied to the
+    dedup family (r12 VERDICT #3) — audit the standing hash-set size,
+    let ``choose_dedup_strategy`` pick the probe form, EXECUTE that
+    lane, and emit the verdict beside the survivors.  The oracle
+    replays the same audit + decision rule in SQL over the plain
+    survivors, so the hash certifies BOTH that the chooser picked what
+    the decision table says for this corpus AND that the dispatched
+    lane is result-identical to the plain anti-join (C278's founding
+    contract: the Bloom only ever short-circuits rows the anti join
+    would pass).
+
+    Lanes:
+    - 'plain' → C269's anti-join (standing set broadcasts; a Bloom in
+      front is the measured 300× negative — pure added latency);
+    - 'bloom' → C278's broadcast-Bloom prefilter (standing set past
+      the broadcast bar; only the ~FP-rate fraction probes it), with
+      the bloom_hit audit column dropped to keep the contract
+      lane-invariant.
+
+    Cost shape: the audit is one |standing|-row distinct count — the
+    same stats pass a warehouse keeps beside the artifact (the C273
+    fold maintains the standing set ON DISK, so its row count is free
+    metadata there; counting it per call is the honest uncached form,
+    exactly b_join_auto's caveat).  tests/test_round13.py drives
+    'plain' at sf0.01 (333 standing hashes) and 'bloom' at sf0.1
+    (3330) THROUGH this key."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    n_standing = (
+        d.where(F.col("doc_id") % 3 != 0).select("text_hash").distinct().count()
+    )
+    verdict = choose_dedup_strategy(n_standing)
+    if verdict == "bloom":
+        lane = b_llm_dedup_bloom(spark, sf_dir).drop("bloom_hit")
+    else:
+        lane = b_llm_dedup_incremental(spark, sf_dir)
+    return lane.select(
+        F.lit(verdict).alias("verdict"), "doc_id", "text_hash", "n_in_batch"
+    )

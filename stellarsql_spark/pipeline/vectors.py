@@ -1395,6 +1395,53 @@ K_COARSE = 8
 COARSE_ITERS = 1
 
 
+def _nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """(vec_id, cell) of each vector's ``n`` nearest coarse centroids
+    by exact integer squared-L2 (broadcast-centroid argmin — the
+    centroid table is K_COARSE rows, never the shuffled side)."""
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", _l2sq(F.col("qv"), F.col("cvec")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def _coarse_centroids(q: DataFrame, iters: int = COARSE_ITERS) -> DataFrame:
+    """(cid, cvec) after ``iters`` Lloyd rounds on the integer grid,
+    seeded from the K_COARSE lowest vec_ids — the exact-BIGINT coarse
+    quantizer shared by b_llm_ivfpq, b_llm_ivfpq_residual, and the
+    served index build (assignment by exact squared-L2, centroid
+    recompute as ROUND(SUM/COUNT) per dimension, so centroids are
+    bit-identical cross-engine)."""
+    cents = q.where(F.col("vec_id") < K_COARSE).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cvec")
+    )
+    for _ in range(iters):
+        a = _nearest_cells(q.select("vec_id", "qv"), cents, 1)
+        cents = (
+            a.join(q, "vec_id")
+            .select("cell", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("cv")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cvec")
+            )
+            .select(F.col("cell").alias("cid"), "cvec")
+        )
+    return cents
+
+
 def _sql_l2(a: str, b: str) -> str:
     """Exact BIGINT squared-L2 between two integer lists, DuckDB-side."""
     return (
@@ -1477,11 +1524,12 @@ def _ivfpq_head_ctes(iters: int = COARSE_ITERS) -> list[str]:
     return ctes
 
 
-def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
-    """The C265 PQ oracle with the IVF pruning CTEs composed in front;
-    the Lloyd refinement unrolls ``iters`` rounds of chained CTEs."""
+def _ivfpq_pq_ctes() -> list[str]:
+    """The PQ scoring chain appended to the IVF head: subvectors →
+    seeded codebook → corpus codes → per-query LUT → cell-pruned ADC →
+    ranked.  Shared by the plain (C276) and served (C281) oracles."""
     l2 = _sql_l2
-    ctes = _ivfpq_head_ctes(iters)
+    ctes = []
     ctes.append(
         f"sub AS (\n"
         f"  SELECT vec_id, CAST(j AS INT) AS j,\n"
@@ -1526,6 +1574,14 @@ def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
         " ORDER BY adc_dist, neighbor_id) AS rn\n"
         "  FROM adc\n)"
     )
+    return ctes
+
+
+def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
+    """The C265 PQ oracle with the IVF pruning CTEs composed in front;
+    the Lloyd refinement unrolls ``iters`` rounds of chained CTEs."""
+    l2 = _sql_l2
+    ctes = _ivfpq_head_ctes(iters) + _ivfpq_pq_ctes()
     ctes.append(
         f"exact AS (\n"
         f"  SELECT query_id, neighbor_id FROM (\n"
@@ -1691,43 +1747,9 @@ def b_llm_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = _int8_grid(e)
 
-    def nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        return (
-            vecs.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id", "cid", _l2sq(F.col("qv"), F.col("cvec")).alias("d")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= n)
-            .select("vec_id", F.col("cid").alias("cell"))
-        )
-
-    cents = q.where(F.col("vec_id") < K_COARSE).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cvec")
-    )
-    for _ in range(COARSE_ITERS):
-        a = nearest_cells(q.select("vec_id", "qv"), cents, 1)
-        cents = (
-            a.join(q, "vec_id")
-            .select("cell", F.posexplode("qv").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(F.sum("v").cast("double") / F.count("*"))
-                .cast("long")
-                .alias("cv")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s.cv,
-                ).alias("cvec")
-            )
-            .select(F.col("cell").alias("cid"), "cvec")
-        )
-    af = nearest_cells(q.select("vec_id", "qv"), cents, 1)
-    probe = nearest_cells(
+    cents = _coarse_centroids(q)
+    af = _nearest_cells(q.select("vec_id", "qv"), cents, 1)
+    probe = _nearest_cells(
         q.where(F.col("vec_id") < N_QUERIES).select("vec_id", "qv"), cents, NPROBE
     ).select(F.col("vec_id").alias("query_id"), "cell")
     sub_resid = F.zip_with("qv", "cvec", lambda a, b: a - b)
@@ -1876,43 +1898,9 @@ def b_llm_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = _int8_grid(e)
 
-    def nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        return (
-            vecs.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id", "cid", _l2sq(F.col("qv"), F.col("cvec")).alias("d")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= n)
-            .select("vec_id", F.col("cid").alias("cell"))
-        )
-
-    cents = q.where(F.col("vec_id") < K_COARSE).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cvec")
-    )
-    for _ in range(COARSE_ITERS):
-        a = nearest_cells(q.select("vec_id", "qv"), cents, 1)
-        cents = (
-            a.join(q, "vec_id")
-            .select("cell", F.posexplode("qv").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(F.sum("v").cast("double") / F.count("*"))
-                .cast("long")
-                .alias("cv")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s.cv,
-                ).alias("cvec")
-            )
-            .select(F.col("cell").alias("cid"), "cvec")
-        )
-    af = nearest_cells(q.select("vec_id", "qv"), cents, 1)
-    probe = nearest_cells(
+    cents = _coarse_centroids(q)
+    af = _nearest_cells(q.select("vec_id", "qv"), cents, 1)
+    probe = _nearest_cells(
         q.where(F.col("vec_id") < N_QUERIES).select("vec_id", "qv"), cents, NPROBE
     ).select(F.col("vec_id").alias("query_id"), "cell")
     assign, lut, _ = _pq_parts(q)
@@ -1945,5 +1933,162 @@ def b_llm_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_dist").cast("bigint").alias("adc_dist"),
             F.col("rn").cast("int").alias("rn"),
             F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# --- SERVED IVF-PQ: the full index at rest (C281, r12 VERDICT #1) -------
+
+def _ivfpq_served_oracle(iters: int = COARSE_ITERS) -> str:
+    """C281's oracle: the exact C276 recompute-from-raw (IVF head +
+    PQ chain) minus the exact-recall annotation — the served key's
+    contract is the same ranked ADC top-k over the probed cells, and
+    the corpus-sized exact pass stays on the plain key (an offline
+    quality audit, not a serving-time column), mirroring how C280
+    relates to C265."""
+    ctes = _ivfpq_head_ctes(iters) + _ivfpq_pq_ctes()
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,\n"
+        f"       CAST(rn AS INT) AS rn\n"
+        f"FROM ranked WHERE rn <= {TOP_K}"
+    )
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Materialize (once per corpus fingerprint) the FULL IVF-PQ index
+    at rest — what a faiss IVF-PQ index file holds, as parquet:
+
+    ``<warehouse>/ivfpq_cents_<tag>/``  the K_COARSE trained coarse
+        centroids (cid, cvec) — the quantizer queries probe against.
+    ``<warehouse>/ivfpq_codes_<tag>/cell=<c>/``  every vector's PQ
+        codes (vec_id, j, code) PARTITIONED BY ITS IVF CELL — the
+        inverted lists.  Cell-partitioning is the layout point: a
+        probe reads only the probed cells' directories (partition
+        pruning), so query cost scales with NPROBE/K_COARSE of the
+        corpus, not the corpus.
+    The M_SUB×K_CODE codebook is shared with C280's artifacts
+    (ensure_pq_codes — the composed key scores with the same
+    raw-vector codebook as plain PQ-ADC).
+
+    Same fingerprint-marker + exclusive-lock + published-set protocol
+    as every serving artifact; returns (cents_dir, codes_dir, cb_dir).
+    """
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.catalog import content_fingerprint, table_path
+    from stellarsql_spark.sources.events_layout import (
+        _build_serialized,
+        _marker_ok,
+        _published_ok,
+    )
+
+    pq_codes_dir, cb_dir = ensure_pq_codes(spark, sf_dir)
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    cents_dir = os.path.join(warehouse, f"ivfpq_cents_{tag}")
+    codes_dir = os.path.join(warehouse, f"ivfpq_codes_{tag}")
+    marker = os.path.join(codes_dir, "_IVFPQ_DONE")
+    fp = content_fingerprint(table_path(sf_dir, "embeddings"))
+    published = (cents_dir, codes_dir)
+    if _marker_ok(marker, fp) and _published_ok(published):
+        return cents_dir, codes_dir, cb_dir
+
+    def _build() -> None:
+        q = _int8_grid(load_table(spark, sf_dir, "embeddings"))
+        _coarse_centroids(q).coalesce(1).write.mode("overwrite").parquet(cents_dir)
+        # assign against the MATERIALIZED centroids (read back), so the
+        # codes' cells are exactly what queries will probe against
+        af = _nearest_cells(
+            q.select("vec_id", "qv"), spark.read.parquet(cents_dir), 1
+        ).withColumn("cell", F.col("cell").cast("int"))
+        codes = spark.read.parquet(pq_codes_dir)
+        (
+            af.join(codes, "vec_id")
+            .repartition(F.col("cell"))  # one writer task per cell → one file per inverted list
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(codes_dir)
+        )
+
+    _build_serialized(codes_dir, marker, fp, _build, published=published)
+    return cents_dir, codes_dir, cb_dir
+
+
+@register("b_llm_ivfpq_served", oracle=_ivfpq_served_oracle(),
+          tags=("pipeline", "vectors", "quantization", "pq", "approx", "served"))
+def b_llm_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C281: the SERVED form of composed IVF-PQ (r12 VERDICT #1) —
+    read the at-rest index (trained coarse centroids + cell-
+    partitioned PQ codes + codebook, ensure_ivfpq_index) and pay ONLY
+    the query-time work: quantize the queries, rank the K_COARSE
+    broadcast centroids per query (the probe list), build the
+    M_SUB×K_CODE LUT against the stored codebook, then ADC-score ONLY
+    the code rows in the probed cells.  This completes the ANN
+    family's lineage: exhaustive (b_llm_cosine_topk) → compressed
+    (b_llm_pq_adc / C280 served) → pruned+compressed (b_llm_ivfpq) →
+    SERVED pruned+compressed (this key).  The plain key's 127 s at
+    1.5M vectors is the one-time index build; this key is what a
+    query actually costs against that index.
+
+    Scale shape at query time: the probe list (queries × NPROBE) joins
+    the cell-partitioned code artifact ON THE PARTITION COLUMN — with
+    a broadcast build side Spark can partition-prune the scan to the
+    probed cells (at K_COARSE=8 and 50 queries every cell is usually
+    probed by someone; per-query pruning still bounds each query's
+    candidate set to ~NPROBE/K_COARSE of the corpus, and a production
+    deployment sizes K_COARSE ~ sqrt(N) so the probed fraction is
+    tiny).  The LUT join and grouped M_SUB-row sum are identical to
+    C280's served ADC.  No corpus-sized vector arithmetic, no encode,
+    no Lloyd rounds — those live in the index build.
+
+    Result contract: identical ranked ADC top-k as b_llm_ivfpq minus
+    the recall annotation (equality asserted in tests/test_round13.py);
+    the DuckDB oracle still recomputes quantizer + encode + ADC from
+    the raw parquet, which is the gap being measured."""
+    cents_dir, codes_dir, cb_dir = ensure_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(cents_dir)
+    cb = spark.read.parquet(cb_dir)
+    q = _int8_grid(
+        load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probe = _nearest_cells(q.select("vec_id", "qv"), cents, NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").cast("int").alias("cell")
+    )
+    slices = F.array(
+        *[F.slice("qv", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
+    )
+    lut = (
+        q.select("vec_id", F.posexplode(slices).alias("j", "sv"))
+        .join(F.broadcast(cb), F.col("j") == F.col("cj"))
+        .select(
+            F.col("vec_id").alias("lq"),
+            F.col("j").alias("lj"),
+            "cid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
+        )
+    )
+    codes = spark.read.parquet(codes_dir)
+    adc = (
+        codes.join(F.broadcast(probe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(lut),
+            (F.col("j") == F.col("lj"))
+            & (F.col("code") == F.col("cid"))
+            & (F.col("query_id") == F.col("lq")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
         )
     )

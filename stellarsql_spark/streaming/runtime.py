@@ -430,3 +430,75 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
         ).alias("event_type"),
         (F.col("value") % 1000).cast("double").alias("value"),
     )
+
+
+def sustained_rate_drain(
+    spark: SparkSession,
+    rows_per_second: int = 5000,
+    min_batches: int = 8,
+    trigger_ms: int = 1000,
+    window: str = "1 second",
+    watermark: str = "2 seconds",
+    timeout_s: float = 120.0,
+) -> list[dict]:
+    """Run the watermarked tumbling aggregate against a RATE-PINNED
+    source for at least ``min_batches`` non-empty micro-batches and
+    return each batch's ops metrics — the end-to-end THROUGHPUT
+    contract (r12 VERDICT #7): at 100 TB the streaming ops question is
+    lag and state growth under sustained input, not one-shot drain
+    correctness (which the run_* keys certify).
+
+    What bounded lag / bounded state require structurally, and what
+    the returned metrics let a test assert:
+    - ``duration_ms`` (batchDuration) staying under the trigger
+      interval means the pipeline keeps up at the pinned rate — lag
+      does not accumulate across batches;
+    - ``state_rows`` (stateOperators numRowsTotal) staying flat means
+      the watermark actually EVICTS closed windows: live state is
+      bounded by (watermark + window)/window window-starts × |groups|
+      regardless of how long the query runs — the property that keeps
+      a perpetual query's memory constant.
+    The rate source is Spark's standard load generator; swapping it
+    for Kafka changes only the source options, nothing downstream
+    (socket_stream's note).  Uses update mode + processing-time
+    trigger — the perpetual-query deployment shape, unlike the
+    processAllAvailable() drains used for result parity."""
+    import time
+    import uuid as _uuid
+
+    agg = (
+        rate_stream(spark, rows_per_second)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    name = f"rate_drain_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(nonempty) >= min_batches:
+                break
+            time.sleep(0.25)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    return [
+        {
+            "batch_id": p["batchId"],
+            "input_rows": p["numInputRows"],
+            "duration_ms": p["batchDuration"],
+            "state_rows": sum(
+                op["numRowsTotal"] for op in p.get("stateOperators", [])
+            ),
+            "trigger_ms": trigger_ms,
+        }
+        for p in progress
+    ]
