@@ -152,6 +152,7 @@ _PROBE_TABLES = {
     "b_join_skew_split": ("orders", "lineitem"),
     "b_join_skew_bypass": ("orders", "lineitem"),
     "b_join_skew_coldagg": ("orders", "lineitem"),
+    "b_graph_label_prop_converged": ("events",),
 }
 
 # Skew tier (r8): the skew-handling forms of the same orders⋈lineitem
@@ -181,6 +182,24 @@ SKEW_FACTOR = 300
 # — the same end-to-end work DuckDB's single oracle statement does.
 RETRIEVAL_MATCHED = ("b_llm_bm25",)
 RETRIEVAL_FACTOR = 300
+
+# Graph tier (r12 VERDICT #2): the iterate-to-fixpoint loop at depth.
+# b_graph_label_prop_converged runs LP_CONV_CAP synchronous LPA rounds
+# with per-round localCheckpoint — the loop discipline every iterative
+# graph key shares — so this block puts a measured cost on it.  The
+# corpus is the TIME-SHIFTED replica (ensure_graph_corpus): shifting
+# each replica's timestamps keeps co-occurrence bucket density
+# constant, so the graph grows as factor disjoint copies (linear
+# edges — the honest "more communities" scale shape) instead of
+# quadratically denser minutes.  The key is tagged "eager" (the loop
+# executes at builder time).  LPA-converged rather than
+# b_graph_components because the ratio needs a feasible twin: the
+# components oracle is recursive-CTE REACHABILITY, which is
+# O(Σ component²) rows — measured >590 s at a mere 100× (Spark's
+# min-label loop: 8.9 s) — while the LPA oracle is LP_CONV_CAP
+# unrolled linear rounds, the same round count the Spark loop runs.
+GRAPH_MATCHED = ("b_graph_label_prop_converged",)
+GRAPH_FACTOR = 300
 
 
 # Keys whose result set is corpus-sized (top-3 per CUSTOMER is
@@ -557,6 +576,7 @@ _SHORT = {
     "b_topk_per_group_bucketed": "topkB",
     "b_topk_per_group_served": "topkS",
     "b_llm_dedup_exact": "dedup",
+    "b_graph_label_prop_converged": "lpa",
 }
 
 _TIER_TAGS = {
@@ -566,6 +586,7 @@ _TIER_TAGS = {
     "scale_probe_1000": "x1000",
     "scale_probe_skew": "skew",
     "scale_probe_retrieval": "retr",
+    "scale_probe_graph": "graph",
 }
 
 
@@ -852,13 +873,28 @@ def main() -> None:
             result["scale_probe_retrieval"] = probe(RETRIEVAL_FACTOR, RETRIEVAL_MATCHED)
         else:
             result["scale_probe_retrieval"] = {"skipped": "time budget"}
+        # Graph tier (r12 VERDICT #2): the iterative loop at depth on
+        # the time-shifted corpus — see the GRAPH_MATCHED block
+        # comment. One-off build ~1.2 GiB (cached + fingerprinted).
+        if _budget_elapsed() < 1740:
+            from stellarsql_spark.scale import ensure_graph_corpus
+
+            result["scale_probe_graph"] = probe(
+                GRAPH_FACTOR,
+                GRAPH_MATCHED,
+                scaled_dir=ensure_graph_corpus(spark, sf_dir, GRAPH_FACTOR),
+            )
+        else:
+            result["scale_probe_graph"] = {"skipped": "time budget"}
         # Streaming throughput probe (r8): every scale tier above is
         # batch; this is the one measured micro-batch number. Drain
         # the watermarked tumbling aggregate (b_stream_run_tumbling's
         # plan) over the 100× events corpus through the file source,
         # one file per trigger, so the run is genuinely incremental
         # (~6 micro-batches updating (window, type) state).
-        if _budget_elapsed() < 1740:
+        # (guard widened r13 +180 s: the graph tier adds ~3-5 min of
+        # timed trials ahead of this block)
+        if _budget_elapsed() < 1920:
             result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.

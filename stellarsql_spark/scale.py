@@ -254,3 +254,75 @@ def ensure_skewed_corpus(
     with open(marker, "w") as f:
         f.write(fingerprint)
     return out_dir
+
+
+# --- time-shifted graph corpus (r12 VERDICT #2): depth for the graph tier ----
+#
+# The uniform replicator above keeps each replica's TIMESTAMPS, so on
+# the co-occurrence graph (users linked by same event_type within the
+# same minute) replicas all land in the SAME minute buckets — bucket
+# population grows by the factor and the edge count grows
+# QUADRATICALLY, which benchmarks bucket blowup, not a bigger graph.
+# This variant additionally shifts each replica's timestamps by
+# replica × TS_STRIDE_DAYS (wider than the base corpus's ~30-day
+# span), so replicas are time-disjoint: the graph is ``factor``
+# DISJOINT COPIES of the base graph — linear nodes/edges/components,
+# constant local density and diameter.  That is the honest "100 TB of
+# events" graph shape (more communities, not denser minutes), and it
+# is also what keeps the DuckDB reachability twin finite: the
+# recursive-CTE reach set is Σ s_c² over components, bounded by
+# factor × s_base² here, vs (factor × s_base)² under shared minutes.
+TS_STRIDE_DAYS = 64
+
+
+def ensure_graph_corpus(
+    spark: SparkSession, base_sf_dir: str, factor: int,
+    out_root: str | None = None,
+) -> str:
+    """Build (or reuse) the ``factor``× TIME-SHIFTED events corpus for
+    the graph depth tier; other tables are copied at base size so
+    every view still registers."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(base_sf_dir.rstrip("/"))
+    out_dir = os.path.join(out_root or os.path.join(repo, ".scale"), f"{tag}_x{factor}g")
+    marker = os.path.join(out_dir, "_SCALED_DONE")
+    fingerprint = (
+        _base_fingerprint(base_sf_dir, factor, ("events",))
+        + f"|graph:{TS_STRIDE_DAYS}"
+    )
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        t_factor = factor if t == "events" else 1
+        est_bytes = _est_scan_bytes(table_path(base_sf_dir, t)) * t_factor
+        n_files = int(max(1, min(512, est_bytes // (32 << 20))))
+        base = load_table(spark, base_sf_dir, t)
+        if n_files > 1:
+            base = base.repartition(n_files)
+        if t == "events" and t_factor > 1:
+            replicas = spark.range(t_factor).select(F.col("id").alias("_replica"))
+            scaled = (
+                base.crossJoin(F.broadcast(replicas))
+                .withColumn("event_id", F.col("event_id") + F.col("_replica") * F.lit(STRIDE))
+                .withColumn("user_id", F.col("user_id") + F.col("_replica") * F.lit(STRIDE))
+                .withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.unix_micros("ts")
+                        + F.col("_replica") * F.lit(TS_STRIDE_DAYS * 86_400_000_000)
+                    ),
+                )
+                .drop("_replica")
+            )
+        else:
+            scaled = replicate_table(base, t, t_factor)
+        scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return out_dir
