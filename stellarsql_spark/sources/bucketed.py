@@ -280,7 +280,11 @@ def ensure_join_rollup(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     exclusive-lock protocol as the events layout (r8 ADVICE)."""
     from urllib.parse import urlparse
 
-    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+    from stellarsql_spark.sources.events_layout import (
+        _build_serialized,
+        _marker_ok,
+        _published_ok,
+    )
 
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -294,7 +298,10 @@ def ensure_join_rollup(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         _bucket_fingerprint(table_path(sf_dir, t), 0)
         for t in ("orders", "customer", "nation", "region")
     )
-    if _marker_ok(marker, fp):
+    # the marker lives in rollup_dir but vouches for all three
+    # published directories (r12 ADVICE)
+    published = (preagg_dir, rollup_dir, names_dir)
+    if _marker_ok(marker, fp) and _published_ok(published):
         return rollup_dir, names_dir
 
     def _build() -> None:
@@ -331,7 +338,7 @@ def ensure_join_rollup(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .parquet(names_dir)
         )
 
-    _build_serialized(rollup_dir, marker, fp, _build)
+    _build_serialized(rollup_dir, marker, fp, _build, published=published)
     return rollup_dir, names_dir
 
 
