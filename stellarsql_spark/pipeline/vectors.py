@@ -1613,14 +1613,14 @@ def _ivfpq_oracle(iters: int = COARSE_ITERS) -> str:
 CB_ITERS = 1
 
 
-def _ivfpq_residual_oracle(iters: int = COARSE_ITERS) -> str:
-    """C279's oracle: the C276 CTE chain with PQ moved onto RESIDUALS
-    (vector − assigned coarse centroid), a CB_ITERS-round trained
-    codebook, and the per-(query, probed cell) LUT — the faiss-default
-    `by_residual` layout."""
+def _ivfpq_residual_chain(iters: int = COARSE_ITERS) -> str:
+    """The residual-PQ CTE chain through ``ranked``: IVF head +
+    residuals + CB_ITERS-round trained codebook + per-(query, probed
+    cell) LUT + cell-matched ADC — shared by the plain (C279) and
+    served (C283) residual oracles."""
     l2 = _sql_l2
     # everything up to (and including) the probe CTE is the shared IVF
-    # head; this oracle swaps the PQ chain for the residual one
+    # head; this chain swaps the PQ stage for the residual one
     head = "WITH " + ",\n".join(_ivfpq_head_ctes(iters))
     last = f"c{iters}"
     tail = f""",
@@ -1696,7 +1696,18 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
  ORDER BY adc_dist, neighbor_id) AS rn
   FROM adc
-),
+)"""
+    return head + tail
+
+
+def _ivfpq_residual_oracle(iters: int = COARSE_ITERS) -> str:
+    """C279's oracle: the C276 CTE chain with PQ moved onto RESIDUALS
+    (vector − assigned coarse centroid), a CB_ITERS-round trained
+    codebook, and the per-(query, probed cell) LUT — the faiss-default
+    `by_residual` layout."""
+    l2 = _sql_l2
+    return (
+        _ivfpq_residual_chain(iters) + f""",
 exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1712,7 +1723,119 @@ SELECT r.query_id, r.neighbor_id, CAST(r.adc_dist AS BIGINT) AS adc_dist,
 FROM ranked r LEFT JOIN exact e
   ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
 WHERE r.rn <= {TOP_K}"""
-    return head + tail
+    )
+
+
+def _ivfpq_residual_served_oracle(iters: int = COARSE_ITERS) -> str:
+    """C283's oracle: the exact C279 recompute-from-raw minus the
+    exact-recall annotation (the C281/C280 served-key convention)."""
+    return (
+        _ivfpq_residual_chain(iters) + f"""
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {TOP_K}"""
+    )
+
+
+def _residual_sub(q: DataFrame, af: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, j, sv): residual subvectors of every vector —
+    (vector − assigned coarse centroid) sliced into M_SUB subspaces.
+    Shared by the plain residual key (C279) and the served index
+    build (C283)."""
+    resid = F.zip_with("qv", "cvec", lambda a, b: a - b)
+    slices = F.array(
+        *[F.slice("r", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
+    )
+    rv = (
+        af.join(q, "vec_id")
+        .join(F.broadcast(cents), F.col("cell") == F.col("cid"))
+        .select("vec_id", "cell", resid.alias("r"))
+    )
+    return rv.select("vec_id", "cell", F.posexplode(slices).alias("j", "sv"))
+
+
+def _train_residual_codebook(sub: DataFrame) -> DataFrame:
+    """(cj, ccid, cv): the K_CODE-per-subspace residual codebook,
+    seeded from the lowest vec_ids' residual subvectors and refined by
+    CB_ITERS integer-grid Lloyd rounds (exact-BIGINT assignment,
+    ROUND(SUM/COUNT) recompute — bit-identical cross-engine)."""
+    code_book = sub.where(F.col("vec_id") < K_CODE).select(
+        F.col("j").alias("cj"), F.col("vec_id").alias("ccid"), F.col("sv").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id", "j").orderBy("d", "ccid")
+    for _ in range(CB_ITERS):
+        a1 = (
+            sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+            .select(
+                "vec_id", "j", "ccid", _l2sq(F.col("sv"), F.col("cv")).alias("d")
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "j", "ccid")
+        )
+        code_book = (
+            a1.join(sub.select("vec_id", "j", "sv"), ["vec_id", "j"])
+            .select("j", "ccid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("j", "ccid", "pos")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("cv")
+            )
+            .groupBy("j", "ccid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cv")
+            )
+            .select(F.col("j").alias("cj"), "ccid", "cv")
+        )
+    return code_book
+
+
+def _residual_assign(sub: DataFrame, code_book: DataFrame) -> DataFrame:
+    """(vec_id, cell, j, code): every vector's residual PQ codes by
+    broadcast-codebook argmin."""
+    w_assign = Window.partitionBy("vec_id", "j").orderBy("d", "ccid")
+    return (
+        sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+        .select(
+            "vec_id", "cell", "j", "ccid",
+            _l2sq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "j", F.col("ccid").alias("code"))
+    )
+
+
+def _residual_query_lut(q: DataFrame, probe: DataFrame, cents: DataFrame,
+                        code_book: DataFrame) -> DataFrame:
+    """(lq, lcell, lj, lcid, ld): the per-(query, probed cell) ADC
+    lookup table — the query's residual is frame-dependent, so the
+    broadcast LUT carries queries × NPROBE × M_SUB × K_CODE rows."""
+    resid = F.zip_with("qv", "cvec", lambda a, b: a - b)
+    slices = F.array(
+        *[F.slice("r", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
+    )
+    qrv = (
+        q.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(probe), F.col("vec_id") == F.col("query_id"))
+        .join(F.broadcast(cents), F.col("cell") == F.col("cid"))
+        .select("query_id", "cell", resid.alias("r"))
+    )
+    return (
+        qrv.select("query_id", "cell", F.posexplode(slices).alias("j", "sv"))
+        .join(F.broadcast(code_book), F.col("j") == F.col("cj"))
+        .select(
+            F.col("query_id").alias("lq"),
+            F.col("cell").alias("lcell"),
+            F.col("j").alias("lj"),
+            F.col("ccid").alias("lcid"),
+            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
+        )
+    )
 
 
 @register("b_llm_ivfpq_residual", oracle=_ivfpq_residual_oracle(),
@@ -1752,75 +1875,10 @@ def b_llm_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _nearest_cells(
         q.where(F.col("vec_id") < N_QUERIES).select("vec_id", "qv"), cents, NPROBE
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    sub_resid = F.zip_with("qv", "cvec", lambda a, b: a - b)
-    rv = (
-        af.join(q, "vec_id")
-        .join(F.broadcast(cents), F.col("cell") == F.col("cid"))
-        .select("vec_id", "cell", sub_resid.alias("r"))
-    )
-    slices = F.array(
-        *[F.slice("r", j * SUBDIM + 1, SUBDIM) for j in range(M_SUB)]
-    )
-    sub = rv.select("vec_id", "cell", F.posexplode(slices).alias("j", "sv"))
-    code_book = sub.where(F.col("vec_id") < K_CODE).select(
-        F.col("j").alias("cj"), F.col("vec_id").alias("ccid"), F.col("sv").alias("cv")
-    )
-    w_assign = Window.partitionBy("vec_id", "j").orderBy("d", "ccid")
-    for _ in range(CB_ITERS):
-        a1 = (
-            sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
-            .select(
-                "vec_id", "j", "ccid", _l2sq(F.col("sv"), F.col("cv")).alias("d")
-            )
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "j", "ccid")
-        )
-        code_book = (
-            a1.join(sub.select("vec_id", "j", "sv"), ["vec_id", "j"])
-            .select("j", "ccid", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("j", "ccid", "pos")
-            .agg(
-                F.round(F.sum("v").cast("double") / F.count("*"))
-                .cast("long")
-                .alias("cv")
-            )
-            .groupBy("j", "ccid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s.cv,
-                ).alias("cv")
-            )
-            .select(F.col("j").alias("cj"), "ccid", "cv")
-        )
-    assign = (
-        sub.join(F.broadcast(code_book), F.col("j") == F.col("cj"))
-        .select("vec_id", "j", "ccid", _l2sq(F.col("sv"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "j", F.col("ccid").alias("code"))
-    )
-    qrv = (
-        q.where(F.col("vec_id") < N_QUERIES)
-        .join(
-            F.broadcast(probe),
-            F.col("vec_id") == F.col("query_id"),
-        )
-        .join(F.broadcast(cents), F.col("cell") == F.col("cid"))
-        .select("query_id", "cell", sub_resid.alias("r"))
-    )
-    lut = (
-        qrv.select("query_id", "cell", F.posexplode(slices).alias("j", "sv"))
-        .join(F.broadcast(code_book), F.col("j") == F.col("cj"))
-        .select(
-            F.col("query_id").alias("lq"),
-            F.col("cell").alias("lcell"),
-            F.col("j").alias("lj"),
-            F.col("ccid").alias("lcid"),
-            _l2sq(F.col("sv"), F.col("cv")).alias("ld"),
-        )
-    )
+    sub = _residual_sub(q, af, cents)
+    code_book = _train_residual_codebook(sub)
+    assign = _residual_assign(sub, code_book).drop("cell")
+    lut = _residual_query_lut(q, probe, cents, code_book)
     cand = (
         af.join(F.broadcast(probe), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -2077,6 +2135,132 @@ def b_llm_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("j") == F.col("lj"))
             & (F.col("code") == F.col("cid"))
             & (F.col("query_id") == F.col("lq")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+# --- SERVED residual IVF-PQ: the faiss layout at rest (C283) -------------
+
+def ensure_ivfpq_residual_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Materialize (once per corpus fingerprint) the RESIDUAL IVF-PQ
+    index — the faiss-default ``by_residual`` layout at rest:
+
+    ``<warehouse>/ivfpq_cents_<tag>/``  shared with C281: the same
+        trained coarse quantizer (ensure_ivfpq_index builds it; the
+        residual index reuses it verbatim, exactly as one faiss index
+        shares its quantizer across encodings).
+    ``<warehouse>/ivfpqr_codebook_<tag>/``  the TRAINED residual
+        codebook (CB_ITERS integer-grid Lloyd rounds on residual
+        subvectors).
+    ``<warehouse>/ivfpqr_codes_<tag>/cell=<c>/``  every vector's
+        residual PQ codes, partitioned by IVF cell (the inverted
+        lists).
+
+    Returns (cents_dir, codes_dir, codebook_dir)."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.catalog import content_fingerprint, table_path
+    from stellarsql_spark.sources.events_layout import (
+        _build_serialized,
+        _marker_ok,
+        _published_ok,
+    )
+
+    cents_dir, _, _ = ensure_ivfpq_index(spark, sf_dir)
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    rcb_dir = os.path.join(warehouse, f"ivfpqr_codebook_{tag}")
+    rcodes_dir = os.path.join(warehouse, f"ivfpqr_codes_{tag}")
+    marker = os.path.join(rcodes_dir, "_IVFPQR_DONE")
+    fp = content_fingerprint(table_path(sf_dir, "embeddings"))
+    published = (rcb_dir, rcodes_dir)
+    if _marker_ok(marker, fp) and _published_ok(published):
+        return cents_dir, rcodes_dir, rcb_dir
+
+    def _build() -> None:
+        q = _int8_grid(load_table(spark, sf_dir, "embeddings"))
+        cents = spark.read.parquet(cents_dir)
+        af = _nearest_cells(q.select("vec_id", "qv"), cents, 1)
+        sub = _residual_sub(q, af, cents)
+        _train_residual_codebook(sub).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(rcb_dir)
+        # encode against the MATERIALIZED codebook (read back), so the
+        # stored codes are exactly what query-time LUTs score against
+        codes = _residual_assign(sub, spark.read.parquet(rcb_dir)).withColumn(
+            "cell", F.col("cell").cast("int")
+        )
+        (
+            codes.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(rcodes_dir)
+        )
+
+    _build_serialized(rcodes_dir, marker, fp, _build, published=published)
+    return cents_dir, rcodes_dir, rcb_dir
+
+
+@register("b_llm_ivfpq_residual_served", oracle=_ivfpq_residual_served_oracle(),
+          tags=("pipeline", "vectors", "quantization", "pq", "approx", "served"))
+def b_llm_ivfpq_residual_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C283: the SERVED form of residual IVF-PQ — the production
+    refinement (C279's trained ``by_residual`` encoding) served from
+    the at-rest index, completing the refinement's own lineage the way
+    C281 completed the raw-code composition.  Query time: quantize the
+    queries, rank the broadcast coarse centroids (probe list), build
+    the per-(query, probed cell) residual LUT against the stored
+    centroids + trained codebook, ADC-score only the probed cells'
+    residual-code partitions.
+
+    What differs from C281 at query time — and the structural costs:
+    the LUT is queries × NPROBE × M_SUB × K_CODE rows (the query's
+    residual is cell-frame-dependent) instead of queries × M_SUB ×
+    K_CODE, and the code-lookup join additionally matches on cell —
+    both still query-bounded and broadcast; the corpus-sided work is
+    identical (a cell-pruned scan of 4 B/vector codes).  The quality
+    argument for paying the extra LUT width is C279's certified
+    recall gain (0.26 vs 0.18 at identical candidates).
+
+    Result contract: identical ranked ADC top-k as b_llm_ivfpq_residual
+    minus the recall annotation (equality asserted in
+    tests/test_round13.py); the DuckDB oracle recomputes quantizer +
+    residual training + encode + ADC from raw parquet."""
+    cents_dir, rcodes_dir, rcb_dir = ensure_ivfpq_residual_index(spark, sf_dir)
+    cents = spark.read.parquet(cents_dir)
+    code_book = spark.read.parquet(rcb_dir)
+    q = _int8_grid(
+        load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    )
+    probe = _nearest_cells(q.select("vec_id", "qv"), cents, NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").cast("int").alias("cell")
+    )
+    lut = _residual_query_lut(q, probe, cents, code_book)
+    codes = spark.read.parquet(rcodes_dir)
+    adc = (
+        codes.join(F.broadcast(probe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(lut),
+            (F.col("j") == F.col("lj"))
+            & (F.col("code") == F.col("lcid"))
+            & (F.col("query_id") == F.col("lq"))
+            & (F.col("cell") == F.col("lcell")),
         )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("ld").alias("adc_dist"))

@@ -184,3 +184,45 @@ class TestBucketedSerialized:
         # and the orderkey-bucketed pair still round-trips
         bo, bl = write_bucketed(spark, SF)
         assert spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl)
+
+
+class TestIvfpqResidualServed:
+    def test_served_equals_plain_minus_annotation(self, spark):
+        """C283: the served residual form must return exactly the
+        plain residual IVF-PQ ranking minus the recall column."""
+        from stellarsql_spark.pipeline.vectors import (
+            b_llm_ivfpq_residual,
+            b_llm_ivfpq_residual_served,
+        )
+
+        served = {
+            (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+            for r in b_llm_ivfpq_residual_served(spark, SF_MED).collect()
+        }
+        plain = {
+            (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rn"])
+            for r in b_llm_ivfpq_residual(spark, SF_MED).collect()
+        }
+        assert served == plain and len(served) == 50
+
+    def test_residual_index_layout_and_idempotence(self, spark):
+        """The residual codes must land cell-partitioned (inverted
+        lists) beside the trained codebook, reusing C281's coarse
+        centroids; re-call must be a fingerprinted no-op."""
+        from stellarsql_spark.pipeline.vectors import (
+            K_COARSE,
+            ensure_ivfpq_index,
+            ensure_ivfpq_residual_index,
+        )
+
+        cents_dir, rcodes_dir, rcb_dir = ensure_ivfpq_residual_index(
+            spark, SF_MED
+        )
+        assert cents_dir == ensure_ivfpq_index(spark, SF_MED)[0]
+        cells = [d for d in os.listdir(rcodes_dir) if d.startswith("cell=")]
+        assert 1 <= len(cells) <= K_COARSE
+        assert os.path.exists(os.path.join(rcb_dir, "_SUCCESS"))
+        marker = os.path.join(rcodes_dir, "_IVFPQR_DONE")
+        mtime = os.stat(marker).st_mtime_ns
+        ensure_ivfpq_residual_index(spark, SF_MED)
+        assert os.stat(marker).st_mtime_ns == mtime
