@@ -81,6 +81,14 @@ def duck_con(sf_dir: str):
     from stellarsql_spark.catalog import TABLES, table_path
 
     con = duckdb.connect()
+    # Cap DuckDB and give it a spill dir: its default budget is a
+    # fraction of TOTAL RAM and ignores the co-resident Spark JVM —
+    # the annr300 probe's first attempt OOM-killed the process when
+    # the residual-chain recompute stacked on a 48g heap.  With a
+    # limit + temp_directory DuckDB spills instead of dying (same
+    # class of fix as the 56g-heap rule in the memory notes).
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckspill'")
     for t in TABLES:
         p = table_path(sf_dir, t)
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
@@ -119,7 +127,9 @@ def main() -> None:
         warm_tables = ("embeddings",)
     elif args.tier == "annr300":
         d = ensure_scaled_corpus(spark, args.sf, 300)
-        keys_runs = [("b_llm_ivfpq_residual_served", 7)]
+        # min-of-5 (not 7): the duck-side recompute is ~240 s/trial at
+        # this depth — the same trade the bench makes at 1000×
+        keys_runs = [("b_llm_ivfpq_residual_served", 5)]
         warm_tables = ("embeddings",)
     elif args.tier == "annr1000":
         d = ensure_scaled_corpus(
@@ -228,6 +238,18 @@ def main() -> None:
             return df_holder["df"].count()
 
         dsql = spec.oracle
+        if args.tier.startswith("annr"):
+            # Timing-only rewrite (the _COUNT_WRAPPED precedent): pin
+            # DuckDB's CTE chain to AS MATERIALIZED.  Without it the
+            # planner re-expands the residual chain's shared CTEs into
+            # a bushy tree of concurrent 100M-row-estimate windows and
+            # spilled past 52 GB of disk at 600k vectors; materialized,
+            # the same query runs in ~240 s.  Same rows, same hash —
+            # the registered oracle stays byte-stable.
+            for cte in ("q AS (", "af AS (", "probe AS (", "rv AS (",
+                        "sub AS (", "code_book AS (", "assign AS (",
+                        "lut AS ("):
+                dsql = dsql.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("))
 
         def duck_fn(dsql=dsql):
             return con.execute(dsql).fetchall()
