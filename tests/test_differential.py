@@ -459,7 +459,12 @@ def _round_seed(base: int) -> int:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_rounds = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    return base + 101 * n_rounds
+    # SPARK_GRAFT_FUZZ_OFFSET: extra-sweep hook — in-round re-runs set
+    # 1, 2, ... to explore fresh seed space beyond the per-round
+    # rotation while each sweep stays reproducible from (repo state,
+    # offset).
+    offset = int(os.environ.get("SPARK_GRAFT_FUZZ_OFFSET", "0"))
+    return base + 101 * n_rounds + offset
 
 
 def test_differential_corpus(spark, duck):
