@@ -743,6 +743,126 @@ def ensure_dedup_hashset(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+# --- bucketed standing-set incremental dedup (C284, r13 VERDICT #1) -----------
+
+# Bucket count matches the custkey-bucketed layout's sizing note
+# (sources/bucketed.py N_CK_BUCKETS): one bucket per local core here;
+# a 1000-executor cluster sizes this to total cores like shuffle width.
+N_HASHSET_BUCKETS = 32
+
+
+def ensure_standing_hashset_bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """The standing corpus's DISTINCT hash set as a ``text_hash``-
+    bucketed (and per-bucket sorted) catalog table — the LAYOUT form of
+    the C269 probe's big side.
+
+    C273 already certifies that the standing set is a maintained
+    artifact (fold == full recompute); this ensure materializes that
+    artifact hash-prefix-CO-LOCATED: ``bucketBy(N, text_hash)`` at
+    write time plays the role the custkey buckets play for the join
+    headline (sources/bucketed.py), so every future batch's anti-join
+    probe is co-partitioned AT REST — the corpus-sized side of the
+    probe never shuffles again, which is the write-path discipline a
+    100 TB ingest pipeline applies once and amortizes over every
+    batch.  Maintenance stays append-shaped: a batch's surviving
+    hashes fold in bucket-aligned (same Murmur3 hash mod N), touching
+    only the buckets its hashes land in.
+
+    Same serialized fingerprint-marker protocol + metadata-only
+    re-registration as every bucketed layout (r12 ADVICE)."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.catalog import content_fingerprint, table_path
+    from stellarsql_spark.sources.bucketed import _recreate_over_location
+    from stellarsql_spark.sources.events_layout import _build_serialized, _marker_ok
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    name = f"dedup_hashset_bk_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, name)
+    marker = os.path.join(loc, "_BUCKETS_DONE")
+    fp = (
+        f"hs1:{content_fingerprint(table_path(sf_dir, 'documents'))}"
+        f":{N_HASHSET_BUCKETS}"
+    )
+    standing = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 != 0)
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"))
+        .distinct()
+    )
+    if not _marker_ok(marker, fp):
+
+        def _build() -> None:
+            import shutil
+
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE {name}")
+            shutil.rmtree(loc, ignore_errors=True)
+            # repartition by the bucket key first → ONE file per bucket
+            # (same Murmur3 assignment) — the only layout where Spark
+            # trusts the per-bucket sortBy order at read time, so the
+            # anti-join SMJ skips the standing-side sort too.
+            (
+                standing.repartition(N_HASHSET_BUCKETS, F.col("text_hash"))
+                .write.bucketBy(N_HASHSET_BUCKETS, "text_hash")
+                .sortBy("text_hash")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+
+        _build_serialized(loc, marker, fp, _build)
+    if not spark.catalog.tableExists(name):
+        _recreate_over_location(
+            spark, name, standing, "text_hash", N_HASHSET_BUCKETS, loc,
+            sorted_by="text_hash",
+        )
+    return name
+
+
+@register("b_llm_dedup_incremental_bucketed", oracle=_INCR_DEDUP_ORACLE,
+          tags=("pipeline", "dedup", "incremental", "bucketed"))
+def b_llm_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C284: the C269 incremental-dedup probe on the BUCKETED standing
+    hash set — the layout twin that closes the family's one >2× plain
+    read (r13 VERDICT #1: 2.10× at 1000× docs, a data-term read ~7×
+    the shuffle floor; SCALE.md round-14 decomposes it).
+
+    Same result contract as b_llm_dedup_incremental (one shared
+    oracle).  The plain probe's cost splits into (a) the batch-sized
+    keep-min shuffle — irreducible, it IS the batch's first
+    partitioning — and (b) hashing + DISTINCT-shuffling the ENTIRE
+    standing corpus per call, which is re-deriving the maintained C273
+    artifact from raw text every time.  This twin reads the artifact
+    in its bucketed form instead: the anti-join is a bucket-aligned
+    SortMergeJoin with ZERO exchange and ZERO sort on the standing
+    side (plan-asserted in tests/test_round14.py) — at query time the
+    standing corpus costs one column-pruned, partition-pruned-by-
+    bucket scan of 16 B hashes, never a shuffle, no matter how many
+    batches probe it.  The batch side keeps exactly its own
+    batch-sized pre-agg exchange.
+
+    The DuckDB oracle still re-derives the standing set from the raw
+    parquet: the maintained bucketed artifact IS the Spark-side
+    architecture being measured — the identical contract to
+    b_join_inner_bucketed."""
+    tname = ensure_standing_hashset_bucketed(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    batch = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch"))
+    )
+    # hint("merge"): pin the bucket-aligned SortMergeJoin — on toy data
+    # the optimizer would rather broadcast the standing set, and the
+    # broadcast is exactly the plan that stops existing at 100 TB.
+    standing = spark.table(tname).hint("merge")
+    return batch.join(standing, "text_hash", "left_anti").select(
+        "doc_id", "text_hash", "n_in_batch"
+    )
+
+
 # --- Bloom-prefiltered incremental dedup (C278) -------------------------------
 
 # C269's docstring names a broadcast Bloom pre-filter in front of the
@@ -936,6 +1056,10 @@ FROM v CROSS JOIN (
   FROM batch b LEFT JOIN oldb o ON b.text_hash = o.text_hash
   WHERE o.text_hash IS NULL
 ) s
+UNION ALL
+SELECT v.verdict, CAST(-1 AS BIGINT) AS doc_id, '__audit__' AS text_hash,
+       (SELECT COUNT(*) FROM oldb) AS n_in_batch
+FROM v
 """
 
 
@@ -967,7 +1091,15 @@ def b_llm_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata there; counting it per call is the honest uncached form,
     exactly b_join_auto's caveat).  tests/test_round13.py drives
     'plain' at sf0.01 (333 standing hashes) and 'bloom' at sf0.1
-    (3330) THROUGH this key."""
+    (3330) THROUGH this key.
+
+    One ``(verdict, -1, '__audit__', n_standing)`` row is appended
+    UNCONDITIONALLY (r13 ADVICE): emitting the verdict only via a
+    cross join against the survivor set made the certification
+    vacuous on an all-duplicate batch (zero survivors ⇒ zero rows on
+    both engines, any verdict "passes"); the audit row pins the
+    verdict AND the audited standing-set count even when no survivor
+    exists, and costs nothing — n_standing is already collected."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "text_hash", F.md5(F.lower(F.trim(F.col("text"))))
     )
@@ -979,6 +1111,12 @@ def b_llm_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         lane = b_llm_dedup_bloom(spark, sf_dir).drop("bloom_hit")
     else:
         lane = b_llm_dedup_incremental(spark, sf_dir)
+    audit = spark.range(1).select(
+        F.lit(verdict).alias("verdict"),
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.lit("__audit__").alias("text_hash"),
+        F.lit(n_standing).cast("bigint").alias("n_in_batch"),
+    )
     return lane.select(
         F.lit(verdict).alias("verdict"), "doc_id", "text_hash", "n_in_batch"
-    )
+    ).unionByName(audit)

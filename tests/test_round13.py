@@ -92,11 +92,20 @@ class TestDedupAuto:
 
         out = b_llm_dedup_auto(spark, SF_MED).collect()
         assert out and all(r["verdict"] == "plain" for r in out)
+        # the unconditional audit row (r13 ADVICE) pins the audited
+        # standing-set count beside the verdict
+        audit = [r for r in out if r["text_hash"] == "__audit__"]
+        assert len(audit) == 1 and audit[0]["doc_id"] == -1
+        assert audit[0]["n_in_batch"] == 333
         want = {
             (r["doc_id"], r["text_hash"], r["n_in_batch"])
             for r in b_llm_dedup_incremental(spark, SF_MED).collect()
         }
-        got = {(r["doc_id"], r["text_hash"], r["n_in_batch"]) for r in out}
+        got = {
+            (r["doc_id"], r["text_hash"], r["n_in_batch"])
+            for r in out
+            if r["text_hash"] != "__audit__"
+        }
         assert got == want
 
     def test_large_standing_set_dispatches_bloom(self, spark):
@@ -111,11 +120,17 @@ class TestDedupAuto:
 
         out = b_llm_dedup_auto(spark, SF_BIG).collect()
         assert out and all(r["verdict"] == "bloom" for r in out)
+        audit = [r for r in out if r["text_hash"] == "__audit__"]
+        assert len(audit) == 1 and audit[0]["n_in_batch"] == 3330
         want = {
             (r["doc_id"], r["text_hash"], r["n_in_batch"])
             for r in b_llm_dedup_incremental(spark, SF_BIG).collect()
         }
-        got = {(r["doc_id"], r["text_hash"], r["n_in_batch"]) for r in out}
+        got = {
+            (r["doc_id"], r["text_hash"], r["n_in_batch"])
+            for r in out
+            if r["text_hash"] != "__audit__"
+        }
         assert got == want
 
     def test_decision_rule(self):
