@@ -120,6 +120,12 @@ SCALE4_MATCHED = (
     "b_topk_per_group_bucketed",
     "b_topk_per_group_served",
     "b_llm_dedup_exact",
+    # r14 (VERDICT #1): the incremental-dedup probe — the family's one
+    # >2× plain read (2.10× at this tier, r13) — now re-measured every
+    # round beside its bucketed standing-set twin, the same
+    # plain-vs-layout pairing as the join and topk families.
+    "b_llm_dedup_incremental",
+    "b_llm_dedup_incremental_bucketed",
 )
 SCALE4_FACTOR = 1000
 # Only these six tables replicate at 1000×; the rest stay base-size.
@@ -146,13 +152,17 @@ _PROBE_TABLES = {
     "b_stream_tumbling_served": ("events",),
     "b_llm_cosine_topk": ("embeddings",),
     "b_llm_dedup_exact": ("documents",),
+    "b_llm_dedup_incremental": ("documents",),
+    "b_llm_dedup_incremental_bucketed": ("documents",),
     "b_llm_bm25": ("documents",),
+    "b_mm_image_ahash": ("documents",),
     "b_join_salted": ("orders", "lineitem"),
     "b_join_salted_hot": ("orders", "lineitem"),
     "b_join_skew_split": ("orders", "lineitem"),
     "b_join_skew_bypass": ("orders", "lineitem"),
     "b_join_skew_coldagg": ("orders", "lineitem"),
     "b_graph_label_prop_converged": ("events",),
+    "b_graph_pagerank_minute": ("events",),
 }
 
 # Skew tier (r8): the skew-handling forms of the same orders⋈lineitem
@@ -198,8 +208,30 @@ RETRIEVAL_FACTOR = 300
 # O(Σ component²) rows — measured >590 s at a mere 100× (Spark's
 # min-label loop: 8.9 s) — while the LPA oracle is LP_CONV_CAP
 # unrolled linear rounds, the same round count the Spark loop runs.
-GRAPH_MATCHED = ("b_graph_label_prop_converged",)
+GRAPH_MATCHED = (
+    "b_graph_label_prop_converged",
+    # r14 (VERDICT #2): the tier's second shape — PageRank's
+    # sum-of-contributions round on the SAME minute graph, so the two
+    # rows isolate the algorithm term, not the graph.  The hourly
+    # b_graph_pagerank's 70%-density quasi-clique (~237M edges at
+    # 300×) prices out of a per-round block; its one-off 30× depth
+    # row lives in SCALE.md round-14.
+    "b_graph_pagerank_minute",
+)
 GRAPH_FACTOR = 300
+
+# Multimodal tier (r14, VERDICT #4): the binary-codec family's first
+# depth row.  b_mm_image_ahash is the family's end-to-end shape (real
+# BMP encode → decode → integer aHash → 2-byte-hash collision count):
+# two Arrow-batched map-only passes plus one 15-bit-key shuffle, so
+# the claim under test is "per-row work is the codec; scaling is
+# embarrassing".  Rides the existing sf0.1_x300 corpus (documents
+# replicate there), so the tier adds no one-off build.  The DuckDB
+# twin predicts every bit arithmetically from the md5 hex — it does
+# NO codec work — so the ratio prices the full Python-codec round
+# trip against a pure-SQL oracle, the honest worst-case framing.
+MM_MATCHED = ("b_mm_image_ahash",)
+MM_FACTOR = 300
 
 
 # Keys whose result set is corpus-sized (top-3 per CUSTOMER is
@@ -253,7 +285,22 @@ def _duck_times(sf_dir: str, specs, names, runs: int = 3) -> dict[str, float]:
 _SUBSEC_EXTRA = 2
 
 
-def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
+# Per-query contention-resettle guard (r13 VERDICT #7): a deep-tier
+# query whose trial spread exceeds this fraction of its own min (and
+# is over a second in absolute terms) was likely hit by a host
+# contention wave mid-trials — the r13 1000× artifact recorded a
+# 13.9 s spread on a 14.1 s min that only the min-of protocol
+# absorbed.  Instead of leaving a silent 2× spread in the artifact,
+# the harness sleeps one wave-length and re-pairs two extra trials,
+# recording the query under "resettled" so the spread column stays an
+# honest instrument.  Bounded: one resettle per query, two per block.
+_SPREAD_BAR = 0.5
+_SPREAD_ABS_MIN = 1.0
+_RESETTLE_TRIALS = 2
+
+
+def _interleaved_times(spark, scaled_dir, specs, names, runs: int,
+                       spread_guard: bool = False):
     """min-of-N for BOTH engines with PER-QUERY engine-paired trials:
     for each query in turn, warm both engines, then alternate
     [spark, duckdb] back-to-back for all its trials before moving to
@@ -287,6 +334,8 @@ def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
     s_best = {n: float("inf") for n in names}
     s_worst = {n: 0.0 for n in names}
     d_best: dict[str, float] = {}
+    resettled: list[str] = []
+    global _RESETTLE_SLEEP
     for n in names:
         sfn = prepare(specs[n], spark, scaled_dir)
         dsql = _oracle_sql_for_timing(specs[n])
@@ -312,6 +361,30 @@ def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
                 con.execute(dsql).fetchall()
                 d_best[n] = min(d_best[n], time.perf_counter() - t0)
             i += 1
+        # Spread guard (r13 VERDICT #7): a mid-trials contention wave
+        # shows up as spread ≫ min.  Wait one wave-length, re-pair two
+        # trials, and RECORD the resettle — the reader sees "this
+        # query's spread column includes a wave" instead of inferring
+        # it.  The min only ever improves; the spread keeps the
+        # pre-resettle worst so the wave stays visible.
+        if (
+            spread_guard
+            and len(resettled) < 2
+            and s_best[n] > 0
+            and (s_worst[n] - s_best[n]) > _SPREAD_ABS_MIN
+            and (s_worst[n] - s_best[n]) > _SPREAD_BAR * s_best[n]
+        ):
+            time.sleep(60)
+            _RESETTLE_SLEEP += 60.0
+            for _ in range(_RESETTLE_TRIALS):
+                t0 = time.perf_counter()
+                sfn()
+                s_best[n] = min(s_best[n], time.perf_counter() - t0)
+                if dsql is not None:
+                    t0 = time.perf_counter()
+                    con.execute(dsql).fetchall()
+                    d_best[n] = min(d_best[n], time.perf_counter() - t0)
+            resettled.append(n)
     con.close()
     return (
         {n: round(v, 4) for n, v in s_best.items()},
@@ -320,6 +393,7 @@ def _interleaved_times(spark, scaled_dir, specs, names, runs: int):
         # (r8 VERDICT #4) that tells a single-run reader whether a
         # sub-half-second number is floor-noise or signal
         {n: round(s_worst[n] - s_best[n], 4) for n in names},
+        resettled,
     )
 
 
@@ -576,7 +650,11 @@ _SHORT = {
     "b_topk_per_group_bucketed": "topkB",
     "b_topk_per_group_served": "topkS",
     "b_llm_dedup_exact": "dedup",
+    "b_llm_dedup_incremental": "dinc",
+    "b_llm_dedup_incremental_bucketed": "dincB",
     "b_graph_label_prop_converged": "lpa",
+    "b_graph_pagerank_minute": "prm",
+    "b_mm_image_ahash": "ahash",
 }
 
 _TIER_TAGS = {
@@ -587,6 +665,7 @@ _TIER_TAGS = {
     "scale_probe_skew": "skew",
     "scale_probe_retrieval": "retr",
     "scale_probe_graph": "graph",
+    "scale_probe_mm": "mm",
 }
 
 
@@ -623,6 +702,8 @@ def _compact(result: dict) -> str:
         }
         if blk.get("contended"):
             b["contended"] = True
+        if blk.get("resettled"):
+            b["rs"] = [_SHORT.get(k, k) for k in blk["resettled"]]
         if tag in ("x300", "x1000") and "spread" in blk:
             b["sp"] = short(blk["spread"])
         scale[tag] = b
@@ -751,6 +832,12 @@ def main() -> None:
                 from stellarsql_spark.sources.bucketed import ensure_topk_rollup
 
                 ensure_topk_rollup(spark, scaled_dir)
+            if "b_llm_dedup_incremental_bucketed" in names:
+                from stellarsql_spark.pipeline.dedup import (
+                    ensure_standing_hashset_bucketed,
+                )
+
+                ensure_standing_hashset_bucketed(spark, scaled_dir)
             # Per-block floor probe (r8 VERDICT #6): the no-exchange /
             # one-exchange latency floors at THIS tier's confs, emitted
             # inside the block so a contended driver run is self-evident
@@ -795,7 +882,10 @@ def main() -> None:
             # min-of-5 at 1000× (each trial round is ~a minute there;
             # 7 rounds would double tier wall-clock for ~the same min).
             runs = 5 if factor >= 1000 else 7 if factor >= 300 else 5 if factor >= 100 else 3
-            scaled, duck, spread = _interleaved_times(spark, scaled_dir, specs, names, runs)
+            scaled, duck, spread, resettled = _interleaved_times(
+                spark, scaled_dir, specs, names, runs,
+                spread_guard=factor >= 300,
+            )
             blk = {
                 "factor": factor,
                 "floor": block_floor,
@@ -813,6 +903,8 @@ def main() -> None:
                     k: round(scaled[k] / duck[k], 2) for k in duck if duck[k] > 0
                 },
             }
+            if resettled:
+                blk["resettled"] = resettled
             if floor_ratio > _FR_BAR:
                 blk["contended"] = True
             return blk
@@ -886,15 +978,22 @@ def main() -> None:
             )
         else:
             result["scale_probe_graph"] = {"skipped": "time budget"}
+        # Multimodal tier (r14 VERDICT #4): the codec family's depth
+        # row — rides the sf0.1_x300 corpus the 300× tier ensured, so
+        # the incremental cost is only the timed trials.
+        if _budget_elapsed() < 1860:
+            result["scale_probe_mm"] = probe(MM_FACTOR, MM_MATCHED)
+        else:
+            result["scale_probe_mm"] = {"skipped": "time budget"}
         # Streaming throughput probe (r8): every scale tier above is
         # batch; this is the one measured micro-batch number. Drain
         # the watermarked tumbling aggregate (b_stream_run_tumbling's
         # plan) over the 100× events corpus through the file source,
         # one file per trigger, so the run is genuinely incremental
         # (~6 micro-batches updating (window, type) state).
-        # (guard widened r13 +180 s: the graph tier adds ~3-5 min of
-        # timed trials ahead of this block)
-        if _budget_elapsed() < 1920:
+        # (guard widened r13 +180 s for the graph tier, r14 +120 s for
+        # the second graph row + the mm tier ahead of this block)
+        if _budget_elapsed() < 2040:
             result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.

@@ -1554,3 +1554,103 @@ def _lpa_converged(
     finally:
         bidir.unpersist()
     return labels, rounds
+
+
+# --- minute-graph PageRank (C285, r13 VERDICT #2) ------------------------------
+
+PR_MINUTE_ROUNDS = 3
+
+
+def _pr_minute_oracle(rounds: int = PR_MINUTE_ROUNDS) -> str:
+    """The C-PageRank oracle re-based on the MINUTE co-occurrence
+    graph (the LPA depth tier's edge set): minute-edges CTE + the same
+    integer fixed-point iteration CTEs."""
+    ctes = [
+        "b AS (\n"
+        "  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m"
+        " FROM events\n)",
+        "edges AS (\n"
+        "  SELECT a.user_id AS u, c.user_id AS v\n"
+        "  FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m\n"
+        "  WHERE a.user_id < c.user_id\n  GROUP BY 1, 2\n)",
+        "und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges)",
+        "dg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1)",
+        "r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM dg)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(_pr_iter_sql(f"r{k - 1}", f"r{k}").strip().lstrip(","))
+    sql = (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT node AS user_id, deg, pr AS rank_micro\n"
+        f"FROM r{rounds} ORDER BY pr DESC, node LIMIT 20"
+    )
+    # AS MATERIALIZED on every CTE: DuckDB's planner otherwise
+    # re-expands the shared edges/und CTEs once per unrolled round
+    # into a bushy self-join tree — measured spilling >50 GB at the
+    # 300× graph tier (6.9M edges) before dying on disk.  Same rows,
+    # same hash; this only pins the evaluation to compute-once, which
+    # is what the Spark side's per-round checkpoint does too.
+    for name in ("b", "edges", "und", "dg", *[f"r{k}" for k in range(rounds + 1)]):
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return sql
+
+
+@register("b_graph_pagerank_minute", oracle=_pr_minute_oracle(),
+          tags=("graph", "pagerank", "iterative", "eager"))
+def b_graph_pagerank_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C285: the PageRank fixed point on the MINUTE co-occurrence
+    graph — the graph depth tier's second shape (r13 VERDICT #2).
+
+    Same integer-exact iteration as b_graph_pagerank (BIGINT
+    micro-unit ranks, truncating division, damping 85/100), but on
+    the sparser minute graph the LPA depth row already measures, so
+    the two permanent `scale_probe_graph` rows share one corpus and
+    the comparison isolates the ALGORITHM term (sum-of-contributions
+    vs count+argmax-window per round), not the graph.  The hourly
+    graph b_graph_pagerank runs on is ~34× denser (789k vs 23k edges
+    at sf0.1 — it is a 70%-density quasi-clique), which prices its
+    300× tier out of the per-round bench budget; SCALE.md round-14
+    carries its one-off depth measurement instead.
+
+    Loop discipline = the LPA depth key's, NOT the hourly key's
+    memoized persisted edge list: edges are rebuilt per call (the
+    builder is tagged "eager", so the bench times builder + count —
+    the full edges + 3-round cost, exactly what the oracle's one
+    statement pays), the per-call persist of the bidirectional edge
+    list is released in a finally, and each round's rank frame is
+    localCheckpoint-ed so the unrolled plan neither nests one join
+    deeper per round nor re-derives the edge self-join once per
+    ROUND-REFERENCE (the lazy unrolled form re-computes `und` 3× and
+    `dg` 4× without it)."""
+    edges = _minute_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    try:
+        dg = (
+            und.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+        ranks = dg.select("node", "deg", F.lit(1000000).cast("bigint").alias("pr"))
+        for _ in range(PR_MINUTE_ROUNDS):
+            contrib = (
+                und.join(ranks.select(F.col("node").alias("u"), "deg", "pr"), "u")
+                .select(F.col("v").alias("node"), F.expr("pr div deg").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = dg.join(contrib, "node", "left").select(
+                "node",
+                "deg",
+                (F.lit(150000) + F.expr("(85 * coalesce(s, 0)) div 100"))
+                .cast("bigint")
+                .alias("pr"),
+            ).localCheckpoint()
+    finally:
+        und.unpersist()
+    return (
+        ranks.orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("user_id"), "deg", F.col("pr").alias("rank_micro"))
+    )

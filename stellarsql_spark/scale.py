@@ -286,6 +286,11 @@ def ensure_graph_corpus(
     tag = os.path.basename(base_sf_dir.rstrip("/"))
     out_dir = os.path.join(out_root or os.path.join(repo, ".scale"), f"{tag}_x{factor}g")
     marker = os.path.join(out_dir, "_SCALED_DONE")
+    # The ("events",) argument only tags WHICH table replicates; the
+    # size+mtime segments inside _base_fingerprint always cover EVERY
+    # base table (its `for t in TABLES` loop), so regenerating any
+    # copied table — not just events — invalidates this corpus
+    # (r13 ADVICE adjudication: the concern was already covered).
     fingerprint = (
         _base_fingerprint(base_sf_dir, factor, ("events",))
         + f"|graph:{TS_STRIDE_DAYS}"

@@ -82,7 +82,20 @@ def _build_serialized(target_dir: str, marker: str, fp: str, build,
     sessions are single-host); on a real multi-writer lake this job
     belongs to a transactional table format's commit protocol, not a
     marker file.  Double-checked: the marker is re-read under the
-    lock so the loser of the race returns the winner's build."""
+    lock so the loser of the race returns the winner's build.
+
+    Known TOCTOU (r13 ADVICE, accepted): callers' marker+published
+    fast paths run OUTSIDE this lock, so a reader could pass the
+    check just before a concurrent rebuild rmtrees a companion dir.
+    The protocol therefore assumes SINGLE-WRITER-per-fingerprint
+    operation — true here by construction, since a build for a given
+    fingerprint only ever happens when that fingerprint has no valid
+    marker yet (rebuilds are triggered by corpus regeneration, which
+    changes the fingerprint and the artifact path's content together,
+    never by overwriting a currently-valid artifact in place).
+    Hardening for a concurrent-invalidation world would take LOCK_SH
+    in the fast path; a real lake gets this from its table format's
+    snapshot isolation."""
     import fcntl
 
     lock_path = target_dir.rstrip("/") + ".lock"

@@ -502,3 +502,131 @@ def sustained_rate_drain(
         }
         for p in progress
     ]
+
+
+def sustained_socket_drain(
+    spark: SparkSession,
+    rows_per_second: int = 20_000,
+    min_batches: int = 8,
+    trigger_ms: int = 1000,
+    window: str = "1 second",
+    watermark: str = "2 seconds",
+    timeout_s: float = 120.0,
+) -> list[dict]:
+    """``sustained_rate_drain``'s contract on the PUSH path: a paced
+    localhost feeder streams the events CSV over one TCP connection at
+    a pinned rate while the watermarked tumbling aggregate drains it
+    through the SOCKET source — update mode, processing-time trigger,
+    per-batch ops metrics returned for the same bounded-lag /
+    bounded-state assertions (r13 VERDICT #5).
+
+    Why the pinned rate sits well under the file source's: Spark's
+    socket source (TextSocketMicroBatchStream in the public Spark
+    tree) ingests on the DRIVER with a single reader thread — one
+    BufferedReader.readLine() per record appended to a lock-guarded
+    batch buffer, then each micro-batch re-serializes the buffered
+    rows out to executors.  That per-line, single-threaded, driver-
+    memory path is the structural ceiling the bench's one-shot probe
+    measures at ~42k rows/s on this host (vs 620k+ for the file
+    source, whose readers are executor-side and columnar); the pinned
+    contract rate (default 20k rows/s) deliberately sits at ~half the
+    measured ceiling, the same way the rate contract pins 5k.  At
+    production scale the same pipeline swaps the socket for Kafka,
+    whose partitioned executor-side consumers remove exactly this
+    bottleneck; nothing downstream of the parse changes.
+
+    Event time advances 1 s per ``rows_per_second`` rows from a fixed
+    epoch, so the 1 s windows close at wall-clock pace and the 2 s
+    watermark evicts them — live state stays bounded by ~4
+    window-starts × 3 event types regardless of run length."""
+    import socket as pysocket
+    import threading
+    import time
+    import uuid as _uuid
+
+    base_us = 1_700_000_000_000_000
+    etypes = ("view", "click", "purchase")
+    us_per_row = max(1, 1_000_000 // rows_per_second)
+    ready, done, ports = threading.Event(), threading.Event(), []
+
+    def serve() -> None:
+        srv = pysocket.socket(pysocket.AF_INET, pysocket.SOCK_STREAM)
+        srv.setsockopt(pysocket.SOL_SOCKET, pysocket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        ports.append(srv.getsockname()[1])
+        srv.listen(1)
+        ready.set()
+        srv.settimeout(30)
+        try:
+            conn, _ = srv.accept()
+        except OSError:
+            srv.close()
+            return
+        # 10 paced chunks per second: sleep-until-deadline keeps the
+        # LONG-RUN rate pinned even if one sendall blocks briefly.
+        chunk = max(1, rows_per_second // 10)
+        i = 0
+        t_next = time.perf_counter()
+        try:
+            while not done.is_set():
+                buf = []
+                for _ in range(chunk):
+                    ts_us = base_us + i * us_per_row
+                    buf.append(
+                        f"{i},{ts_us},{i % 997},{etypes[i % 3]},{(i % 1000) / 10.0}"
+                    )
+                    i += 1
+                conn.sendall(("\n".join(buf) + "\n").encode())
+                t_next += 0.1
+                delay = t_next - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+        except OSError:
+            pass  # reader stopped first — normal shutdown order
+        finally:
+            conn.close()
+            srv.close()
+
+    feeder = threading.Thread(target=serve, daemon=True)
+    feeder.start()
+    if not ready.wait(timeout=10) or not ports:
+        return []  # feeder failed to bind; caller treats [] as skip
+
+    agg = (
+        socket_stream(spark, "127.0.0.1", ports[0])
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    name = f"socket_drain_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(nonempty) >= min_batches:
+                break
+            time.sleep(0.25)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        done.set()
+        q.stop()
+    feeder.join(timeout=10)
+    return [
+        {
+            "batch_id": p["batchId"],
+            "input_rows": p["numInputRows"],
+            "duration_ms": p["batchDuration"],
+            "state_rows": sum(
+                op["numRowsTotal"] for op in p.get("stateOperators", [])
+            ),
+            "trigger_ms": trigger_ms,
+        }
+        for p in progress
+    ]

@@ -154,9 +154,27 @@ class TestSustainedRate:
         live state is bounded by the horizon, not the run length)."""
         from stellarsql_spark.streaming.runtime import sustained_rate_drain
 
+        def _lag_ok(rows) -> bool:
+            if len(rows) < 8:
+                return False
+            steady = rows[2:]
+            return (
+                all(r["duration_ms"] < 1.5 * r["trigger_ms"] for r in steady)
+                and steady[-1]["duration_ms"] < steady[-1]["trigger_ms"]
+            )
+
         rows = sustained_rate_drain(
             spark, rows_per_second=5000, min_batches=8, trigger_ms=1000
         )
+        # One retry before failing (r13 ADVICE): the lag assertions are
+        # wall-clock bounds on a shared host whose contention arrives
+        # in multi-minute waves (SCALE.md) — a wave mid-drain is load,
+        # not a code regression.  The state-flatness assertions below
+        # stay strict on whichever drain is kept.
+        if not _lag_ok(rows):
+            rows = sustained_rate_drain(
+                spark, rows_per_second=5000, min_batches=8, trigger_ms=1000
+            )
         assert len(rows) >= 8
 
         # (a) bounded lag: after the first two (plan/codegen warmup)

@@ -103,6 +103,90 @@ class TestDedupIncrementalBucketed:
         assert 1 <= len(files) <= N_HASHSET_BUCKETS
 
 
+class TestPagerankMinute:
+    def test_matches_brute_force_fixed_point(self, spark):
+        """C285: the minute-graph PageRank must equal a driver-side
+        brute-force replay of the same integer fixed point — an
+        engine-independent third check beside the DuckDB oracle."""
+        from stellarsql_spark.operators.graph import (
+            PR_MINUTE_ROUNDS,
+            _minute_edges,
+            b_graph_pagerank_minute,
+        )
+
+        edges = [
+            (r["u"], r["v"]) for r in _minute_edges(spark, SF_MED).collect()
+        ]
+        assert edges  # sf0.01's minute graph is non-trivial
+        und: dict[int, list[int]] = {}
+        for u, v in edges:
+            und.setdefault(u, []).append(v)
+            und.setdefault(v, []).append(u)
+        deg = {n: len(vs) for n, vs in und.items()}
+        pr = {n: 1_000_000 for n in und}
+        for _ in range(PR_MINUTE_ROUNDS):
+            s: dict[int, int] = {}
+            for u, vs in und.items():
+                c = pr[u] // deg[u]
+                for v in vs:
+                    s[v] = s.get(v, 0) + c
+            pr = {n: 150_000 + (85 * s.get(n, 0)) // 100 for n in und}
+        want = sorted(
+            ((p, n) for n, p in pr.items()), key=lambda t: (-t[0], t[1])
+        )[:20]
+        got = [
+            (r["rank_micro"], r["user_id"], r["deg"])
+            for r in b_graph_pagerank_minute(spark, SF_MED).collect()
+        ]
+        assert [(p, n) for p, n, _ in got] == want
+        assert all(d == deg[n] for _, n, d in got)
+
+
+class TestSustainedSocketRate:
+    def test_lag_and_state_bounded_at_pinned_socket_rate(self, spark):
+        """r13 VERDICT #5: the push path's ops contract — at a pinned
+        20k rows/s (≈half the measured ~42k single-reader ceiling,
+        see sustained_socket_drain's docstring for the bottleneck),
+        the watermarked aggregate must keep steady-state batch
+        durations under the trigger and hold state flat."""
+        from stellarsql_spark.streaming.runtime import sustained_socket_drain
+
+        def _lag_ok(rows) -> bool:
+            if len(rows) < 8:
+                return False
+            steady = rows[2:]
+            return (
+                all(r["duration_ms"] < 1.5 * r["trigger_ms"] for r in steady)
+                and steady[-1]["duration_ms"] < steady[-1]["trigger_ms"]
+            )
+
+        rows = sustained_socket_drain(
+            spark, rows_per_second=20_000, min_batches=8, trigger_ms=1000
+        )
+        # one retry before failing (the r13-ADVICE load discipline):
+        # wall-clock bounds on a shared host can catch a contention
+        # wave unrelated to the code
+        if not _lag_ok(rows):
+            rows = sustained_socket_drain(
+                spark, rows_per_second=20_000, min_batches=8, trigger_ms=1000
+            )
+        assert len(rows) >= 8, rows
+
+        steady = rows[2:]
+        # (a) bounded lag at the pinned rate
+        assert all(r["duration_ms"] < 1.5 * r["trigger_ms"] for r in steady), steady
+        assert steady[-1]["duration_ms"] < steady[-1]["trigger_ms"]
+        # (b) the feeder really ran near the pinned rate: total rows /
+        # total batches ≈ 20k per 1 s trigger (generous ±50% band —
+        # the contract is "sustained", not "exact")
+        total = sum(r["input_rows"] for r in steady)
+        assert total >= 0.5 * 20_000 * len(steady), steady
+        # (c) bounded, flat state: ~4 window-starts × 3 types + slack
+        assert all(r["state_rows"] <= 15 for r in steady), steady
+        mid_max = max(r["state_rows"] for r in rows[: len(rows) // 2])
+        assert rows[-1]["state_rows"] <= mid_max
+
+
 class TestDedupAutoAuditRow:
     def test_audit_row_always_present(self, spark):
         """r13 ADVICE: the verdict must be certified even on a batch
