@@ -31,6 +31,8 @@ Scale shape (100 TB events):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1554,6 +1556,156 @@ def _lpa_converged(
     finally:
         bidir.unpersist()
     return labels, rounds
+
+
+# --- maintained edge-list fold (C286) -------------------------------------------
+
+# The round-14 LPA decomposition (SCALE.md) pinned ~59% of the graph
+# depth rows' cost to the one-time EDGE-BUILD term and claimed that at
+# 100 TB the edge list is a maintained artifact folded from event
+# deltas.  This key certifies that claim the way C273 certified the
+# dedup fold: the events log arrives as three batches (event_id % 3,
+# ingested in order), and per batch the pipeline folds TWO on-disk
+# artifacts —
+#   memb_b{b}:  the accumulated DISTINCT (user, type, minute) bucket
+#               membership after batch b;
+#   edges_b{b}: the accumulated undirected (u < v) edge set.
+# The fold is NOT within-batch-only (the subtlety that makes the
+# certificate worth having): a new membership row pairs with EVERY
+# accumulated member of its bucket — standing and same-batch alike —
+# so new edges = nb ⋈ (standing ∪ nb) on the bucket key.  The oracle
+# recomputes the edge set from the FULL events table in one shot, so
+# the hash proves fold == full recompute: ingest order cannot create
+# or lose an edge.
+_EDGE_FOLD_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m FROM events
+)
+SELECT a.user_id AS u, c.user_id AS v
+FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+WHERE a.user_id < c.user_id
+GROUP BY 1, 2
+"""
+
+
+def ensure_edge_fold(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus fingerprint) the three-batch edge
+    fold; returns the artifact root.  Serialized + markered like every
+    layout artifact (the C273 ensure's protocol)."""
+    from urllib.parse import urlparse
+
+    from stellarsql_spark.catalog import content_fingerprint, table_path
+    from stellarsql_spark.sources.events_layout import (
+        _build_serialized,
+        _marker_ok,
+        _published_ok,
+    )
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")).strip("_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = os.path.join(warehouse, f"graph_edge_fold_{tag}")
+    marker = os.path.join(root, "_EDGEFOLD_DONE")
+    fp = content_fingerprint(table_path(sf_dir, "events"))
+    published = tuple(
+        os.path.join(root, f"{kind}_b{b}")
+        for b in range(3)
+        for kind in ("memb", "edges")
+    )
+    if _marker_ok(marker, fp) and _published_ok(published):
+        return root
+
+    def _build() -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", "ts").alias("m"),
+            (F.col("event_id") % 3).cast("int").alias("batch_id"),
+        )
+        for b in range(3):
+            # nb: memberships this batch ADDS — distinct within the
+            # batch, minus what earlier batches already registered
+            # (a bucket membership seen twice must not re-pair).
+            nb = (
+                ev.where(F.col("batch_id") == b)
+                .select("user_id", "event_type", "m")
+                .distinct()
+            )
+            if b > 0:
+                standing = spark.read.parquet(os.path.join(root, f"memb_b{b - 1}"))
+                nb = nb.join(
+                    standing, ["user_id", "event_type", "m"], "left_anti"
+                )
+            nb.write.mode("overwrite").parquet(os.path.join(root, f"memb_tmp_b{b}"))
+            nb = spark.read.parquet(os.path.join(root, f"memb_tmp_b{b}"))
+            # new edges: each new member pairs with every ACCUMULATED
+            # member of its bucket (standing ∪ nb) — normalized u < v,
+            # deduped against nothing (an edge's first appearance is
+            # the round where its SECOND endpoint arrives, so the same
+            # pair cannot be produced by two different rounds; within
+            # a round the distinct covers multi-bucket repeats).
+            if b > 0:
+                acc = spark.read.parquet(
+                    os.path.join(root, f"memb_b{b - 1}")
+                ).unionByName(nb)
+            else:
+                acc = nb
+            other = acc.select(
+                F.col("user_id").alias("other_id"), "event_type", "m"
+            )
+            new_edges = (
+                nb.join(other, ["event_type", "m"])
+                .where(F.col("user_id") != F.col("other_id"))
+                .select(
+                    F.least("user_id", "other_id").alias("u"),
+                    F.greatest("user_id", "other_id").alias("v"),
+                )
+                .distinct()
+            )
+            if b > 0:
+                prev_edges = spark.read.parquet(
+                    os.path.join(root, f"edges_b{b - 1}")
+                )
+                # nb×nb pairs appear once, but an nb-member may re-pair
+                # with a standing member it ALREADY shares an older
+                # bucket with via a new bucket — anti-join keeps the
+                # artifact a set
+                new_edges = new_edges.join(prev_edges, ["u", "v"], "left_anti")
+                folded_edges = prev_edges.unionByName(new_edges)
+                folded_memb = spark.read.parquet(
+                    os.path.join(root, f"memb_b{b - 1}")
+                ).unionByName(nb)
+            else:
+                folded_edges = new_edges
+                folded_memb = nb
+            folded_edges.write.mode("overwrite").parquet(
+                os.path.join(root, f"edges_b{b}")
+            )
+            folded_memb.write.mode("overwrite").parquet(
+                os.path.join(root, f"memb_b{b}")
+            )
+
+    _build_serialized(root, marker, fp, _build, published=published)
+    return root
+
+
+@register("b_graph_edges_fold", oracle=_EDGE_FOLD_ORACLE,
+          tags=("graph", "incremental", "served"))
+def b_graph_edges_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C286: the maintained co-occurrence edge list, fold-certified —
+    see the block comment above ensure_edge_fold.  Returns the final
+    folded edge artifact; the oracle is the one-shot full recompute,
+    so the driver hash proves fold == full recompute.
+
+    At 100 TB: each event batch costs one batch-sized distinct + one
+    anti-join against the standing membership + one bucket-keyed join
+    of the NEW memberships against accumulated bucket members — never
+    a full log rescan, and the expensive pair-enumeration term is
+    proportional to the delta's bucket populations, not the corpus.
+    This is the write path that makes the graph depth rows'
+    edge-build term (59% of LPA's cost, SCALE.md round-14) a one-time
+    ingest cost instead of a per-query one."""
+    root = ensure_edge_fold(spark, sf_dir)
+    return spark.read.parquet(os.path.join(root, "edges_b2")).select("u", "v")
 
 
 # --- minute-graph PageRank (C285, r13 VERDICT #2) ------------------------------

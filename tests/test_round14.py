@@ -142,6 +142,78 @@ class TestPagerankMinute:
         assert all(d == deg[n] for _, n, d in got)
 
 
+class TestEdgeFold:
+    def test_fold_equals_full_and_is_idempotent(self, spark):
+        """C286: the three-batch edge fold must equal the one-shot
+        full recompute (the oracle pins values; here: membership
+        identity + marker no-op on re-call)."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.graph import (
+            _minute_edges,
+            b_graph_edges_fold,
+            ensure_edge_fold,
+        )
+
+        got = {(r["u"], r["v"]) for r in b_graph_edges_fold(spark, SF_MED).collect()}
+        want = {(r["u"], r["v"]) for r in _minute_edges(spark, SF_MED).collect()}
+        assert got == want and len(got) > 0
+
+        root = ensure_edge_fold(spark, SF_MED)
+        memb = spark.read.parquet(os.path.join(root, "memb_b2")).count()
+        full_memb = (
+            load_table(spark, SF_MED, "events")
+            .select("user_id", "event_type", F.date_trunc("minute", "ts"))
+            .distinct()
+            .count()
+        )
+        assert memb == full_memb
+        marker = os.path.join(root, "_EDGEFOLD_DONE")
+        mtime = os.stat(marker).st_mtime_ns
+        assert ensure_edge_fold(spark, SF_MED) == root
+        assert os.stat(marker).st_mtime_ns == mtime
+
+    def test_fold_crosses_batch_boundaries(self, spark):
+        """The certificate's point: an edge whose endpoints' bucket
+        memberships arrive in DIFFERENT batches must still be found —
+        the fold pairs new members against the STANDING membership,
+        not just within-batch.  Witness set: edges ALL of whose shared
+        buckets are cross-batch (per-membership first-batch differs) —
+        a within-batch-only fold would miss every one of them."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.graph import b_graph_edges_fold
+
+        memb = (
+            load_table(spark, SF_MED, "events")
+            .groupBy(
+                "user_id",
+                "event_type",
+                F.date_trunc("minute", "ts").alias("m"),
+            )
+            .agg(F.min(F.col("event_id") % 3).alias("fb"))
+        )
+        other = memb.select(
+            F.col("user_id").alias("other_id"),
+            "event_type",
+            "m",
+            F.col("fb").alias("fb2"),
+        )
+        cross_only = (
+            memb.join(other, ["event_type", "m"])
+            .where(F.col("user_id") < F.col("other_id"))
+            .groupBy(
+                F.col("user_id").alias("u"), F.col("other_id").alias("v")
+            )
+            .agg(F.max((F.col("fb") == F.col("fb2")).cast("int")).alias("any_same"))
+            .where(F.col("any_same") == 0)
+        )
+        witnesses = {(r["u"], r["v"]) for r in cross_only.collect()}
+        assert witnesses, "corpus has no all-cross-batch edge to witness with"
+        folded = {
+            (r["u"], r["v"]) for r in b_graph_edges_fold(spark, SF_MED).collect()
+        }
+        assert witnesses <= folded
+
+
 class TestSustainedSocketRate:
     def test_lag_and_state_bounded_at_pinned_socket_rate(self, spark):
         """r13 VERDICT #5: the push path's ops contract — at a pinned
@@ -161,14 +233,14 @@ class TestSustainedSocketRate:
             )
 
         rows = sustained_socket_drain(
-            spark, rows_per_second=20_000, min_batches=8, trigger_ms=1000
+            spark, rows_per_second=20_000, min_batches=10, trigger_ms=1000
         )
         # one retry before failing (the r13-ADVICE load discipline):
         # wall-clock bounds on a shared host can catch a contention
         # wave unrelated to the code
         if not _lag_ok(rows):
             rows = sustained_socket_drain(
-                spark, rows_per_second=20_000, min_batches=8, trigger_ms=1000
+                spark, rows_per_second=20_000, min_batches=10, trigger_ms=1000
             )
         assert len(rows) >= 8, rows
 
@@ -181,10 +253,16 @@ class TestSustainedSocketRate:
         # the contract is "sustained", not "exact")
         total = sum(r["input_rows"] for r in steady)
         assert total >= 0.5 * 20_000 * len(steady), steady
-        # (c) bounded, flat state: ~4 window-starts × 3 types + slack
+        # (c) bounded, plateaued state: ≤ the watermark horizon
+        # (~4 window-starts × 3 types + slack), and the LAST batch is
+        # not a new maximum — eviction has caught up with arrival.
+        # (The connection ramp means early batches can carry fewer
+        # rows and advance event time slower, so the plateau lands
+        # after mid-run; comparing against mid-run max flaked.)
         assert all(r["state_rows"] <= 15 for r in steady), steady
-        mid_max = max(r["state_rows"] for r in rows[: len(rows) // 2])
-        assert rows[-1]["state_rows"] <= mid_max
+        assert rows[-1]["state_rows"] <= max(
+            r["state_rows"] for r in steady[:-1]
+        ), steady
 
 
 class TestDedupAutoAuditRow:
