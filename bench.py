@@ -163,6 +163,7 @@ _PROBE_TABLES = {
     "b_join_skew_coldagg": ("orders", "lineitem"),
     "b_graph_label_prop_converged": ("events",),
     "b_graph_pagerank_minute": ("events",),
+    "b_graph_pagerank_minute_served": ("events",),
 }
 
 # Skew tier (r8): the skew-handling forms of the same orders⋈lineitem
@@ -217,6 +218,11 @@ GRAPH_MATCHED = (
     # 300×) prices out of a per-round block; its one-off 30× depth
     # row lives in SCALE.md round-14.
     "b_graph_pagerank_minute",
+    # The served twin: same fixed point over the C286-maintained edge
+    # artifact — the pair prices the edge-build term the LPA
+    # decomposition isolated (plain = re-derive per query, served =
+    # iteration only).
+    "b_graph_pagerank_minute_served",
 )
 GRAPH_FACTOR = 300
 
@@ -654,6 +660,7 @@ _SHORT = {
     "b_llm_dedup_incremental_bucketed": "dincB",
     "b_graph_label_prop_converged": "lpa",
     "b_graph_pagerank_minute": "prm",
+    "b_graph_pagerank_minute_served": "prmS",
     "b_mm_image_ahash": "ahash",
 }
 
@@ -838,6 +845,10 @@ def main() -> None:
                 )
 
                 ensure_standing_hashset_bucketed(spark, scaled_dir)
+            if "b_graph_pagerank_minute_served" in names:
+                from stellarsql_spark.operators.graph import ensure_edge_fold
+
+                ensure_edge_fold(spark, scaled_dir)
             # Per-block floor probe (r8 VERDICT #6): the no-exchange /
             # one-exchange latency floors at THIS tier's confs, emitted
             # inside the block so a contended driver run is self-evident

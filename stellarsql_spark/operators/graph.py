@@ -1747,34 +1747,11 @@ def _pr_minute_oracle(rounds: int = PR_MINUTE_ROUNDS) -> str:
     return sql
 
 
-@register("b_graph_pagerank_minute", oracle=_pr_minute_oracle(),
-          tags=("graph", "pagerank", "iterative", "eager"))
-def b_graph_pagerank_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C285: the PageRank fixed point on the MINUTE co-occurrence
-    graph — the graph depth tier's second shape (r13 VERDICT #2).
-
-    Same integer-exact iteration as b_graph_pagerank (BIGINT
-    micro-unit ranks, truncating division, damping 85/100), but on
-    the sparser minute graph the LPA depth row already measures, so
-    the two permanent `scale_probe_graph` rows share one corpus and
-    the comparison isolates the ALGORITHM term (sum-of-contributions
-    vs count+argmax-window per round), not the graph.  The hourly
-    graph b_graph_pagerank runs on is ~34× denser (789k vs 23k edges
-    at sf0.1 — it is a 70%-density quasi-clique), which prices its
-    300× tier out of the per-round bench budget; SCALE.md round-14
-    carries its one-off depth measurement instead.
-
-    Loop discipline = the LPA depth key's, NOT the hourly key's
-    memoized persisted edge list: edges are rebuilt per call (the
-    builder is tagged "eager", so the bench times builder + count —
-    the full edges + 3-round cost, exactly what the oracle's one
-    statement pays), the per-call persist of the bidirectional edge
-    list is released in a finally, and each round's rank frame is
-    localCheckpoint-ed so the unrolled plan neither nests one join
-    deeper per round nor re-derives the edge self-join once per
-    ROUND-REFERENCE (the lazy unrolled form re-computes `und` 3× and
-    `dg` 4× without it)."""
-    edges = _minute_edges(spark, sf_dir)
+def _pr_minute_loop(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The shared 3-round integer PageRank loop over a (u, v) edge
+    frame: per-call persist of the bidirectional list released in a
+    finally, per-round localCheckpoint (see b_graph_pagerank_minute's
+    docstring for why).  Returns the top-20 frame."""
     und = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
@@ -1806,3 +1783,58 @@ def b_graph_pagerank_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("user_id"), "deg", F.col("pr").alias("rank_micro"))
     )
+
+
+@register("b_graph_pagerank_minute", oracle=_pr_minute_oracle(),
+          tags=("graph", "pagerank", "iterative", "eager"))
+def b_graph_pagerank_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C285: the PageRank fixed point on the MINUTE co-occurrence
+    graph — the graph depth tier's second shape (r13 VERDICT #2).
+
+    Same integer-exact iteration as b_graph_pagerank (BIGINT
+    micro-unit ranks, truncating division, damping 85/100), but on
+    the sparser minute graph the LPA depth row already measures, so
+    the two permanent `scale_probe_graph` rows share one corpus and
+    the comparison isolates the ALGORITHM term (sum-of-contributions
+    vs count+argmax-window per round), not the graph.  The hourly
+    graph b_graph_pagerank runs on is ~34× denser (789k vs 23k edges
+    at sf0.1 — it is a 70%-density quasi-clique), which prices its
+    300× tier out of the per-round bench budget; SCALE.md round-14
+    carries its one-off depth measurement instead.
+
+    Loop discipline = the LPA depth key's, NOT the hourly key's
+    memoized persisted edge list: edges are rebuilt per call (the
+    builder is tagged "eager", so the bench times builder + count —
+    the full edges + 3-round cost, exactly what the oracle's one
+    statement pays), the per-call persist of the bidirectional edge
+    list is released in a finally, and each round's rank frame is
+    localCheckpoint-ed so the unrolled plan neither nests one join
+    deeper per round nor re-derives the edge self-join once per
+    ROUND-REFERENCE (the lazy unrolled form re-computes `und` 3× and
+    `dg` 4× without it)."""
+    return _pr_minute_loop(spark, _minute_edges(spark, sf_dir))
+
+
+@register("b_graph_pagerank_minute_served", oracle=_pr_minute_oracle(),
+          tags=("graph", "pagerank", "iterative", "served", "eager"))
+def b_graph_pagerank_minute_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C287: the SERVED form of the minute-graph PageRank — run the
+    SAME 3-round integer fixed point over the C286-maintained edge
+    artifact instead of re-deriving the edge list from the raw event
+    log, completing the graph family's plain → served lineage the way
+    every headline family's was completed.
+
+    The round-14 LPA decomposition (SCALE.md) showed the edge-build
+    term dominates the plain graph keys (~59% staged share); C286
+    certifies that the edge artifact folds incrementally from event
+    deltas (fold == full recompute, hash-proven).  This key is the
+    read side of that architecture: query-time cost is the ITERATION
+    term only — one column-pruned artifact scan plus the per-round
+    join + destination-keyed aggregate — never the (type, minute)
+    bucket self-join or its two wide distincts.  The DuckDB oracle
+    still re-derives the edges from the raw parquet: the maintained
+    artifact IS the Spark-side architecture being measured, the same
+    contract as every served twin."""
+    root = ensure_edge_fold(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(root, "edges_b2")).select("u", "v")
+    return _pr_minute_loop(spark, edges)

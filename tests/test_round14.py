@@ -142,6 +142,27 @@ class TestPagerankMinute:
         assert all(d == deg[n] for _, n, d in got)
 
 
+class TestPagerankMinuteServed:
+    def test_served_equals_plain(self, spark):
+        """C287: the served form (fixed point over the maintained edge
+        artifact) must return exactly the plain minute-PageRank top-20
+        — the standard served-twin equality contract."""
+        from stellarsql_spark.operators.graph import (
+            b_graph_pagerank_minute,
+            b_graph_pagerank_minute_served,
+        )
+
+        served = [
+            (r["user_id"], r["deg"], r["rank_micro"])
+            for r in b_graph_pagerank_minute_served(spark, SF_MED).collect()
+        ]
+        plain = [
+            (r["user_id"], r["deg"], r["rank_micro"])
+            for r in b_graph_pagerank_minute(spark, SF_MED).collect()
+        ]
+        assert served == plain and len(served) == 20
+
+
 class TestEdgeFold:
     def test_fold_equals_full_and_is_idempotent(self, spark):
         """C286: the three-batch edge fold must equal the one-shot
