@@ -976,10 +976,22 @@ def main() -> None:
             result["scale_probe_retrieval"] = probe(RETRIEVAL_FACTOR, RETRIEVAL_MATCHED)
         else:
             result["scale_probe_retrieval"] = {"skipped": "time budget"}
+        # Multimodal tier (r14 VERDICT #4): the codec family's depth
+        # row — rides the sf0.1_x300 corpus the 300× tier ensured, so
+        # the incremental cost is only the timed trials (~1 min).
+        # Runs BEFORE the graph tier: it is the cheapest deep block
+        # and the graph tier is now the longest (3 keys × min-of-7 +
+        # a first-run edge-fold build), so ordering cheap-first keeps
+        # a budget-blown session from dropping the small block the
+        # way the first r14 run did.
+        if _budget_elapsed() < 1700:
+            result["scale_probe_mm"] = probe(MM_FACTOR, MM_MATCHED)
+        else:
+            result["scale_probe_mm"] = {"skipped": "time budget"}
         # Graph tier (r12 VERDICT #2): the iterative loop at depth on
         # the time-shifted corpus — see the GRAPH_MATCHED block
         # comment. One-off build ~1.2 GiB (cached + fingerprinted).
-        if _budget_elapsed() < 1740:
+        if _budget_elapsed() < 1800:
             from stellarsql_spark.scale import ensure_graph_corpus
 
             result["scale_probe_graph"] = probe(
@@ -989,22 +1001,16 @@ def main() -> None:
             )
         else:
             result["scale_probe_graph"] = {"skipped": "time budget"}
-        # Multimodal tier (r14 VERDICT #4): the codec family's depth
-        # row — rides the sf0.1_x300 corpus the 300× tier ensured, so
-        # the incremental cost is only the timed trials.
-        if _budget_elapsed() < 1860:
-            result["scale_probe_mm"] = probe(MM_FACTOR, MM_MATCHED)
-        else:
-            result["scale_probe_mm"] = {"skipped": "time budget"}
         # Streaming throughput probe (r8): every scale tier above is
         # batch; this is the one measured micro-batch number. Drain
         # the watermarked tumbling aggregate (b_stream_run_tumbling's
         # plan) over the 100× events corpus through the file source,
         # one file per trigger, so the run is genuinely incremental
         # (~6 micro-batches updating (window, type) state).
-        # (guard widened r13 +180 s for the graph tier, r14 +120 s for
-        # the second graph row + the mm tier ahead of this block)
-        if _budget_elapsed() < 2040:
+        # (guard widened r13 +180 s for the graph tier, r14 +240 s for
+        # the second+third graph rows + the mm tier ahead of this
+        # block)
+        if _budget_elapsed() < 2160:
             result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.
