@@ -871,3 +871,140 @@ def test_differential_stream_engine_windows(spark):
         if g != w:
             mismatches.append((i, seed, width, slide, wm_min, mode, len(g), len(w)))
     assert not mismatches, mismatches
+
+
+# --- iterative fixed-point differential branch (r14) -----------------
+#
+# The graph depth tier runs imperative Spark LOOPS (per-round
+# localCheckpoint) certified against unrolled-CTE SQL oracles.  This
+# branch fuzzes that correspondence the way the streaming branch
+# fuzzes the streaming engine: random (event-type subset, user-modulus
+# filter, round count, damping, init) PageRank-style integer fixed
+# points run as a DataFrame loop on the Spark side and as generated
+# unrolled CTEs in DuckDB.  Integer-exact by construction (BIGINT
+# carriers, truncating div on non-negative ints), so any divergence in
+# join/coalesce/div semantics or loop checkpointing is a hard
+# mismatch, not noise.  Uses the sf0.01 events table under its own
+# view name (the module's default views stay sf0.001, whose minute
+# graph is edgeless).
+
+_FP_SF = "/root/testdata/sf0.01"
+
+
+def _fp_case(rng) -> dict:
+    return {
+        "etypes": sorted(
+            rng.sample(["view", "click", "purchase", "signup", "error"],
+                       k=rng.randrange(1, 4))
+        ),
+        "umod": rng.choice([(1, 0), (2, 0), (2, 1), (3, 1)]),
+        "rounds": rng.randrange(1, 5),
+        "damp": rng.randrange(60, 96),
+        "init": rng.choice([1_000_000, 500_000, 123_456]),
+    }
+
+
+def _fp_where(case) -> str:
+    ets = ", ".join(f"'{e}'" for e in case["etypes"])
+    m, r = case["umod"]
+    return f"event_type IN ({ets}) AND user_id % {m} = {r}"
+
+
+def _fp_duck_sql(case) -> str:
+    damp, init = case["damp"], case["init"]
+    base = init * (100 - damp) // 100
+    ctes = [
+        f"b AS MATERIALIZED (SELECT DISTINCT user_id, event_type, "
+        f"date_trunc('minute', ts) AS m FROM events01 WHERE {_fp_where(case)})",
+        "edges AS MATERIALIZED (SELECT a.user_id AS u, c.user_id AS v "
+        "FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m "
+        "WHERE a.user_id < c.user_id GROUP BY 1, 2)",
+        "und AS MATERIALIZED (SELECT u, v FROM edges "
+        "UNION ALL SELECT v AS u, u AS v FROM edges)",
+        "dg AS MATERIALIZED (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM und GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT node, deg, CAST({init} AS BIGINT) AS pr FROM dg)",
+    ]
+    for k in range(1, case["rounds"] + 1):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT d.node, d.deg, "
+            f"CAST({base} + ({damp} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM dg d LEFT JOIN (SELECT e.v AS node, SUM(r.pr // r.deg) AS s "
+            f"FROM und e JOIN r{k - 1} r ON e.u = r.node GROUP BY 1) s "
+            f"ON d.node = s.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, deg, pr FROM r{case['rounds']} ORDER BY node"
+    )
+
+
+def _fp_spark_run(spark, case):
+    from pyspark.sql import functions as F
+
+    damp, init = case["damp"], case["init"]
+    base = init * (100 - damp) // 100
+    ev = spark.table("events01").where(_fp_where(case))
+    b = ev.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), ["event_type", "m"])
+        .where(F.col("l.user_id") < F.col("r.user_id"))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    try:
+        dg = (
+            und.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+        ranks = dg.select(
+            "node", "deg", F.lit(init).cast("bigint").alias("pr")
+        )
+        for _ in range(case["rounds"]):
+            contrib = (
+                und.join(
+                    ranks.select(F.col("node").alias("u"), "deg", "pr"), "u"
+                )
+                .select(F.col("v").alias("node"), F.expr("pr div deg").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = dg.join(contrib, "node", "left").select(
+                "node",
+                "deg",
+                (F.lit(base) + F.expr(f"({damp} * coalesce(s, 0)) div 100"))
+                .cast("bigint")
+                .alias("pr"),
+            ).localCheckpoint()
+        return sorted(
+            (r["node"], r["deg"], r["pr"]) for r in ranks.collect()
+        )
+    finally:
+        und.unpersist()
+
+
+def test_differential_graph_fixedpoint(spark, duck):
+    from stellarsql_spark.catalog import load_table
+
+    load_table(spark, _FP_SF, "events").createOrReplaceTempView("events01")
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS events01 AS "
+        f"SELECT * FROM read_parquet('{_FP_SF}/events.parquet')"
+    )
+    seed = _round_seed(20260817)
+    rng = random.Random(seed)
+    mismatches = []
+    for i in range(10):
+        case = _fp_case(rng)
+        got = _fp_spark_run(spark, case)
+        want = sorted(tuple(r) for r in duck.execute(_fp_duck_sql(case)).fetchall())
+        if got != want:
+            mismatches.append((i, seed, case, len(got), len(want)))
+    assert not mismatches, mismatches[:2]
