@@ -726,6 +726,9 @@ def _compact(result: dict) -> str:
                 "rpsMega": sp["rows_per_sec_megabatch"],
                 "rpsApp": sp.get("rows_per_sec_append"),
                 "rpsSock": sp.get("socket", {}).get("rows_per_sec"),
+                "sockSust": sp.get("socket_sustained", {}).get(
+                    "max_steady_batch_ms"
+                ),
                 "curve": sp.get("trigger_curve_sec"),
             }
         )
@@ -1015,6 +1018,32 @@ def main() -> None:
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.
             result["stream_probe"]["socket"] = _socket_throughput(spark)
+            # Pinned-rate push contract (r14, VERDICT #5): the
+            # sustained_socket_drain harness at the contract rate —
+            # the artifact records worst steady batch / state bound so
+            # a regression in the single-reader path is visible here,
+            # not only in the unit test.
+            from stellarsql_spark.streaming.runtime import (
+                sustained_socket_drain,
+            )
+
+            rows = sustained_socket_drain(spark, rows_per_second=20_000,
+                                          min_batches=8, trigger_ms=1000)
+            steady = rows[2:] if len(rows) > 2 else rows
+            result["stream_probe"]["socket_sustained"] = (
+                {
+                    "rate_rps": 20_000,
+                    "batches": len(rows),
+                    "max_steady_batch_ms": max(
+                        (r["duration_ms"] for r in steady), default=None
+                    ),
+                    "max_state_rows": max(
+                        (r["state_rows"] for r in steady), default=None
+                    ),
+                }
+                if rows
+                else {"skipped": "feeder failed to bind"}
+            )
         else:
             result["stream_probe"] = {"skipped": "time budget"}
         tune_for_data_size(spark, sf_dir, cpus=cpus)
