@@ -75,6 +75,53 @@ FROM (
 WHERE rn <= 3
 """
 
+# Packed-long list element for the top-3 kernel (r14 optimization):
+# packed = cents(o_totalprice) << 34 + (2^34-1 - o_orderkey), so ONE
+# bigint sorts exactly like struct(price DESC, orderkey ASC):
+# - cents is the exact integer cent count (functions.exact): price
+#   order == cents order, ties == ties;
+# - (2^34-1 - orderkey) inverts the key so larger values mean SMALLER
+#   orderkeys — descending packed order breaks price ties ascending.
+# Bounds (both hold on every corpus tier by construction): cents <
+# 2^29 (max o_totalprice ≈ $555k → 5.6e7 cents; replication shifts
+# keys, never prices), so packed < 2^63; o_orderkey ≥ 0 and < 2^34
+# (base max ~6e6 plus replica·STRIDE ≤ 999·1e7 ≈ 1.0e10 < 1.7e10).
+# Reconstruction is bit-exact: the corpus money columns are exact
+# 2-decimal doubles (nearest-double of n/100 — functions.exact), and
+# cents < 2^53 makes shiftright(pk,34)/100.0 reproduce exactly that
+# nearest double.
+_PK_MASK = (1 << 34) - 1
+
+
+def topk3_packed(o: DataFrame, c: DataFrame, repartition_key: bool) -> DataFrame:
+    """Shared top-3-orders-per-customer kernel on the packed-long
+    element — used by the plain headline (repartition_key=True) and
+    its bucketed twin (False: the bucket layout already satisfies the
+    groupBy distribution, so the plan stays zero-exchange)."""
+    from stellarsql_spark.functions.exact import cents
+
+    packed = F.shiftleft(cents("o_totalprice"), 34) + (
+        F.lit(_PK_MASK) - F.col("o_orderkey")
+    )
+    top3 = F.slice(F.sort_array(F.collect_list("pk"), asc=False), 1, 3)
+    slim = o.select("o_custkey", packed.alias("pk"))
+    if repartition_key:
+        slim = slim.repartition(F.col("o_custkey"))
+    aggd = (
+        slim.groupBy("o_custkey")
+        .agg(top3.alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "pk"))
+        .select(
+            "o_custkey",
+            (F.lit(_PK_MASK) - F.col("pk").bitwiseAND(F.lit(_PK_MASK))).alias("o_orderkey"),
+            (F.shiftright("pk", 34) / 100.0).cast("double").alias("o_totalprice"),
+            (F.col("pos") + 1).alias("rn"),
+        )
+    )
+    return aggd.join(c.select("c_custkey"), aggd.o_custkey == F.col("c_custkey")).select(
+        "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
+    )
+
 
 @register("b_topk_per_group", oracle=_B30_ORACLE, tags=("sort", "topk"))
 def b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,39 +131,29 @@ def b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial WindowGroupLimit sort before the exchange, final sort
     after) — measured 1.8 s at the 10× probe. When the per-group row
     count is bounded (orders per customer ≈ 10-30), collect_list +
-    sort_array + slice computes the same top-3 with one map-side
-    partial hash agg and per-group O(g log g) micro-sorts: no global
-    sort anywhere, ~1.5× faster today and linear (not n log n) in the
-    fact size. Tie-break parity with ROW_NUMBER (price DESC, orderkey
-    ASC) comes from sorting struct(price, -orderkey) descending. The
-    customer join runs AFTER the limit, on ≤3 rows per key. For
-    unbounded groups the window form (b_win_*) remains the fallback."""
+    sort_array + slice computes the same top-3 with per-group
+    O(g log g) micro-sorts: no global sort anywhere and linear (not
+    n log n) in the fact size. The customer join runs AFTER the
+    limit, on ≤3 rows per key. For unbounded groups the window form
+    (b_win_*) remains the fallback.
+
+    Two r14-optimization choices, A/B'd at the 300× tier
+    (tools/opt_ab_r14.py --tier topk300, min-of-5 paired; base
+    5.95 s):
+    - the list element is ONE packed bigint instead of
+      struct(double, long) — see _PK_MASK's block comment for the
+      encoding and its bounds.  Halves the element payload crossing
+      the exchange and turns the per-group micro-sort into primitive
+      long compares (5.43 s packed-only);
+    - the slim (custkey, packed) pairs repartition on the group key
+      BEFORE aggregating — b_join_inner's measured lesson applied to
+      collect_list, where a pre-exchange partial can NEVER reduce
+      (lists concatenate): the partial ObjectHashAggregate pays a
+      per-task object hash map over scattered keys and still ships
+      every row, while post-exchange the aggregate runs once on
+      key-local data (5.13 s repart-only).
+    Combined: 4.52 s = −24% vs base at 300×, same result set
+    (exceptAll-equal both ways on 13.5M rows)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    top3 = F.slice(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
-                )
-            ),
-            asc=False,
-        ),
-        1,
-        3,
-    )
-    aggd = (
-        o.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .agg(top3.alias("top"))
-        .select("o_custkey", F.posexplode("top").alias("pos", "t"))
-        .select(
-            "o_custkey",
-            (-F.col("t.nk")).alias("o_orderkey"),
-            F.col("t.p").alias("o_totalprice"),
-            (F.col("pos") + 1).alias("rn"),
-        )
-    )
-    return aggd.join(c.select("c_custkey"), aggd.o_custkey == F.col("c_custkey")).select(
-        "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
-    )
+    return topk3_packed(o, c, repartition_key=True)

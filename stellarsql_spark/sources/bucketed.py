@@ -522,38 +522,22 @@ def b_topk_per_group_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Exchange anywhere (asserted in tests/test_round11.py). Same
     lineage step the join family took (plain → bucketed → served);
     reuses ensure_custkey_bucketed's artifact, so the bench tier adds
-    no one-off build."""
+    no one-off build.
+
+    r14 optimization: shares the plain headline's PACKED-long list
+    element (operators.sorts.topk3_packed — encoding + bounds in
+    _PK_MASK's block comment) with repartition_key=False: the bucket
+    layout satisfies the groupBy distribution at rest, so the kernel
+    change keeps the zero-exchange plan and only cheapens the in-scan
+    collect_list + micro-sort (primitive long compares instead of
+    struct ordering; the packed-only leg of the 300× A/B measured
+    −9% on exactly this kernel)."""
+    from stellarsql_spark.operators.sorts import topk3_packed
+
     to, tc = ensure_custkey_bucketed(spark, sf_dir)
     o = spark.table(to)
     c = spark.table(tc)
-    top3 = F.slice(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("o_totalprice").alias("p"),
-                    (-F.col("o_orderkey")).alias("nk"),
-                )
-            ),
-            asc=False,
-        ),
-        1,
-        3,
-    )
-    aggd = (
-        o.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .agg(top3.alias("top"))
-        .select("o_custkey", F.posexplode("top").alias("pos", "t"))
-        .select(
-            "o_custkey",
-            (-F.col("t.nk")).alias("o_orderkey"),
-            F.col("t.p").alias("o_totalprice"),
-            (F.col("pos") + 1).alias("rn"),
-        )
-    )
-    return aggd.join(c.select("c_custkey"), aggd.o_custkey == F.col("c_custkey")).select(
-        "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
-    )
+    return topk3_packed(o, c, repartition_key=False)
 
 
 # --- served twin of the b_topk_per_group headline (C271) ---------------

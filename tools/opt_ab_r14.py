@@ -112,6 +112,40 @@ def main() -> None:
             "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
         )
 
+    def topk_repart_only(spark, sf_dir):
+        """Struct list element unchanged; ONLY the repartition-on-key
+        move (attribution twin for packed_repart)."""
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        top3 = F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            3,
+        )
+        aggd = (
+            o.select("o_custkey", "o_orderkey", "o_totalprice")
+            .repartition(F.col("o_custkey"))
+            .groupBy("o_custkey")
+            .agg(top3.alias("top"))
+            .select("o_custkey", F.posexplode("top").alias("pos", "t"))
+            .select(
+                "o_custkey",
+                (-F.col("t.nk")).alias("o_orderkey"),
+                F.col("t.p").alias("o_totalprice"),
+                (F.col("pos") + 1).alias("rn"),
+            )
+        )
+        return aggd.join(c.select("c_custkey"), aggd.o_custkey == F.col("c_custkey")).select(
+            "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
+        )
+
     def q3_eager(spark, sf_dir):
         """b_tpch_q3 with the lineitem revenue EAGERLY aggregated by
         l_orderkey BEFORE the join (guide: aggregate before you
@@ -135,6 +169,194 @@ def main() -> None:
             .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
             .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
             .limit(10)
+        )
+
+    def lpa_opt(spark, sf_dir, edges_shared=True, packed_argmax=True,
+                prepart_bidir=True):
+        """b_graph_label_prop_converged with up to three physical
+        rewrites (results identical by construction):
+
+        - edges_shared: ONE repartition(event_type, m) serves the
+          membership distinct AND the bucket self-join (partitioning
+          on a subset of the grouping keys satisfies the distinct's
+          clustering requirement; the self-join reuses the exchange),
+          instead of distinct-exchange + per-side join exchanges.
+        - prepart_bidir: the persisted bidirectional edge list is
+          hash-partitioned on the join key (v) ONCE, so each LPA
+          round's label join shuffles only the |V|-sized label frame,
+          not the edge list.
+        - packed_argmax: the per-node argmax window (exchange + full
+          sort per round) becomes max(packed) where packed =
+          n << 34 | (2^34-1 - lbl): two hash aggregates, zero sorts.
+          Valid while lbl < 2^34 (user_id = base + replica*STRIDE
+          <= ~1e10 < 2^34 at every tier) and n < 2^29 (n <= |V|).
+        """
+        from stellarsql_spark.operators.graph import LP_CONV_CAP
+
+        ev = load_table(spark, sf_dir, "events")
+        b = ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+        )
+        if edges_shared:
+            b = b.repartition("event_type", "m").dropDuplicates()
+        else:
+            b = b.distinct()
+        edges = (
+            b.alias("l")
+            .join(b.alias("r"), ["event_type", "m"])
+            .where(F.col("l.user_id") < F.col("r.user_id"))
+            .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+            .distinct()
+        )
+        bidir = edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if prepart_bidir:
+            bidir = bidir.repartition(F.col("v"))
+        bidir = bidir.persist()
+        kmask = (1 << 34) - 1
+
+        def argmax(votes):
+            if packed_argmax:
+                return (
+                    votes.groupBy("node", "lbl")
+                    .agg(F.count("*").alias("n"))
+                    .select(
+                        "node",
+                        (F.shiftleft("n", 34) + (F.lit(kmask) - F.col("lbl"))).alias("pk"),
+                    )
+                    .groupBy("node")
+                    .agg(F.max("pk").alias("pk"))
+                    .select(
+                        "node", (F.lit(kmask) - F.col("pk").bitwiseAND(F.lit(kmask))).alias("lbl")
+                    )
+                )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+            return (
+                votes.groupBy("node", "lbl")
+                .agg(F.count("*").alias("n"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "lbl")
+            )
+
+        votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+        labels = None
+        try:
+            for it in range(LP_CONV_CAP):
+                if packed_argmax and it == 0:
+                    # round 1's votes are the DISTINCT bidirectional
+                    # pairs themselves (one vote per (node, lbl)), so
+                    # every count is 1 and the argmax is min(lbl)
+                    mode = (
+                        votes.groupBy("node").agg(F.min("lbl").alias("lbl"))
+                        .localCheckpoint()
+                    )
+                else:
+                    mode = argmax(votes).localCheckpoint()
+                if labels is not None:
+                    changed = (
+                        mode.join(labels.withColumnRenamed("lbl", "old"), "node")
+                        .where(F.col("lbl") != F.col("old"))
+                        .count()
+                    )
+                    if changed == 0:
+                        labels = mode
+                        break
+                labels = mode
+                votes = bidir.join(
+                    mode.select(F.col("node").alias("v"), "lbl"), "v"
+                ).select(F.col("u").alias("node"), "lbl")
+        finally:
+            bidir.unpersist()
+        return labels.groupBy(F.col("lbl").alias("community")).agg(
+            F.count("*").alias("n_members")
+        )
+
+    def prm_opt(spark, sf_dir):
+        """b_graph_pagerank_minute with the shared-exchange edge build
+        and the bidirectional list pre-partitioned on the per-round
+        join key (u)."""
+        from stellarsql_spark.operators.graph import PR_MINUTE_ROUNDS
+
+        ev = load_table(spark, sf_dir, "events")
+        b = (
+            ev.select("user_id", "event_type", F.date_trunc("minute", "ts").alias("m"))
+            .repartition("event_type", "m")
+            .dropDuplicates()
+        )
+        edges = (
+            b.alias("l")
+            .join(b.alias("r"), ["event_type", "m"])
+            .where(F.col("l.user_id") < F.col("r.user_id"))
+            .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+            .distinct()
+        )
+        und = (
+            edges.select("u", "v")
+            .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(F.col("u"))
+            .persist()
+        )
+        try:
+            dg = (
+                und.groupBy(F.col("u").alias("node"))
+                .agg(F.count("*").alias("deg"))
+                .localCheckpoint()
+            )
+            ranks = dg.select("node", "deg", F.lit(1000000).cast("bigint").alias("pr"))
+            for _ in range(PR_MINUTE_ROUNDS):
+                contrib = (
+                    und.join(ranks.select(F.col("node").alias("u"), "deg", "pr"), "u")
+                    .select(F.col("v").alias("node"), F.expr("pr div deg").alias("c"))
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("s"))
+                )
+                ranks = dg.join(contrib, "node", "left").select(
+                    "node",
+                    "deg",
+                    (F.lit(150000) + F.expr("(85 * coalesce(s, 0)) div 100"))
+                    .cast("bigint")
+                    .alias("pr"),
+                ).localCheckpoint()
+        finally:
+            und.unpersist()
+        return (
+            ranks.orderBy(F.col("pr").desc(), "node")
+            .limit(20)
+            .select(F.col("node").alias("user_id"), "deg", F.col("pr").alias("rank_micro"))
+        )
+
+    def skew_split_cents(spark, sf_dir):
+        """b_join_skew_split with the money sum riding as integer
+        cents (long adds) instead of DECIMAL(28,2) buffer adds —
+        b_join_inner's measured ~15% hot-path choice applied to the
+        skew family.  sum(cents)/100.0 == cast(sum(dec2) as double)
+        bit-exactly while the cent total stays under 2^53 (~9e15
+        cents; the 300x zipfian tier peaks ~7e14)."""
+        from stellarsql_spark.functions.exact import cents
+        from stellarsql_spark.operators.skew import _SPLIT_CONFS
+        from stellarsql_spark.catalog import _read_table
+
+        s2 = spark.newSession()
+        for k, v in _SPLIT_CONFS.items():
+            s2.conf.set(k, v)
+        s2.conf.set("spark.sql.session.timeZone", "UTC")
+        s2.conf.set(
+            "spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions", "32"),
+        )
+        o = _read_table(s2, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        li = _read_table(s2, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        return (
+            li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                (F.sum(cents("l_extendedprice")) / 100.0).cast("double").alias("gross"),
+            )
         )
 
     # ------------------------------------------------------------------
@@ -184,11 +406,84 @@ def main() -> None:
         # correctness gate on the probe corpus (cheap at base, real at depth)
         ok1 = check_equal("packed", base_df, topk_packed(spark, d))
         ok2 = check_equal("packed_repart", base_df, topk_packed_repart(spark, d))
+        ok3 = check_equal("repart_only", base_df, topk_repart_only(spark, d))
         timed_pair("base", spec.builder, d, con, dsql, args.runs)
         if ok1:
             timed_pair("packed", topk_packed, d, con, None, args.runs)
         if ok2:
             timed_pair("packed_repart", topk_packed_repart, d, con, None, args.runs)
+        if ok3:
+            timed_pair("repart_only", topk_repart_only, d, con, None, args.runs)
+        out["floors_post"] = plan_floors(spark)
+
+    elif args.tier in ("graph300", "graphbase"):
+        d = (
+            ensure_graph_corpus(spark, args.sf, 300)
+            if args.tier == "graph300"
+            else args.sf
+        )
+        tune_for_data_size(spark, d, cpus=32)
+        load_table(spark, d, "events").count()
+        out["floors_pre"] = plan_floors(spark)
+        con = duck_con(d)
+
+        def timed_eager(tag, builder, dsql, runs):
+            # eager loop keys: the timed unit is builder + count (the
+            # loop runs at builder time — bench.py prepare() contract)
+            sfn = lambda: builder(spark, d).count()  # noqa: E731
+            dfn = (lambda: con.execute(dsql).fetchall()) if dsql else None
+            s, dk, spread = best_of_paired(sfn, dfn, runs)
+            out[tag] = {
+                "spark": round(s, 3),
+                "duck": (round(dk, 3) if dfn else None),
+                "spread": round(spread, 3),
+                "ratio": (round(s / dk, 2) if dfn and dk > 0 else None),
+            }
+
+        lpa_spec = specs["b_graph_label_prop_converged"]
+        prm_spec = specs["b_graph_pagerank_minute"]
+        ok_l = check_equal("lpa_opt", lpa_spec.builder(spark, d), lpa_opt(spark, d))
+        ok_le = check_equal(
+            "lpa_edges_only",
+            lpa_spec.builder(spark, d),
+            lpa_opt(spark, d, packed_argmax=False, prepart_bidir=False),
+        )
+        ok_p = check_equal("prm_opt", prm_spec.builder(spark, d), prm_opt(spark, d))
+        runs = args.runs
+        timed_eager("lpa_base", lpa_spec.builder, lpa_spec.oracle, runs)
+        if ok_l:
+            timed_eager("lpa_opt", lpa_opt, None, runs)
+        if ok_le:
+            timed_eager(
+                "lpa_edges_only",
+                lambda s, dd: lpa_opt(s, dd, packed_argmax=False, prepart_bidir=False),
+                None,
+                runs,
+            )
+        timed_eager("prm_base", prm_spec.builder, prm_spec.oracle, runs)
+        if ok_p:
+            timed_eager("prm_opt", prm_opt, None, runs)
+        out["floors_post"] = plan_floors(spark)
+
+    elif args.tier in ("skew300", "skewbase"):
+        from stellarsql_spark.scale import ensure_skewed_corpus
+
+        d = (
+            ensure_skewed_corpus(spark, args.sf, 300)
+            if args.tier == "skew300"
+            else args.sf
+        )
+        tune_for_data_size(spark, d, cpus=32)
+        for t in ("orders", "lineitem"):
+            load_table(spark, d, t).count()
+        out["floors_pre"] = plan_floors(spark)
+        con = duck_con(d)
+        spec = specs["b_join_skew_split"]
+        base_df = spec.builder(spark, d)
+        ok = check_equal("split_cents", base_df, skew_split_cents(spark, d))
+        timed_pair("base", spec.builder, d, con, spec.oracle, args.runs)
+        if ok:
+            timed_pair("split_cents", skew_split_cents, d, con, None, args.runs)
         out["floors_post"] = plan_floors(spark)
 
     elif args.tier in ("q3base", "q3x30"):
