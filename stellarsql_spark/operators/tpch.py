@@ -40,14 +40,34 @@ LIMIT 10
 def b_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): 3-way join → grouped revenue →
     global top-10 (TakeOrderedAndProject, no full sort). Revenue as
-    scaled-integer sums (-24% at sf0.1 vs the decimal form)."""
+    scaled-integer sums (-24% at sf0.1 vs the decimal form).
+
+    r14-optimization choices, interleaved min-of-9 A/B at sf0.1
+    (result-list equality asserted first):
+    - the lineitem join is hinted shuffle_hash (base 0.279/0.253 s →
+      0.258/0.241 s across two sessions): at the base tier
+      tune_for_data_size turns AQE off, so the static planner's
+      SortMergeJoin pays two sorts that hash probing skips — the same
+      measured lesson as b_join_inner and the skew family.  The
+      shipdate-filtered lineitem side is the natural build side at
+      every tier (the date cutoff keeps ~3%).
+    - F.broadcast(filtered lineitem) measured NEGATIVE (0.369/0.347 s)
+      despite the small build side: per-execution TorrentBroadcast
+      build/cleanup churn, the r5 join_inner negative again.  Not
+      scale-safe either (the build side grows linearly with the
+      corpus).
+    - the eager l_orderkey pre-aggregation is a measured negative at
+      this tier and a win only at ≥30× — see OPTIMIZATION_r14.md §q3.
+    The post-join partial+final HashAggregate pair stays fused in the
+    join stage either way (join output is already partitioned by
+    l_orderkey)."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
     ep, dc = cents("l_extendedprice"), cents("l_discount")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(ep * (100 - dc)) / 10000.0).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -276,24 +276,16 @@ def main() -> None:
         )
 
     def prm_opt(spark, sf_dir):
-        """b_graph_pagerank_minute with the shared-exchange edge build
-        and the bidirectional list pre-partitioned on the per-round
-        join key (u)."""
-        from stellarsql_spark.operators.graph import PR_MINUTE_ROUNDS
+        """b_graph_pagerank_minute with the bidirectional list
+        pre-partitioned on the per-round join key (u); edge build
+        unchanged (the shared-exchange build measured NEGATIVE — it
+        concentrates the hot (type, minute) buckets)."""
+        from stellarsql_spark.operators.graph import (
+            PR_MINUTE_ROUNDS,
+            _minute_edges,
+        )
 
-        ev = load_table(spark, sf_dir, "events")
-        b = (
-            ev.select("user_id", "event_type", F.date_trunc("minute", "ts").alias("m"))
-            .repartition("event_type", "m")
-            .dropDuplicates()
-        )
-        edges = (
-            b.alias("l")
-            .join(b.alias("r"), ["event_type", "m"])
-            .where(F.col("l.user_id") < F.col("r.user_id"))
-            .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
-            .distinct()
-        )
+        edges = _minute_edges(spark, sf_dir)
         und = (
             edges.select("u", "v")
             .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -442,27 +434,61 @@ def main() -> None:
 
         lpa_spec = specs["b_graph_label_prop_converged"]
         prm_spec = specs["b_graph_pagerank_minute"]
-        ok_l = check_equal("lpa_opt", lpa_spec.builder(spark, d), lpa_opt(spark, d))
-        ok_le = check_equal(
-            "lpa_edges_only",
+
+        def paired_ab(tag, fn_a, fn_b, runs):
+            """Trial-level interleaving of base vs variant — the host
+            drifts on multi-minute waves, so block ordering (all base
+            trials then all variant trials) aliases the wave into the
+            comparison; back-to-back pairs cancel it the same way the
+            bench pairs spark/duck."""
+            fn_a()
+            fn_b()
+            a_best = b_best = float("inf")
+            a_worst = b_worst = 0.0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn_a()
+                dt = time.perf_counter() - t0
+                a_best, a_worst = min(a_best, dt), max(a_worst, dt)
+                t0 = time.perf_counter()
+                fn_b()
+                dt = time.perf_counter() - t0
+                b_best, b_worst = min(b_best, dt), max(b_worst, dt)
+            out[tag] = {
+                "base": round(a_best, 3),
+                "variant": round(b_best, 3),
+                "spread_base": round(a_worst - a_best, 3),
+                "spread_variant": round(b_worst - b_best, 3),
+                "delta_pct": round(100 * (b_best - a_best) / a_best, 1),
+            }
+
+        ok_l = check_equal(
+            "lpa_noshare",
             lpa_spec.builder(spark, d),
-            lpa_opt(spark, d, packed_argmax=False, prepart_bidir=False),
+            lpa_opt(spark, d, edges_shared=False),
         )
-        ok_p = check_equal("prm_opt", prm_spec.builder(spark, d), prm_opt(spark, d))
+        ok_p = check_equal(
+            "prm_preonly", prm_spec.builder(spark, d), prm_opt(spark, d)
+        )
         runs = args.runs
-        timed_eager("lpa_base", lpa_spec.builder, lpa_spec.oracle, runs)
+        # DuckDB leg skipped on purpose: the promotion decision is
+        # Spark-base vs Spark-variant; the lpa oracle (no MATERIALIZED
+        # pin) spills >60 GB beside a warm 48g Spark session and fills
+        # the disk.  Ratios vs DuckDB come from the bench artifact.
         if ok_l:
-            timed_eager("lpa_opt", lpa_opt, None, runs)
-        if ok_le:
-            timed_eager(
-                "lpa_edges_only",
-                lambda s, dd: lpa_opt(s, dd, packed_argmax=False, prepart_bidir=False),
-                None,
+            paired_ab(
+                "lpa_ab",
+                lambda: lpa_spec.builder(spark, d).count(),
+                lambda: lpa_opt(spark, d, edges_shared=False).count(),
                 runs,
             )
-        timed_eager("prm_base", prm_spec.builder, prm_spec.oracle, runs)
         if ok_p:
-            timed_eager("prm_opt", prm_opt, None, runs)
+            paired_ab(
+                "prm_ab",
+                lambda: prm_spec.builder(spark, d).count(),
+                lambda: prm_opt(spark, d).count(),
+                runs,
+            )
         out["floors_post"] = plan_floors(spark)
 
     elif args.tier in ("skew300", "skewbase"):
