@@ -76,8 +76,12 @@ WHERE rn <= 3
 """
 
 # Packed-long list element for the top-3 kernel (r14 optimization):
-# packed = cents(o_totalprice) << 34 + (2^34-1 - o_orderkey), so ONE
-# bigint sorts exactly like struct(price DESC, orderkey ASC):
+# packed = cents(o_totalprice) << 34 | (2^34-1 - o_orderkey), so ONE
+# bigint sorts exactly like struct(price DESC, orderkey ASC)
+# (bitwiseOR in code too since r15 — OR and + agree exactly while the
+# low term stays inside the 34-bit field, i.e. 0 ≤ o_orderkey ≤
+# 2^34-1, which is the same bound the encoding already requires and
+# scale.replicate_table now guards at corpus build — r14 ADVICE):
 # - cents is the exact integer cent count (functions.exact): price
 #   order == cents order, ties == ties;
 # - (2^34-1 - orderkey) inverts the key so larger values mean SMALLER
@@ -100,7 +104,7 @@ def topk3_packed(o: DataFrame, c: DataFrame, repartition_key: bool) -> DataFrame
     groupBy distribution, so the plan stays zero-exchange)."""
     from stellarsql_spark.functions.exact import cents
 
-    packed = F.shiftleft(cents("o_totalprice"), 34) + (
+    packed = F.shiftleft(cents("o_totalprice"), 34).bitwiseOR(
         F.lit(_PK_MASK) - F.col("o_orderkey")
     )
     top3 = F.slice(F.sort_array(F.collect_list("pk"), asc=False), 1, 3)

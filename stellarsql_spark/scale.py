@@ -97,6 +97,18 @@ def replicate_table(df: DataFrame, name: str, factor: int) -> DataFrame:
     """``factor`` disjoint-key copies of one table in a single pass:
     cross-join with a broadcast replica index and shift the id columns
     by ``replica * STRIDE`` (one scan, no per-copy union chain)."""
+    # r14 ADVICE bound guard: the packed-long kernels
+    # (operators.sorts._PK_MASK, the graph argmax) encode shifted keys
+    # in a 34-bit field.  Base keys are < STRIDE by construction, so
+    # factor * STRIDE bounds every shifted key; fail LOUDLY here — the
+    # one place keys are shifted — instead of letting a >1717× corpus
+    # silently corrupt packed ordering downstream.
+    if factor * STRIDE >= 1 << 34:
+        raise ValueError(
+            f"replication factor {factor} pushes shifted keys past 2^34 "
+            f"(factor * STRIDE = {factor * STRIDE}); the packed-long "
+            f"kernels (operators.sorts) would corrupt ordering"
+        )
     shift_cols = _SHIFT_COLS.get(name, ())
     if not shift_cols:
         return df
