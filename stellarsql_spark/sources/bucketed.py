@@ -565,7 +565,13 @@ def ensure_topk_rollup(spark: SparkSession, sf_dir: str) -> str:
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     out_dir = os.path.join(warehouse, f"topk3_custkey_{tag}")
     marker = os.path.join(out_dir, "_ROLLUP_DONE")
-    fp = ":".join(
+    # Builder-version token (r14 ADVICE): the fingerprint previously
+    # covered only the corpus files, so an artifact materialized by an
+    # OLDER builder implementation was silently reused after a kernel
+    # change (results identical — oracle-verified — but the served
+    # bench row measured a stale-format artifact).  Bump the token
+    # whenever the topk kernel changes shape.
+    fp = "bld-r15:" + ":".join(
         _bucket_fingerprint(table_path(sf_dir, t), 0) for t in ("orders", "customer")
     )
     if _marker_ok(marker, fp):
