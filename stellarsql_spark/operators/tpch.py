@@ -36,6 +36,85 @@ LIMIT 10
 """
 
 
+# r15 (VERDICT #3 + #7): Q3's depth crossover ships behind the
+# certified chooser pattern (b_join_auto / b_llm_dedup_auto).  The
+# decision stat is the lineitem table's on-disk parquet bytes — a
+# corpus property (driver-side getsize sum, no Spark job), pinned
+# like DEDUP_BLOOM_CROSSOVER so the verdict never depends on session
+# state.  Measured decision table (tools/opt_ab_r14/r15, interleaved
+# min-of-N, result equality asserted first):
+# - 11 MiB (sf0.1): eager pre-agg LOSES ~45% (the extra l_orderkey
+#   exchange is pure fixed cost when the filtered lineitem side is
+#   already tiny) → 'base';
+# - 233 MiB (30×): eager pre-agg WINS ~21% (the exchange + post-join
+#   groupBy collapse to one narrow pre-agg exchange) → 'preagg'.
+# The bar splits the unmeasured decade between the two points at the
+# binary boundary the session tuner already uses (128 MiB — the
+# tune_for_data_size small/mid cut): below it the measured loss side,
+# above it within 2× of the measured win side.  The shuffle_hash hint
+# rides ONLY the base lane (VERDICT #7's tier gate): it was measured
+# at the AQE-off base tier, and the preagg lane reshapes the join
+# input entirely (the build side becomes the one-row-per-order
+# pre-agg, and at ≥768 MiB AQE picks the strategy at runtime).
+Q3_PREAGG_BYTES = 128 << 20
+
+
+def choose_q3_strategy(lineitem_bytes: int, bar: int = Q3_PREAGG_BYTES) -> str:
+    """'base' while the (unfiltered) lineitem input is small enough
+    that Q3's extra pre-agg exchange would dominate; 'preagg' once
+    the data term flips it — the OPTIMIZATION_r14 §q3 crossover as a
+    decision rule."""
+    return "base" if lineitem_bytes < bar else "preagg"
+
+
+def _lineitem_bytes(sf_dir: str) -> int:
+    """On-disk parquet bytes of the lineitem table (file or dir)."""
+    import glob
+    import os
+
+    from stellarsql_spark.catalog import table_path
+
+    p = table_path(sf_dir, "lineitem")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+    return os.path.getsize(p)
+
+
+def _q3(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """Both Q3 lanes; result sets identical (certified in
+    tests/test_round15_opt.py by exceptAll both ways on the real
+    corpus, plus the oracle hash through the registered key)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    ep, dc = cents("l_extendedprice"), cents("l_discount")
+    rev = (F.sum(ep * (100 - dc)) / 10000.0).cast("double").alias("revenue")
+    if strategy == "preagg":
+        # guide §2.3 "aggregate before you shuffle": revenue collapses
+        # to one row per order BEFORE the join, the orderkey exchange
+        # carries |filtered orders| rows, and the post-join groupBy
+        # disappears (l_orderkey is unique after the pre-agg).
+        li_rev = li.groupBy("l_orderkey").agg(rev)
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li_rev, o.o_orderkey == li_rev.l_orderkey)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10)
+        )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 @register("b_tpch_q3", oracle=_Q3_ORACLE, tags=("tpch", "join", "agg"))
 def b_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): 3-way join → grouped revenue →
@@ -56,24 +135,16 @@ def b_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       build/cleanup churn, the r5 join_inner negative again.  Not
       scale-safe either (the build side grows linearly with the
       corpus).
-    - the eager l_orderkey pre-aggregation is a measured negative at
-      this tier and a win only at ≥30× — see OPTIMIZATION_r14.md §q3.
     The post-join partial+final HashAggregate pair stays fused in the
     join stage either way (join output is already partitioned by
-    l_orderkey)."""
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
-    ep, dc = cents("l_extendedprice"), cents("l_discount")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(ep * (100 - dc)) / 10000.0).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
+    l_orderkey).
+
+    r15: the eager l_orderkey pre-aggregation (r14's measured −21% at
+    30×, −45% at the headline tier) now SHIPS behind the size chooser
+    above — the headline/oracle tiers (≤ sf0.1) stay on the measured
+    base-optimal lane byte-identically, ≥128 MiB corpora get the
+    depth-optimal lane, and both lanes are certified result-equal."""
+    return _q3(spark, sf_dir, choose_q3_strategy(_lineitem_bytes(sf_dir)))
 
 
 _Q5_ORACLE = f"""
