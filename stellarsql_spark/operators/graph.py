@@ -1469,11 +1469,24 @@ def _lpa_conv_oracle(cap: int = LP_CONV_CAP) -> str:
             f"    FROM i{k} GROUP BY node, lbl\n"
             f"  ) WHERE rn = 1\n)"
         )
-    return (
+    sql = (
         "WITH " + ",\n".join(ctes) + f"\n"
         f"SELECT lbl AS community, COUNT(*) AS n_members\n"
         f"FROM m{cap} GROUP BY lbl"
     )
+    # AS MATERIALIZED on every CTE (r15, VERDICT #4 — the PageRank
+    # oracle's pin applied here too): DuckDB otherwise re-expands the
+    # shared b/edges/bidir CTEs once per unrolled round into a bushy
+    # self-join tree — observed spilling >60 GB at the 300× graph tier
+    # beside a warm 48g Spark session (OPTIMIZATION_r14.md).  Same
+    # rows, same hash; this only pins evaluation to compute-once,
+    # which is what the Spark side's per-round localCheckpoint does.
+    names = ["b", "edges", "bidir"] + [
+        f"{p}{k}" for k in range(1, cap + 1) for p in ("i", "m")
+    ]
+    for name in names:
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (")
+    return sql
 
 
 @register("b_graph_label_prop_converged", oracle=_lpa_conv_oracle(),
