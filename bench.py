@@ -736,11 +736,15 @@ def _compact(result: dict) -> str:
         out["full"] = "BENCH_FULL.json"
     # Degrade ladder, least-informative first: the loadavg (fr is the
     # decision variable and the full artifact keeps both), then the
-    # spread columns, then absolute times (ratios + floors + floor
-    # ratios carry the story), so a budget overrun sheds detail
-    # gradually instead of dropping every absolute time at once.
+    # per-block absolute floor (fr — the ratio — stays), then the
+    # spread columns, then absolute times (ratios + floor ratios
+    # carry the story), so a budget overrun sheds detail gradually
+    # instead of dropping every absolute time at once.  The "fl" rung
+    # is new in r15: the r14 driver line had to shed the absolute
+    # seconds ("s") — the most-read column — while eight copies of a
+    # floor reconstructible from fr × the headline floor rode along.
     line = json.dumps(out, separators=(",", ":"))
-    for field in ("ld", "sp", "s"):
+    for field in ("ld", "fl", "sp", "s"):
         if len(line) <= 1900:
             break
         for b in scale.values():
@@ -791,7 +795,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         from stellarsql_spark.scale import ensure_scaled_corpus
 
-        def probe(factor: int, names, tables=None, scaled_dir=None) -> dict:
+        def probe(factor: int, names, tables=None, scaled_dir=None,
+                  runs: int | None = None) -> dict:
             if scaled_dir is None:
                 scaled_dir = ensure_scaled_corpus(spark, sf_dir, factor, tables=tables)
             tune_for_data_size(spark, scaled_dir, cpus=cpus)
@@ -895,7 +900,13 @@ def main() -> None:
             # keeps the cross-engine ratio meaningful under it.
             # min-of-5 at 1000× (each trial round is ~a minute there;
             # 7 rounds would double tier wall-clock for ~the same min).
-            runs = 5 if factor >= 1000 else 7 if factor >= 300 else 5 if factor >= 100 else 3
+            if runs is None:
+                runs = (
+                    5 if factor >= 1000
+                    else 7 if factor >= 300
+                    else 5 if factor >= 100
+                    else 3
+                )
             scaled, duck, spread, resettled = _interleaved_times(
                 spark, scaled_dir, specs, names, runs,
                 spread_guard=factor >= 300,
@@ -991,29 +1002,21 @@ def main() -> None:
             result["scale_probe_mm"] = probe(MM_FACTOR, MM_MATCHED)
         else:
             result["scale_probe_mm"] = {"skipped": "time budget"}
-        # Graph tier (r12 VERDICT #2): the iterative loop at depth on
-        # the time-shifted corpus — see the GRAPH_MATCHED block
-        # comment. One-off build ~1.2 GiB (cached + fingerprinted).
-        if _budget_elapsed() < 1800:
-            from stellarsql_spark.scale import ensure_graph_corpus
-
-            result["scale_probe_graph"] = probe(
-                GRAPH_FACTOR,
-                GRAPH_MATCHED,
-                scaled_dir=ensure_graph_corpus(spark, sf_dir, GRAPH_FACTOR),
-            )
-        else:
-            result["scale_probe_graph"] = {"skipped": "time budget"}
         # Streaming throughput probe (r8): every scale tier above is
         # batch; this is the one measured micro-batch number. Drain
         # the watermarked tumbling aggregate (b_stream_run_tumbling's
         # plan) over the 100× events corpus through the file source,
         # one file per trigger, so the run is genuinely incremental
         # (~6 micro-batches updating (window, type) state).
-        # (guard widened r13 +180 s for the graph tier, r14 +240 s for
-        # the second+third graph rows + the mm tier ahead of this
-        # block)
-        if _budget_elapsed() < 2160:
+        # r15 (VERDICT #2): this block now runs BEFORE the graph tier
+        # — the r14 driver run lost the stream probe entirely because
+        # the graph tier (the longest block: 3 keys × min-of-7 with a
+        # spilly DuckDB twin) ran first and pushed elapsed past the
+        # old 2160 s guard.  The stream probe is ~3-4 min and is the
+        # ONLY sustained-socket / micro-batch evidence in the
+        # artifact, so it gets the cheap-first slot (the mm-tier
+        # precedent) and the graph tier absorbs the budget risk.
+        if _budget_elapsed() < 2100:
             result["stream_probe"] = _stream_throughput(spark, sf_dir, SCALE2_FACTOR)
             # Push-path twin (r9 VERDICT #7): the socket source's cost
             # beside the file-source figure above.
@@ -1046,6 +1049,24 @@ def main() -> None:
             )
         else:
             result["stream_probe"] = {"skipped": "time budget"}
+        # Graph tier (r12 VERDICT #2): the iterative loop at depth on
+        # the time-shifted corpus — see the GRAPH_MATCHED block
+        # comment. One-off build ~1.2 GiB (cached + fingerprinted).
+        # r15: runs LAST (it is the longest block and the stream probe
+        # must not starve behind it — see above) at min-of-5: each lpa
+        # trial pair is ~30 s, so two fewer rounds save ~2-3 min while
+        # the paired min-of protocol keeps absorbing the host waves.
+        if _budget_elapsed() < 2700:
+            from stellarsql_spark.scale import ensure_graph_corpus
+
+            result["scale_probe_graph"] = probe(
+                GRAPH_FACTOR,
+                GRAPH_MATCHED,
+                scaled_dir=ensure_graph_corpus(spark, sf_dir, GRAPH_FACTOR),
+                runs=5,
+            )
+        else:
+            result["scale_probe_graph"] = {"skipped": "time budget"}
         tune_for_data_size(spark, sf_dir, cpus=cpus)
 
     # Full result to disk only (committed artifact the judge reads);
