@@ -44,6 +44,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes of one table (file or directory) — the
+    driver-side corpus-size stat the size-chooser operators key on
+    (r15: TPC-H Q3's pre-agg lane, topk's join lane).  Matches the
+    planner's parquet sizeInBytes estimate, and being a plain getsize
+    sum it never depends on session state."""
+    import glob
+
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        return sum(os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet")))
+    return os.path.getsize(p)
+
+
 def content_fingerprint(path: str) -> str:
     """Change-detection fingerprint for a corpus path that derived
     layouts (bucketed tables, hour layouts, multibatch splits) key

@@ -96,12 +96,43 @@ WHERE rn <= 3
 # nearest double.
 _PK_MASK = (1 << 34) - 1
 
+# r15 (VERDICT #1 follow-through): the customer join's strategy ships
+# behind a size chooser (the b_join_auto / r15 Q3 precedent).  The
+# decision stat is the CUSTOMER table's on-disk parquet bytes, pinned
+# at Spark's own autoBroadcastJoinThreshold default (10 MB, and file
+# size IS the planner's parquet sizeInBytes estimate), because the
+# lever only exists where broadcast can't:
+# - below 10 MB (base 0.3 MB, 30× 2.1 MB) the planner already
+#   broadcast-joins customer and the current shape is optimal — the
+#   chooser keeps the driver's headline/30× plans byte-identical;
+# - at/above it (300× 27 MB, 1000× 93 MB) the planner falls back to
+#   SortMergeJoin over the EXPLODED rows; joining at the pre-explode
+#   grain (≤3-element array per customer, 3× fewer probe rows —
+#   guide §3.3 "join first on the un-exploded key and explode after")
+#   with a shuffle_hash hint (guide §3.1: hash probe beats two sorts;
+#   the build side is the per-partition slice of customer keys, which
+#   the bytes/128 MiB partition rule keeps bounded at any scale)
+#   measured −26.6% at 300× (4.68 → 3.44 s, min-of-7 paired, spreads
+#   ~0.9) and flat at 1000× (+1.6%, inside a contended run's noise) —
+#   tools/opt_ab_r15.py --tier topk300/topk1000.
+TOPK_SHJ_BYTES = 10 << 20
 
-def topk3_packed(o: DataFrame, c: DataFrame, repartition_key: bool) -> DataFrame:
+
+def choose_topk_join(customer_bytes: int, bar: int = TOPK_SHJ_BYTES) -> str:
+    """'posexplode_bhj' while customer is small enough that the
+    planner broadcast-joins it anyway; 'array_shj' once broadcast is
+    off the table and the pre-explode-grain hash join wins."""
+    return "posexplode_bhj" if customer_bytes < bar else "array_shj"
+
+
+def topk3_packed(
+    o: DataFrame, c: DataFrame, repartition_key: bool, join: str = "posexplode_bhj"
+) -> DataFrame:
     """Shared top-3-orders-per-customer kernel on the packed-long
-    element — used by the plain headline (repartition_key=True) and
-    its bucketed twin (False: the bucket layout already satisfies the
-    groupBy distribution, so the plan stays zero-exchange)."""
+    element — used by the plain headline (repartition_key=True, join
+    strategy from choose_topk_join) and its bucketed twin (False +
+    default join: the bucket layout already satisfies the groupBy
+    distribution, so the plan stays zero-exchange)."""
     from stellarsql_spark.functions.exact import cents
 
     packed = F.shiftleft(cents("o_totalprice"), 34).bitwiseOR(
@@ -111,16 +142,31 @@ def topk3_packed(o: DataFrame, c: DataFrame, repartition_key: bool) -> DataFrame
     slim = o.select("o_custkey", packed.alias("pk"))
     if repartition_key:
         slim = slim.repartition(F.col("o_custkey"))
-    aggd = (
-        slim.groupBy("o_custkey")
-        .agg(top3.alias("top"))
-        .select("o_custkey", F.posexplode("top").alias("pos", "pk"))
-        .select(
-            "o_custkey",
-            (F.lit(_PK_MASK) - F.col("pk").bitwiseAND(F.lit(_PK_MASK))).alias("o_orderkey"),
-            (F.shiftright("pk", 34) / 100.0).cast("double").alias("o_totalprice"),
-            (F.col("pos") + 1).alias("rn"),
+    arrays = slim.groupBy("o_custkey").agg(top3.alias("top"))
+    if join == "array_shj":
+        # posexplode commutes with the key-equijoin (the join key is
+        # untouched by the explode), so joining at the ≤3-element
+        # array grain is result-identical under any key multiplicity
+        # — certified by exceptAll both ways at 300× and 1000× in the
+        # r15 A/B plus the registered oracle gate.
+        cc = c.select("c_custkey").hint("shuffle_hash")
+        return (
+            arrays.join(cc, arrays.o_custkey == F.col("c_custkey"))
+            .select("c_custkey", F.posexplode("top").alias("pos", "pk"))
+            .select(
+                "c_custkey",
+                (F.lit(_PK_MASK) - F.col("pk").bitwiseAND(F.lit(_PK_MASK))).alias(
+                    "o_orderkey"
+                ),
+                (F.shiftright("pk", 34) / 100.0).cast("double").alias("o_totalprice"),
+                (F.col("pos") + 1).cast("int").alias("rn"),
+            )
         )
+    aggd = arrays.select("o_custkey", F.posexplode("top").alias("pos", "pk")).select(
+        "o_custkey",
+        (F.lit(_PK_MASK) - F.col("pk").bitwiseAND(F.lit(_PK_MASK))).alias("o_orderkey"),
+        (F.shiftright("pk", 34) / 100.0).cast("double").alias("o_totalprice"),
+        (F.col("pos") + 1).alias("rn"),
     )
     return aggd.join(c.select("c_custkey"), aggd.o_custkey == F.col("c_custkey")).select(
         "c_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
@@ -157,7 +203,16 @@ def b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       every row, while post-exchange the aggregate runs once on
       key-local data (5.13 s repart-only).
     Combined: 4.52 s = −24% vs base at 300×, same result set
-    (exceptAll-equal both ways on 13.5M rows)."""
+    (exceptAll-equal both ways on 13.5M rows).
+
+    r15: the customer join's strategy ships behind choose_topk_join
+    (customer-bytes chooser, TOPK_SHJ_BYTES block comment): below the
+    broadcast threshold the r14 plan is kept byte-identically; above
+    it the join runs at the pre-explode array grain under a
+    shuffle_hash hint (−26.6% at 300×, flat at 1000×)."""
+    from stellarsql_spark.catalog import table_bytes
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return topk3_packed(o, c, repartition_key=True)
+    join = choose_topk_join(table_bytes(sf_dir, "customer"))
+    return topk3_packed(o, c, repartition_key=True, join=join)

@@ -77,6 +77,64 @@ class TestQ3Chooser:
         assert "Keys [1]: [l_orderkey" in plan
 
 
+class TestTopkJoinChooser:
+    def test_chooser_thresholds(self):
+        from stellarsql_spark.operators.sorts import TOPK_SHJ_BYTES, choose_topk_join
+
+        assert choose_topk_join(0) == "posexplode_bhj"
+        assert choose_topk_join(TOPK_SHJ_BYTES - 1) == "posexplode_bhj"
+        assert choose_topk_join(TOPK_SHJ_BYTES) == "array_shj"
+
+    def test_driver_tiers_stay_on_broadcast_lane(self):
+        """The driver's headline (sf0.1) and oracle (sf0.001/sf0.01)
+        tiers all have customer far below the 10 MB broadcast
+        threshold, so the registered key keeps the r14 plan
+        byte-identically everywhere the driver times or hashes it."""
+        from stellarsql_spark.catalog import table_bytes
+        from stellarsql_spark.operators.sorts import choose_topk_join
+
+        for d in (SF_SMALL, SF_MED, SF_BASE):
+            n = table_bytes(d, "customer")
+            assert 0 < n < 10 << 20
+            assert choose_topk_join(n) == "posexplode_bhj"
+
+    def test_lanes_result_equal_on_corpus(self, spark):
+        """Both join lanes produce the identical result set on the
+        real corpus (exceptAll both ways), so the ≥10 MB flip cannot
+        change what the registered key computes."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.sorts import topk3_packed
+
+        c = load_table(spark, SF_MED, "customer")
+        o = load_table(spark, SF_MED, "orders")
+        bhj = topk3_packed(o, c, repartition_key=True, join="posexplode_bhj")
+        shj = topk3_packed(o, c, repartition_key=True, join="array_shj")
+        assert bhj.schema == shj.schema
+        assert bhj.exceptAll(shj).count() == 0
+        assert shj.exceptAll(bhj).count() == 0
+        assert bhj.count() == shj.count() > 0
+
+    def test_shj_lane_joins_before_explode(self, spark):
+        """The array_shj lane's plan carries the customer join BELOW
+        the explode (3× fewer probe rows) as a ShuffledHashJoin —
+        the structural properties the 300× −26.6% was attributed to."""
+        from stellarsql_spark.catalog import load_table
+        from stellarsql_spark.operators.sorts import topk3_packed
+        from stellarsql_spark.plans.explain import physical_plan
+
+        c = load_table(spark, SF_MED, "customer")
+        o = load_table(spark, SF_MED, "orders")
+        plan = physical_plan(topk3_packed(o, c, repartition_key=True, join="array_shj"))
+        assert "ShuffledHashJoin" in plan
+        # Generate (the explode) must sit ABOVE the join: formatted
+        # plans number operators bottom-up (leaf = 1), so the explode
+        # being closer to the root means its number is LARGER
+        gen_line = next(l for l in plan.splitlines() if "Generate" in l and "(" in l)
+        join_line = next(l for l in plan.splitlines() if "ShuffledHashJoin" in l)
+        num = lambda l: int(l.split("(")[1].split(")")[0])  # noqa: E731
+        assert num(gen_line) > num(join_line)
+
+
 class TestReplicationBoundGuard:
     def test_factor_past_packed_bound_raises(self, spark):
         from stellarsql_spark.catalog import load_table

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--tier", required=True)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to restrict a "
+                         "topk tier to (focused re-measure)")
     args = ap.parse_args()
 
     from pyspark.sql import Window
@@ -145,6 +148,85 @@ def main() -> None:
             )
         )
 
+    def _top3_arrow_fn(batches):
+        """Per-task vectorized top-3 (guide §4.2): the task's whole
+        key-local slice is concatenated (each custkey is entirely
+        inside one task after the exchange), lexsorted by
+        (custkey asc, pk desc), and group-ranked with a cumulative-max
+        trick — no JVM object hash maps, no ArrayBuffers."""
+        import numpy as np
+        import pyarrow as pa
+
+        cks, pks = [], []
+        for b in batches:
+            cks.append(b.column(0).to_numpy(zero_copy_only=False))
+            pks.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not cks:
+            return
+        ck = np.concatenate(cks)
+        pk = np.concatenate(pks)
+        order = np.lexsort((-pk, ck))  # custkey asc, pk desc
+        ck_s, pk_s = ck[order], pk[order]
+        idx = np.arange(len(ck_s), dtype=np.int64)
+        first = np.empty(len(ck_s), dtype=bool)
+        first[0] = True
+        np.not_equal(ck_s[1:], ck_s[:-1], out=first[1:])
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        rn = idx - start  # 0-based rank within custkey
+        keep = rn < 3
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ck_s[keep]),
+                pa.array(pk_s[keep]),
+                pa.array((rn[keep] + 1).astype(np.int32)),
+            ],
+            names=["o_custkey", "pk", "rn"],
+        )
+
+    def _reconstruct_final(df):
+        return df.select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.lit(_KMASK) - F.col("pk").bitwiseAND(F.lit(_KMASK))).alias("o_orderkey"),
+            (F.shiftright("pk", 34) / 100.0).cast("double").alias("o_totalprice"),
+            "rn",
+        )
+
+    def topk_arrow_join_first(spark, sf_dir):
+        """Customer join piggybacks the top-3 exchange (SHJ build =
+        per-partition customer slice), THEN the Python top-3 runs on
+        the join output — which keeps hashpartitioning(o_custkey), so
+        there is NO exchange after the Python stage."""
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        slim = _packed(o).repartition(F.col("o_custkey"))
+        cc = c.select(F.col("c_custkey").alias("o_custkey")).hint("shuffle_hash")
+        joined = slim.join(cc, "o_custkey").select("o_custkey", "pk")
+        aggd = joined.mapInArrow(
+            _top3_arrow_fn, "o_custkey long, pk long, rn int"
+        )
+        return _reconstruct_final(aggd)
+
+    def topk_arrow_join_after(spark, sf_dir, hash_hint=True):
+        """Python top-3 straight after the exchange; the customer join
+        runs on the ≤3-per-key output (pays one more exchange of the
+        small output because mapInArrow's partitioning is opaque)."""
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        slim = _packed(o).repartition(F.col("o_custkey"))
+        aggd = slim.mapInArrow(_top3_arrow_fn, "o_custkey long, pk long, rn int")
+        cc = c.select("c_custkey")
+        if hash_hint:
+            cc = cc.hint("shuffle_hash")
+        return (
+            aggd.join(cc, aggd.o_custkey == F.col("c_custkey"))
+            .select(
+                "c_custkey",
+                (F.lit(_KMASK) - F.col("pk").bitwiseAND(F.lit(_KMASK))).alias("o_orderkey"),
+                (F.shiftright("pk", 34) / 100.0).cast("double").alias("o_totalprice"),
+                "rn",
+            )
+        )
+
     # ------------------------------------------------------------------
 
     def check_equal(name, base_df, var_df):
@@ -218,7 +300,12 @@ def main() -> None:
             "join_first": lambda s, dd: topk_join_first(s, dd),
             "join_first_hash": lambda s, dd: topk_join_first(s, dd, hash_hint=True),
             "rank_repart_hash": lambda s, dd: topk_rank_repart(s, dd, hash_hint=True),
+            "arrow_join_first": topk_arrow_join_first,
+            "arrow_join_after": topk_arrow_join_after,
         }
+        if args.only:
+            keep = set(args.only.split(","))
+            variants = {k: v for k, v in variants.items() if k in keep}
         oks = {}
         var_dfs = {}
         for name, b in variants.items():
