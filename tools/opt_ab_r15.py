@@ -227,6 +227,46 @@ def main() -> None:
             )
         )
 
+    def join_inner_packed(spark, sf_dir):
+        """b_join_inner with the pre-agg exchange narrowed to ONE long
+        per row (guide §2.3 narrower types): pk = o_custkey << 26 |
+        cents(o_totalprice).  Bounds: corpus max cents 49,999,318 <
+        2^26 (prices never scale with replication), custkey < 2^34 <<
+        2^37 headroom.  The exchange partitions on shiftright(pk, 26)
+        and the groupBy uses the same expression, so the repartition
+        still satisfies the aggregate's distribution (verified: one
+        Exchange in the plan) while the shuffled row shrinks 24 → 16
+        bytes (UnsafeRow: 8B header + fields)."""
+        from stellarsql_spark.functions.exact import cents
+
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        pk = F.shiftleft(F.col("o_custkey"), 26).bitwiseOR(cents("o_totalprice"))
+        ck = F.shiftright(F.col("pk"), 26)
+        pre = (
+            o.select(pk.alias("pk"))
+            .repartition(ck)
+            .groupBy(ck.alias("o_custkey"))
+            .agg(
+                F.count("*").alias("n_orders_p"),
+                F.sum(F.col("pk").bitwiseAND(F.lit((1 << 26) - 1))).alias("rev_p"),
+            )
+        )
+        return (
+            pre.join(c.hint("shuffle_hash"), pre.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.sum("n_orders_p").alias("n_orders"),
+                (F.sum("rev_p") / 100.0).cast("double").alias("revenue"),
+            )
+        )
+
     # ------------------------------------------------------------------
 
     def check_equal(name, base_df, var_df):
@@ -415,6 +455,74 @@ def main() -> None:
                 lambda: q3_eager(spark, d).count(),
                 args.runs,
             )
+        out["floors_post"] = plan_floors(spark)
+
+    elif args.tier in ("joinpk300", "joinpk1000", "joinpkbase"):
+        factor = {"joinpk300": 300, "joinpk1000": 1000, "joinpkbase": 1}[args.tier]
+        d = _scaled(factor)
+        tune_for_data_size(spark, d, cpus=32)
+        for t in ("orders", "customer", "nation", "region"):
+            df = load_table(spark, d, t)
+            if factor == 1:
+                df.cache()
+            df.count()
+        out["floors_pre"] = plan_floors(spark)
+        spec = specs["b_join_inner"]
+        base_df = spec.builder(spark, d)
+        var_df = join_inner_packed(spark, d)
+        from stellarsql_spark.plans.explain import physical_plan
+
+        out["n_shuffle_exchanges_variant"] = physical_plan(var_df).count(
+            "Exchange hashpartitioning"
+        )
+        if check_equal("joinpk", base_df, var_df):
+            paired_ab(
+                "ab_joinpk",
+                lambda: base_df.write.format("noop").mode("overwrite").save(),
+                lambda: var_df.write.format("noop").mode("overwrite").save(),
+                args.runs,
+            )
+        out["floors_post"] = plan_floors(spark)
+
+    elif args.tier in ("joindecomp300", "joindecomp1000"):
+        # VERDICT #4 follow-through: stage decomposition of the plain
+        # b_join_inner so the 300× ratio drift is attributed to a
+        # component (scan / exchange / agg / dim joins) rather than
+        # hand-waved as environment.
+        factor = 300 if args.tier.endswith("300") else 1000
+        d = _scaled(factor)
+        tune_for_data_size(spark, d, cpus=32)
+        for t in ("orders", "customer", "nation", "region"):
+            load_table(spark, d, t).count()
+        out["floors_pre"] = plan_floors(spark)
+        from stellarsql_spark.functions.exact import cents
+
+        o = load_table(spark, d, "orders")
+        slim = o.select("o_custkey", cents("o_totalprice").alias("cts"))
+        repart = slim.repartition(F.col("o_custkey"))
+        aggd = repart.groupBy("o_custkey").agg(
+            F.count("*").alias("n"), F.sum("cts").alias("c")
+        )
+        full = specs["b_join_inner"].builder(spark, d)
+
+        def noop(df):
+            return lambda: df.write.format("noop").mode("overwrite").save()
+
+        stages = {
+            "d0_scan_project": noop(slim),
+            "d1_exchange": noop(repart),
+            "d2_agg": noop(aggd),
+            "d3_full_noop": noop(full),
+        }
+        for tag, fn in stages.items():
+            fn()  # warm
+            best, worst = float("inf"), 0.0
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best, worst = min(best, dt), max(worst, dt)
+            out[tag] = {"best": round(best, 3), "spread": round(worst - best, 3)}
         out["floors_post"] = plan_floors(spark)
 
     elif args.tier in ("join300", "join1000"):
