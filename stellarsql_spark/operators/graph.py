@@ -1521,19 +1521,50 @@ def b_graph_label_prop_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_argmax(votes: DataFrame) -> DataFrame:
+    """Per-node most-frequent label, ties to the smallest label, as
+    TWO HASH AGGREGATES instead of count + row_number window (r15
+    promotion, −9.4% on the LPA key at the 300× graph tier, paired
+    min-of-5; the window form pays an exchange + full sort per round):
+    max over packed = n << 34 | (2^34−1 − lbl), so bigger count wins
+    and count ties break to the SMALLER label — exactly the window's
+    (n DESC, lbl ASC) order.  Bounds (every tier): lbl = user_id <
+    2^34 (scale.replicate_table raises past factor 1717 — the same
+    guard the topk packing uses) and n ≤ node degree < 2^29 (replicas
+    are disjoint subgraphs, so degrees never scale with the factor)."""
+    kmask = (1 << 34) - 1
+    return (
+        votes.groupBy("node", "lbl")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "node",
+            F.shiftleft("n", 34).bitwiseOR(F.lit(kmask) - F.col("lbl")).alias("pk"),
+        )
+        .groupBy("node")
+        .agg(F.max("pk").alias("pk"))
+        .select(
+            "node", (F.lit(kmask) - F.col("pk").bitwiseAND(F.lit(kmask))).alias("lbl")
+        )
+    )
+
+
 def _lpa_converged(
     spark: SparkSession, sf_dir: str, cap: int = LP_CONV_CAP
 ) -> tuple[DataFrame, int]:
     """(final labels, rounds actually run) of synchronous LPA iterated
     to fixpoint under ``cap`` — the C274 loop, exposed so tests can
     assert the early-exit/fixpoint contract directly."""
-    from pyspark.sql import Window
-
     edges = _minute_edges(spark, sf_dir)
     bidir = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
-    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+    )
+    # Hash-partition the persisted edge list on the per-round join key
+    # ONCE (r15 promotion, guide §2.4: establish the partitioning once
+    # and reuse it), so each round's label join shuffles only the
+    # |V|-sized label frame, not the edge list.  Paired interleaved
+    # A/Bs read −2.6% (r14) and −9.4% (r15, with the packed argmax) —
+    # consistent sign across two sessions, spreads 2-6 s (host waves).
+    bidir = bidir.repartition(F.col("v")).persist()
     votes = bidir.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
     labels, rounds = None, 0
     # Superseded rounds' localCheckpoint blocks are NOT CacheManager
@@ -1543,15 +1574,19 @@ def _lpa_converged(
     # cache entry, so its unpersist sits in a finally — a mid-round
     # failure must not leak the cached edge list for the session.
     try:
-        for _ in range(cap):
-            mode = (
-                votes.groupBy("node", "lbl")
-                .agg(F.count("*").alias("n"))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("node", "lbl")
-                .localCheckpoint()
-            )
+        for it in range(cap):
+            if it == 0:
+                # round 1's votes are the DISTINCT bidirectional pairs
+                # themselves (edges is a distinct u<v set and the
+                # reversed half is key-disjoint from it), so every
+                # (node, lbl) count is 1 and the argmax reduces to
+                # min(lbl) — one aggregate instead of two.
+                mode = (
+                    votes.groupBy("node").agg(F.min("lbl").alias("lbl"))
+                    .localCheckpoint()
+                )
+            else:
+                mode = _lpa_argmax(votes).localCheckpoint()
             rounds += 1
             if labels is not None:
                 changed = (
@@ -1765,9 +1800,17 @@ def _pr_minute_loop(spark: SparkSession, edges: DataFrame) -> DataFrame:
     frame: per-call persist of the bidirectional list released in a
     finally, per-round localCheckpoint (see b_graph_pagerank_minute's
     docstring for why).  Returns the top-20 frame."""
-    und = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    und = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # r15 promotion (guide §2.4, the LPA loop's move applied to the
+        # shared PageRank loop): hash-partition the persisted list on
+        # the per-round join key once so each round's contribution join
+        # shuffles only the rank frame.  Paired interleaved A/Bs read
+        # −5.6% (r14) / −8.8% (r15) at the 300× graph tier.
+        .repartition(F.col("u"))
+        .persist()
+    )
     try:
         dg = (
             und.groupBy(F.col("u").alias("node"))

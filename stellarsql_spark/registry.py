@@ -181,6 +181,8 @@ _RESTAMP: tuple[str, ...] = (
     "b_topk_per_group_served",     # rollup artifact rebuilt under the r15 fingerprint token
     "b_tpch_q3",                   # r14 shuffle_hash hint; r15 size-chooser (base lane at driver tier)
     "b_graph_label_prop_converged",  # r15 oracle-text pin (AS MATERIALIZED; rows identical)
+    "b_graph_pagerank_minute",         # r15 pre-partitioned persisted edge list
+    "b_graph_pagerank_minute_served",  # shares _pr_minute_loop
 )
 
 

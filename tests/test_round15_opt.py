@@ -155,6 +155,58 @@ class TestReplicationBoundGuard:
             assert factor * STRIDE < 1 << 34
 
 
+class TestLpaPackedArgmax:
+    def test_adversarial_parity_vs_window(self, spark):
+        """The packed-max argmax (r15 promotion) must match the window
+        form — (count DESC, lbl ASC), ties to the smaller label — on
+        an adversarial vote frame: count ties, singleton votes, labels
+        at 0 and at the 2^34−1 encoding edge."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from stellarsql_spark.operators.graph import _lpa_argmax
+
+        edge = (1 << 34) - 1
+        votes = [
+            # node 1: lbl 7 twice vs lbl 3 twice -> tie, smaller wins (3)
+            (1, 7), (1, 7), (1, 3), (1, 3),
+            # node 2: lbl 5 three times beats lbl 0 twice
+            (2, 5), (2, 5), (2, 5), (2, 0), (2, 0),
+            # node 3: singleton votes only -> min lbl (0)
+            (3, edge), (3, 0), (3, 42),
+            # node 4: the encoding edge lbl alone
+            (4, edge), (4, edge),
+        ]
+        df = spark.createDataFrame(votes, "node long, lbl long")
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl"))
+        expect = {
+            (r.node, r.lbl)
+            for r in (
+                df.groupBy("node", "lbl")
+                .agg(F.count("*").alias("n"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "lbl")
+                .collect()
+            )
+        }
+        got = {(r.node, r.lbl) for r in _lpa_argmax(df).collect()}
+        assert got == expect == {(1, 3), (2, 5), (3, 0), (4, edge)}
+
+    def test_round1_min_shortcut_assumption(self, spark):
+        """Round 1's min(lbl) shortcut assumes the bidirectional pair
+        set is DISTINCT — edges is a distinct u<v set and the reversed
+        half is disjoint from it.  Assert that on the real corpus."""
+        from stellarsql_spark.operators.graph import _minute_edges
+        from pyspark.sql import functions as F
+
+        edges = _minute_edges(spark, SF_MED)
+        bidir = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        assert bidir.count() == bidir.distinct().count()
+
+
 class TestLpaOraclePin:
     def test_every_cte_is_materialized(self):
         from stellarsql_spark.operators.graph import LP_CONV_CAP, _lpa_conv_oracle
