@@ -990,18 +990,6 @@ def main() -> None:
             result["scale_probe_retrieval"] = probe(RETRIEVAL_FACTOR, RETRIEVAL_MATCHED)
         else:
             result["scale_probe_retrieval"] = {"skipped": "time budget"}
-        # Multimodal tier (r14 VERDICT #4): the codec family's depth
-        # row — rides the sf0.1_x300 corpus the 300× tier ensured, so
-        # the incremental cost is only the timed trials (~1 min).
-        # Runs BEFORE the graph tier: it is the cheapest deep block
-        # and the graph tier is now the longest (3 keys × min-of-7 +
-        # a first-run edge-fold build), so ordering cheap-first keeps
-        # a budget-blown session from dropping the small block the
-        # way the first r14 run did.
-        if _budget_elapsed() < 1700:
-            result["scale_probe_mm"] = probe(MM_FACTOR, MM_MATCHED)
-        else:
-            result["scale_probe_mm"] = {"skipped": "time budget"}
         # Streaming throughput probe (r8): every scale tier above is
         # batch; this is the one measured micro-batch number. Drain
         # the watermarked tumbling aggregate (b_stream_run_tumbling's
@@ -1049,6 +1037,24 @@ def main() -> None:
             )
         else:
             result["stream_probe"] = {"skipped": "time budget"}
+        # Multimodal tier (r14 VERDICT #4): the codec family's depth
+        # row — rides the sf0.1_x300 corpus the 300× tier ensured, so
+        # the incremental cost is only the timed trials (~1 min).
+        # r15 ordering: stream BEFORE mm BEFORE graph, guards
+        # 2100/2400/2700.  The blocks' guards must be staggered wider
+        # than the earlier block's own duration or the earlier block
+        # starves the later one exactly when the budget is tight (the
+        # r15 shakeout run hit the inverse: mm's old 1700 guard
+        # skipped mm on a slow-floor host while the stream probe
+        # behind it still fit).  Stream goes first because it is the
+        # artifact's ONLY micro-batch/socket evidence (VERDICT r14
+        # #2); mm (~1 min) fits in the 2100→2400 window even when the
+        # stream probe starts at its deadline; graph (the longest)
+        # absorbs the residual risk, as before.
+        if _budget_elapsed() < 2400:
+            result["scale_probe_mm"] = probe(MM_FACTOR, MM_MATCHED)
+        else:
+            result["scale_probe_mm"] = {"skipped": "time budget"}
         # Graph tier (r12 VERDICT #2): the iterative loop at depth on
         # the time-shifted corpus — see the GRAPH_MATCHED block
         # comment. One-off build ~1.2 GiB (cached + fingerprinted).
