@@ -236,3 +236,71 @@ class TestLpaOraclePin:
         con.close()
         assert a == b
         assert len(a) > 0
+
+
+class TestBenchTrialShed:
+    """r15 bench trial-shed deadline (bench._interleaved_times): the
+    block-entry guards protect a block from starting late, but a block
+    that stalls mid-trials (one wave-stalled x1000 trial absorbed
+    506 s in the r15 adverse-window run) could still starve every
+    block behind it — the failure that cost the r14 driver artifact
+    its stream probe.  Past the deadline the block must stop STARTING
+    trials while still reporting an honest min for EVERY key, and
+    record the cut."""
+
+    NAMES = ["b_agg_groupby", "b_win_running_sum"]
+
+    def _run(self, spark, monkeypatch, deadline, elapsed):
+        import bench
+
+        monkeypatch.setattr(bench, "_budget_elapsed", lambda: elapsed)
+        from stellarsql_spark.registry import all_specs
+
+        return bench._interleaved_times(
+            spark, SF_SMALL, all_specs(), self.NAMES, runs=3,
+            deadline=deadline,
+        )
+
+    def test_past_deadline_sheds_but_reports_every_key(
+        self, spark, monkeypatch
+    ):
+        s, d, spread, resettled, shed = self._run(
+            spark, monkeypatch, deadline=100.0, elapsed=200.0
+        )
+        # every remaining query was cut AFTER its first paired trial
+        assert shed == self.NAMES
+        assert resettled == []
+        for n in self.NAMES:
+            assert 0.0 < s[n] < float("inf")   # min-of-1 still reported
+            assert spread[n] == 0.0            # exactly one timed trial
+            assert 0.0 < d[n] < float("inf")   # the paired duck trial ran
+
+    def test_no_deadline_keeps_full_trial_counts(self, spark, monkeypatch):
+        s, d, spread, resettled, shed = self._run(
+            spark, monkeypatch, deadline=None, elapsed=200.0
+        )
+        assert shed == []                      # deadline off → no cut
+        for n in self.NAMES:
+            assert 0.0 < s[n] < float("inf")
+
+    def test_compact_line_carries_ts(self):
+        import bench
+
+        blk = {
+            "floor": {"shuffle": 0.1},
+            "floor_ratio": 1.0,
+            "load": 1.0,
+            "queries": {"b_agg_groupby": 1.0},
+            "ratio_vs_duckdb": {"b_agg_groupby": 1.0},
+            "trial_shed": ["b_agg_groupby"],
+        }
+        result = {
+            "metric": "m", "value": 1.0, "unit": "sec",
+            "queries": {}, "sf": "x", "floor": {"shuffle": 0.1},
+            "scale_probe_1000": blk,
+        }
+        line = bench._compact(result)
+        import json as _json
+
+        out = _json.loads(line)
+        assert out["scale"]["x1000"]["ts"] == ["grp"]
